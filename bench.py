@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink so the full plan executes
+(count() would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sales_agent_graphdb_spark.registry import all_queries  # noqa: E402
+from sales_agent_graphdb_spark.session import get_spark  # noqa: E402
+
+# Headline set: the heavier, representative queries. Extended as the
+# inventory grows.
+HEADLINE = [
+    "flagship_revenue_by_brand",
+    "p6_isin_status",
+    "set_intersect_except",
+    "o1_orderby_desc",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs]
+    timings: dict[str, float] = {}
+
+    # Warm the JVM/codegen once on the smallest query so first-query
+    # timing isn't dominated by session startup.
+    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

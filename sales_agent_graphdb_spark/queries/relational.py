@@ -1,0 +1,371 @@
+"""Relational core: scans, filters, sorts, limits, set ops
+(SURVEY.md §2.1, §2.2, §2.6, §2.7).
+
+Every query here is a pure DataFrame plan — filters and projections
+reach the parquet scan (PushedFilters / ReadSchema), sorts+limits
+compile to TakeOrderedAndProject, and the whole thing stays inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.functions.scalar import money
+from sales_agent_graphdb_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# Flagship: scan -> join -> agg -> sort (SURVEY.md §7 minimum slice; the
+# reference's products-for-order-form join neo4j_products.py:36-40
+# re-expressed as part ⋈ lineitem revenue-by-brand).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_revenue_by_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           l.l_returnflag AS returnflag,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY brand, returnflag
+    ORDER BY brand, returnflag
+    """,
+)
+def flagship_revenue_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (brand, returnflag): broadcast the part dim into the
+    lineitem fact scan, partial-aggregate map-side, two-key sort.
+    Money math in exact DECIMAL so the result is independent of
+    partitioning / summation order (matches the DuckDB oracle exactly)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    part = catalog.load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.sum(money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("brand", "returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans (S5, S6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s6_graph_scan_limit",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS sku, p_name AS name, p_retailprice AS price
+    FROM part ORDER BY p_partkey LIMIT 10
+    """,
+)
+def s6_graph_scan_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — `MATCH (p:Product) RETURN p.name, p.price LIMIT 10`
+    (reference neo4j_service.py:74) as a pruned projection + sorted
+    limit (TakeOrderedAndProject; no full-scan materialization)."""
+    prods = catalog.products(spark, sf_dir)
+    return prods.select("sku", "name", "price").orderBy(F.col("sku").cast("long")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Filters / predicates (P1–P10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_point_lookup_sku",
+    oracle="""
+    SELECT p_partkey AS id, p_name AS name, p_retailprice AS price, p_size AS stock_quantity
+    FROM part WHERE p_partkey = 42
+    """,
+)
+def p1_point_lookup_sku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — product by sku (reference db_service.py:84-87). The equality
+    predicate is pushed into the parquet scan."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") == 42).select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("stock_quantity"),
+    )
+
+
+@register(
+    "p2_lookup_by_email",
+    oracle="""
+    SELECT c_custkey AS id, c_custkey || '@x.test' AS email, c_name AS full_name
+    FROM customer WHERE c_custkey || '@x.test' = '17@x.test'
+    """,
+)
+def p2_lookup_by_email(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — customer by email (reference deps.py:40, auth.py:27)."""
+    c = catalog.customers(spark, sf_dir)
+    return c.filter(F.col("email") == "17@x.test").select("id", "email", "full_name")
+
+
+@register(
+    "p3_ilike_substring",
+    oracle="""
+    SELECT p_partkey AS id, p_name AS name
+    FROM part WHERE lower(p_name) LIKE '%widget%'
+    ORDER BY id
+    """,
+)
+def p3_ilike_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — case-insensitive substring match `ilike '%q%'`
+    (reference tools.py:48, products.py:29)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("widget"))
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "p4_conjunctive_ilike",
+    oracle="""
+    SELECT p_partkey AS id, p_name AS name
+    FROM part
+    WHERE lower(p_name) LIKE '%red%' AND lower(p_name) LIKE '%widget%'
+    ORDER BY id
+    """,
+)
+def p4_conjunctive_ilike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — AND of two independent substring matches (reference
+    tools.py:61-66, first-two-words strategy)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    name = F.lower(F.col("p_name"))
+    return (
+        p.filter(name.contains("red") & name.contains("widget"))
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+        .orderBy("id")
+    )
+
+
+@register(
+    "p6_isin_status",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id,
+           CASE o_orderstatus WHEN 'O' THEN 'PENDING' WHEN 'P' THEN 'PROCESSING'
+                ELSE 'DELIVERED' END AS status,
+           o_totalprice AS total_amount
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+    ORDER BY id
+    """,
+)
+def p6_isin_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — cancellable orders: status ∈ {PENDING, PROCESSING}
+    (reference db_service.py:172, agent_graph.py:387)."""
+    o = catalog.ref_orders(spark, sf_dir)
+    return (
+        o.filter(F.col("status").isin("PENDING", "PROCESSING"))
+        .select("id", "customer_id", "status", "total_amount")
+        .orderBy("id")
+    )
+
+
+@register(
+    "p7_compound_key",
+    oracle="""
+    SELECT o_orderkey AS id, o_custkey AS customer_id, o_totalprice AS total_amount
+    FROM orders WHERE o_orderkey = 100 AND o_custkey = (
+        SELECT o_custkey FROM orders WHERE o_orderkey = 100)
+    """,
+)
+def p7_compound_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — order by (id, customer_id) ownership check
+    (reference db_service.py:164-167)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    owner = o.filter(F.col("o_orderkey") == 100).select("o_custkey")
+    return (
+        o.filter(F.col("o_orderkey") == 100)
+        .join(F.broadcast(owner), "o_custkey", "left_semi")
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+@register(
+    "p9_client_search_filter",
+    oracle="""
+    SELECT p_partkey AS id, p_name AS name, p_brand AS category
+    FROM part
+    WHERE (lower(CAST(p_partkey AS VARCHAR)) LIKE '%42%' OR lower(p_name) LIKE '%bolt%')
+      AND p_brand = 'Brand#4'
+    ORDER BY id
+    """,
+)
+def p9_client_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — sku-or-name contains + category equality (reference
+    frontend Products.jsx:141-148, re-expressed server-side)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    sku = F.lower(F.col("p_partkey").cast("string"))
+    name = F.lower(F.col("p_name"))
+    return (
+        p.filter((sku.contains("42") | name.contains("bolt")) & (F.col("p_brand") == "Brand#4"))
+        .select(
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("name"),
+            F.col("p_brand").alias("category"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "p10_validity_filter",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM documents
+    WHERE length(trim(text)) > 0 AND text <> 'Error scraping post details'
+      AND n_chars > 100
+    ORDER BY doc_id
+    """,
+)
+def p10_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — non-empty / not-error / min-length text validity predicates
+    (reference db_service.py:276, website_scraper.py:88)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(
+            (F.length(F.trim(F.col("text"))) > 0)
+            & (F.col("text") != "Error scraping post details")
+            & (F.col("n_chars") > 100)
+        )
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (O1–O4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_orderby_desc",
+    oracle="""
+    SELECT o_orderkey AS id, strftime(o_orderdate, '%Y-%m-%d') AS created_at,
+           o_totalprice AS total_amount
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20
+    """,
+)
+def o1_orderby_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — newest-first orders (reference db_service.py:134,155,184);
+    compiles to TakeOrderedAndProject (top-k pushdown, no full sort)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(20)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("created_at"),
+            F.col("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+@register(
+    "o2_two_key_sort",
+    oracle="""
+    SELECT p_brand AS category_name, p_name AS name, p_retailprice AS price
+    FROM part ORDER BY p_brand, p_name, p_partkey LIMIT 50
+    """,
+)
+def o2_two_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — `ORDER BY c.name, p.name` products-for-order-form
+    (reference neo4j_products.py:39)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return (
+        p.orderBy("p_brand", "p_name", "p_partkey")
+        .limit(50)
+        .select(
+            F.col("p_brand").alias("category_name"),
+            F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("price"),
+        )
+    )
+
+
+@register(
+    "o4_topk_by_score",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS full_name, c_acctbal AS score
+    FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    """,
+)
+def o4_topk_by_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — top-k by computed score (reference retriever k=5,
+    db_service.py:201-204); TakeOrderedAndProject top-k pushdown."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(5)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("full_name"),
+            F.col("c_acctbal").alias("score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_sources",
+    oracle="""
+    SELECT doc_id, source, text FROM documents WHERE source = 'src1'
+    UNION ALL
+    SELECT doc_id, source, text FROM documents WHERE source = 'src2'
+    ORDER BY doc_id
+    """,
+)
+def set_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — concatenating per-source datasets at ingestion
+    (reference db_service.py:418-424) as unionByName."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("source") == "src1").select("doc_id", "source", "text")
+    b = d.filter(F.col("source") == "src2").select("doc_id", "source", "text")
+    return a.unionByName(b).orderBy("doc_id")
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS id FROM orders WHERE o_totalprice > 200000),
+         pend AS (SELECT o_custkey AS id FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS side, id FROM (SELECT DISTINCT id FROM big INTERSECT SELECT DISTINCT id FROM pend)
+    UNION ALL
+    SELECT 'big_only' AS side, id FROM (SELECT DISTINCT id FROM big EXCEPT SELECT DISTINCT id FROM pend)
+    ORDER BY side, id
+    """,
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 extension — INTERSECT / EXCEPT over customer key sets."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("id"))
+    pend = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("id"))
+    both = big.intersect(pend).withColumn("side", F.lit("both"))
+    only = big.distinct().exceptAll(pend.distinct()).withColumn("side", F.lit("big_only"))
+    return both.unionByName(only).select("side", "id").orderBy("side", "id")
