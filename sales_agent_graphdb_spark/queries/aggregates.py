@@ -1,0 +1,203 @@
+"""Aggregation inventory (SURVEY.md §2.4): the reference computes all
+of these imperatively in Python loops — here they are single shuffles
+with map-side partial aggregation, plus the grouping-set extensions
+(rollup/cube) that come free with Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.functions.scalar import money
+from sales_agent_graphdb_spark.registry import register
+
+
+@register(
+    "a1_order_totals",
+    oracle="""
+    SELECT l_orderkey AS order_id,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY order_id ORDER BY order_id
+    """,
+)
+def a1_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — order total = Σ price·qty over items (reference
+    orders.py:31-43 `total += price * qty` loop) as one groupBy with
+    map-side combine; exact DECIMAL so partitioning can't skew it."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(
+            F.sum(money("l_extendedprice")).cast("double").alias("total_amount"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("order_id")
+    )
+
+
+@register(
+    "a2_count_by_group",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a2_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — ingestion counters (reference neo4j_service.py:128-146)
+    as groupBy counts + exact distinct."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "a3_distinct_categories",
+    oracle="SELECT DISTINCT p_brand AS category FROM part ORDER BY category",
+)
+def a3_distinct_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — unique categories for the dropdown (reference
+    Products.jsx:137)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return p.select(F.col("p_brand").alias("category")).distinct().orderBy("category")
+
+
+@register(
+    "a4_dedup_last_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def a4_dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — keyed dedup, last write wins (reference
+    product_scraper.py:261-263 dict overwrite) via row_number."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "a5_dedup_normalized_content",
+    oracle="""
+    SELECT lower(trim(text)) AS norm_text, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY norm_text ORDER BY keep_doc_id
+    """,
+)
+def a5_dedup_normalized_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — seen-set dedup on normalized content (reference
+    db_service.py:379-387) as groupBy(normalized) keeping min doc_id."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.lower(F.trim(F.col("text"))).alias("norm_text"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_dups"))
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "a6_string_agg",
+    oracle="""
+    SELECT p_brand AS category,
+           string_agg(p_name, ', ' ORDER BY p_name) AS names
+    FROM (SELECT DISTINCT p_brand, p_name FROM part) t
+    GROUP BY category ORDER BY category
+    """,
+)
+def a6_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — string aggregation (reference db_service.py:215-234
+    '\\n\\n'.join format_docs) as sorted collect_list + array_join."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    return (
+        p.select("p_brand", "p_name")
+        .distinct()
+        .groupBy(F.col("p_brand").alias("category"))
+        .agg(F.array_join(F.array_sort(F.collect_list("p_name")), ", ").alias("names"))
+        .orderBy("category")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ROLLUP(p_brand, l_returnflag)
+    ORDER BY brand, returnflag
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — hierarchical ROLLUP totals (absent in the
+    reference; free in Spark and required at analytics scale)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .rollup("p_brand", "l_returnflag")
+        .agg(F.sum(money("l_extendedprice")).cast("double").alias("revenue"))
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            "revenue",
+        )
+        .orderBy("brand", "returnflag")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — CUBE over status × priority."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@register("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — HyperLogLog approx distinct (sketch-based; the
+    scale path for COUNT(DISTINCT) at 100 TB). Rows-only check: HLL
+    estimates are engine-specific, so no value oracle; a pytest asserts
+    the estimate is within 5% of exact."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,167 @@
+"""Scalar-function kit queries (SURVEY.md §2.8, F1–F16): each bundles
+related reference scalar behaviors into one oracle-checked projection.
+Everything is a JVM-side built-in expression — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.functions.scalar import (
+    extract_price,
+    is_email,
+    is_http_url,
+    normalize_alnum,
+    surrogate_sku,
+)
+from sales_agent_graphdb_spark.registry import register
+
+
+@register(
+    "f2_f3_price_and_surrogate",
+    oracle="""
+    SELECT p_partkey AS id,
+           'was 1,099.99 now ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS messy,
+           CAST(replace(regexp_extract('was 1,099.99 now ' || CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR),
+                        '([0-9][0-9,]*(\\.[0-9]+)?)$', 1), ',', '') AS DOUBLE) AS extracted_price,
+           'GEN-' || upper(substr(md5(lower(p_name)), 1, 8)) AS gen_sku
+    FROM part ORDER BY id
+    """,
+)
+def f2_f3_price_and_surrogate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — last-number price extraction from a messy string (reference
+    product_scraper.py:51-69); F3 — GEN-{md5[:8]} surrogate sku
+    (product_scraper.py:136-138). The messy string is synthesized
+    deterministically from p_retailprice."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    messy = F.concat(
+        F.lit("was 1,099.99 now "),
+        F.col("p_retailprice").cast("decimal(18,2)").cast("string"),
+    )
+    return (
+        p.select(
+            F.col("p_partkey").alias("id"),
+            messy.alias("messy"),
+            extract_price(messy).alias("extracted_price"),
+            surrogate_sku("p_name").alias("gen_sku"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "f4_f5_dates_numbers",
+    oracle="""
+    SELECT o_orderkey AS id,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS amount_str
+    FROM orders ORDER BY id LIMIT 1000
+    """,
+)
+def f4_f5_dates_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — strftime date formatting (reference agent_graph.py:354);
+    F5 — 2-decimal money formatting (agent_graph.py:355, via exact
+    DECIMAL render so both engines emit identical strings)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(1000)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("amount_str"),
+        )
+    )
+
+
+@register(
+    "f6_f8_f9_text_kit",
+    oracle="""
+    SELECT p_partkey AS id,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', 2) AS second_word,
+           regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS normalized,
+           regexp_extract('Product ''' || p_name || ''' ordered', 'Product ''([^'']+)''', 1) AS between_markers,
+           regexp_replace(p_name, ' \\(\\d+\\)$', '') AS counts_stripped
+    FROM part ORDER BY id
+    """,
+)
+def f6_f8_f9_text_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — word tokenization (reference tools.py:56-77); F8 —
+    alnum-only normalization (Chat.jsx:225-227); F9 — between-markers
+    extraction (agent_graph.py:255-261); F10 — trailing-count strip
+    (product_scraper.py:87)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    marker = F.concat(F.lit("Product '"), F.col("p_name"), F.lit("' ordered"))
+    return (
+        p.select(
+            F.col("p_partkey").alias("id"),
+            F.element_at(words, 1).alias("first_word"),
+            F.element_at(words, 2).alias("second_word"),
+            normalize_alnum("p_name").alias("normalized"),
+            F.regexp_extract(marker, r"Product '([^']+)'", 1).alias("between_markers"),
+            F.regexp_replace(F.col("p_name"), r" \(\d+\)$", "").alias("counts_stripped"),
+        )
+        .orderBy("id")
+    )
+
+
+@register(
+    "f12_f13_json_coalesce",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           COALESCE(NULLIF(CASE WHEN event_id % 3 = 0 THEN '' ELSE event_type END, ''),
+                    'unknown') AS content
+    FROM events ORDER BY event_id
+    """,
+)
+def f12_f13_json_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 — JSON field access / envelope unwrap (reference
+    db_service.py:413-416); F12 — coalesce-first-nonempty content field
+    (db_service.py:270), with empty→null normalization."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    maybe_empty = F.when(F.col("event_id") % 3 == 0, "").otherwise(F.col("event_type"))
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+            F.coalesce(F.nullif(maybe_empty, F.lit("")), F.lit("unknown")).alias("content"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "f14_f15_validation",
+    oracle="""
+    SELECT c_custkey AS id,
+           (c_custkey || '@x.test' LIKE '%@%') AS valid_email,
+           regexp_matches('https://shop.example/c/' || c_custkey, '^https?://') AS valid_url,
+           (CASE WHEN c_custkey % 7 = 0 THEN 'ftp://x' ELSE 'https://ok' END
+              SIMILAR TO 'https?://.*') AS mixed_url_ok
+    FROM customer ORDER BY id
+    """,
+)
+def f14_f15_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — email contains-'@' validation (reference admin.py:37-41);
+    F15 — http(s) URL prefix validation (tiktok_scraper.py:25-38)."""
+    c = catalog.customers(spark, sf_dir)
+    url = F.concat(F.lit("https://shop.example/c/"), F.col("id").cast("string"))
+    mixed = F.when(F.col("id") % 7 == 0, "ftp://x").otherwise("https://ok")
+    return (
+        c.select(
+            "id",
+            is_email("email").alias("valid_email"),
+            is_http_url(url).alias("valid_url"),
+            is_http_url(mixed).alias("mixed_url_ok"),
+        )
+        .orderBy("id")
+    )

@@ -1,0 +1,137 @@
+"""Window functions (SURVEY.md §2.5): absent in the reference (its
+nearest patterns are the last-6-messages slice and first-match-wins
+fallbacks) but required by the events table and any 100 TB analytics
+surface. All tie-broken deterministically so the oracle hash is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.functions.scalar import money
+from sales_agent_graphdb_spark.registry import register
+
+
+@register(
+    "w1_last6_per_session",
+    oracle="""
+    SELECT session_id, turn, rn FROM (
+      SELECT user_id AS session_id, event_id AS turn,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn <= 6 ORDER BY session_id, rn
+    """,
+)
+def w1_last6_per_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — the reference's `chat_history[-6:]` prompt window
+    (agent_graph.py:95,219,392) over chat_messages."""
+    m = catalog.chat_messages(spark, sf_dir)
+    w = W.partitionBy("session_id").orderBy(F.col("ts").desc(), F.col("turn").desc())
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 6)
+        .select("session_id", "turn", "rn")
+        .orderBy("session_id", "rn")
+    )
+
+
+@register(
+    "w2_running_sum",
+    oracle="""
+    SELECT o_custkey AS customer_id, o_orderkey AS id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+    FROM orders ORDER BY customer_id, id
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — running lifetime value per customer (rows frame, exact
+    DECIMAL accumulation)."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("id"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_total"),
+    ).orderBy("customer_id", "id")
+
+
+@register(
+    "w3_topn_per_group",
+    oracle="""
+    SELECT category, id, name, price, rnk FROM (
+      SELECT p_brand AS category, p_partkey AS id, p_name AS name, p_retailprice AS price,
+             row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+      FROM part) t
+    WHERE rnk <= 3 ORDER BY category, rnk
+    """,
+)
+def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — top-3 priciest products per category (ranked-window
+    top-k; the distributed form of the reference's first-match-wins)."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p_brand").alias("category"),
+            F.col("p_partkey").alias("id"),
+            F.col("p_name").alias("name"),
+            F.col("p_retailprice").alias("price"),
+            "rnk",
+        )
+        .orderBy("category", "rnk")
+    )
+
+
+@register(
+    "w4_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — per-user event-value delta via lag (change detection)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    ).orderBy("user_id", "event_id")
+
+
+@register(
+    "w5_ntile_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n, CAST(MIN(c_acctbal) AS DOUBLE) AS lo, CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM (SELECT c_acctbal, ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket FROM customer) t
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def w5_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — decile bucketing of account balances (global ntile;
+    note: single-partition window — at 100 TB use approx percentile
+    instead, see text quality ops)."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
