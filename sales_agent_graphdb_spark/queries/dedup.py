@@ -1,0 +1,156 @@
+"""Deduplication suite over the documents table — exact, n-gram
+Jaccard, MinHash+LSH, SimHash, embedding-cosine. The raw testdata has
+no planted duplicates, so each query derives a corpus with
+deterministic near/exact duplicates (suffix-perturbed copies at
+doc_id+100000) and must find exactly those — making every check
+non-vacuous. The perturbation is mirrored in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators import lsh, similarity as sim
+from sales_agent_graphdb_spark.registry import register
+
+DUP_OFFSET = 100_000
+
+# duplicated corpus: docs with doc_id < 40 get a copy whose text has a
+# short suffix appended (near-dup), docs with doc_id in [40, 60) get an
+# identical copy (exact dup).
+_CORPUS_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text || ' extra trailing words' AS text
+    FROM documents WHERE doc_id < 40
+    UNION ALL
+    SELECT doc_id + {DUP_OFFSET} AS doc_id, text
+    FROM documents WHERE doc_id >= 40 AND doc_id < 60
+"""
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") < 40)
+        .select(
+            (F.col("doc_id") + DUP_OFFSET).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra trailing words")).alias("text"),
+        )
+    )
+    exact = d.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return d.unionByName(near).unionByName(exact)
+
+
+@register(
+    "dedup_exact_hash",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_hash,
+           MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM corpus
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    ORDER BY keep_doc_id
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content, keep min id
+    (the scale-out form of the reference's seen-set at
+    db_service.py:379-387). One shuffle on a 32-char key."""
+    corpus = dup_corpus(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    return (
+        corpus.groupBy(F.md5(norm).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) - 3, 1)),
+               p -> substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), p, 4))) AS grams
+      FROM corpus WHERE doc_id < 40 OR doc_id >= {DUP_OFFSET})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard_sim
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup: exact all-pairs on a bounded subset
+    (the verification kernel that LSH feeds candidates to at scale).
+    4-char shingles, threshold 0.5."""
+    corpus = dup_corpus(spark, sf_dir).filter(
+        (F.col("doc_id") < 40) | (F.col("doc_id") >= DUP_OFFSET)
+    )
+    sh = corpus.select(
+        F.col("doc_id"), lsh.char_shingles(F.col("text"), 4).alias("grams")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        lsh.jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard_sim"),
+    )
+    return pairs.filter(F.col("jaccard_sim") >= 0.5).orderBy("id_a", "id_b")
+
+
+@register("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    exact-Jaccard verify). Rows-only for the driver (xxhash64 seeds are
+    engine-specific); pytest asserts recall ≥ 0.95 vs the exact-Jaccard
+    pairs and zero false positives post-verification."""
+    corpus = dup_corpus(spark, sf_dir)
+    return lsh.minhash_lsh_pairs(
+        corpus, n_hashes=32, n_bands=8, shingle_k=4, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit signature, 4×16-bit chunk
+    banding, hamming ≤ 3). Rows-only; pytest checks the planted exact
+    duplicates all collide at hamming 0."""
+    corpus = dup_corpus(spark, sf_dir)
+    return lsh.simhash_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sim.duckdb_cosine_sql("a.embedding", "b.embedding")} AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND {sim.duckdb_cosine_sql("a.embedding", "b.embedding")} >= 0.3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all-pairs ≥ threshold. Exact kernel
+    here; at 100 TB candidates come from LSH bucketing (random
+    hyperplanes) and only candidates hit this kernel."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", sim.cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+    )
+    return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")

@@ -1,0 +1,165 @@
+"""Event-time windowing over the events table (SURVEY.md §2.12): the
+batch forms of tumbling / sliding / session windows. The same
+`F.window` / `F.session_window` expressions run unchanged under
+Structured Streaming (see streaming/pipelines.py); batch mode makes
+them oracle-checkable in DuckDB (epoch arithmetic for the grids,
+gap-and-island SQL for sessions).
+
+Sums over event values go through exact DECIMAL(20,6) so partition
+order can't skew the doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.registry import register
+
+VAL = "decimal(20,6)"
+
+
+@register(
+    "st_tumbling_window",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (counts + exact sums) —
+    identical code path to the streaming pipeline, minus watermark."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "st_sliding_window",
+    oracle="""
+    WITH g AS (SELECT unnest([0, 1]) AS k),
+    w AS (
+      SELECT e.event_type, e.value,
+             to_timestamp((floor(epoch(e.ts))::BIGINT // 1800 - g.k) * 1800) AS window_start
+      FROM events e, g
+      WHERE floor(epoch(e.ts))::BIGINT // 1800 - g.k >= 0)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM w
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — every event
+    lands in 2 windows (F.window duplicates rows; the oracle mirrors
+    the grid with epoch arithmetic)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "st_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap
+    (`F.session_window`, the reference's Redis-TTL/session semantics in
+    event time). The DuckDB oracle is classic gap-and-island SQL —
+    DuckDB has no session_window primitive (SURVEY.md §7e)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "st_late_data_policy",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM events e, mx
+    WHERE e.ts >= m - INTERVAL 2 HOUR
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def st_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics, batch-checkable slice: only events within
+    the watermark horizon (2 h of max event time) are aggregated —
+    the same cutoff `withWatermark("ts", "2 hours")` enforces on a
+    stream (late rows beyond it are dropped)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    horizon = e.agg(F.max("ts").alias("m"))
+    return (
+        e.join(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 2 HOURS"))
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )

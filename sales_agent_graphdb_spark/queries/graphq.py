@@ -1,0 +1,145 @@
+"""Graph query inventory (SURVEY.md §2.10 + §1.1 analytics): the
+property-graph surface on vertex/edge DataFrames, plus the fulltext
+fuzzy index. The product→category graph comes from catalog.in_category
+(edges) per FIXTURES.md §2.
+
+To make connected-components non-trivial (the raw graph is 25 disjoint
+stars), the CC query adds brand-bridge edges linking Brand#k to
+Brand#(k+1) for k<5 — a deterministic derivation mirrored in the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators import fulltext, graph
+from sales_agent_graphdb_spark.registry import register
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edges product-sku → category-name."""
+    return catalog.in_category(spark, sf_dir).select(
+        F.col("sku").alias("src"), F.col("category_name").alias("dst")
+    )
+
+
+@register(
+    "g6_fulltext_fuzzy",
+    oracle="""
+    WITH idx AS (
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS id, t.token
+      FROM part, unnest(string_split_regex(lower(p_name), '\\s+')) AS t(token)
+      WHERE length(t.token) > 0),
+    scored AS (
+      SELECT id, MIN(levenshtein(token, 'widgit')) AS distance
+      FROM idx
+      WHERE length(token) BETWEEN 4 AND 8 AND levenshtein(token, 'widgit') <= 2
+      GROUP BY id)
+    SELECT id, CAST(distance AS INT) AS distance
+    FROM scored ORDER BY distance, id LIMIT 10
+    """,
+)
+def g6_fulltext_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6 — Lucene-style fuzzy fulltext (`"widgit~"` with a typo,
+    reference neo4j_service.py:71) over a derived inverted index +
+    levenshtein ≤ 2, top-10 by (distance, id)."""
+    prods = catalog.products(spark, sf_dir)
+    idx = fulltext.inverted_index(prods, text_col="name", id_col="sku")
+    hits = fulltext.fuzzy_search(idx, "widgit", max_distance=2, k=10)
+    return hits.select("id", F.col("distance").cast("int").alias("distance")).orderBy(
+        "distance", "id"
+    )
+
+
+@register(
+    "graph_degrees",
+    oracle="""
+    SELECT p_brand AS id, COUNT(*) AS in_degree
+    FROM part GROUP BY p_brand ORDER BY id
+    """,
+)
+def graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category vertex in-degree (how many products point at each
+    category) — the basic graph-analytics primitive on the edge table."""
+    e = _edges(spark, sf_dir)
+    return (
+        graph.degrees(e)
+        .filter(F.col("in_degree") > 0)
+        .select("id", "in_degree")
+        .orderBy("id")
+    )
+
+
+@register(
+    "graph_2hop_neighbors",
+    oracle="""
+    SELECT b.p_partkey AS neighbor_id, b.p_name AS name
+    FROM part a JOIN part b ON a.p_brand = b.p_brand
+    WHERE a.p_partkey = 42 AND b.p_partkey <> 42
+    ORDER BY neighbor_id
+    """,
+)
+def graph_2hop_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal: product → category → sibling products
+    (the co-category recommendation the reference's graph schema
+    supports but only ever walks 1 hop of)."""
+    e = _edges(spark, sf_dir)
+    p = catalog.load_table(spark, sf_dir, "part")
+    anchor = e.filter(F.col("src") == "42").select(F.col("dst").alias("cat"))
+    sibs = (
+        e.join(F.broadcast(anchor), e.dst == F.col("cat"))
+        .filter(F.col("src") != "42")
+        .select(F.col("src").cast("long").alias("neighbor_id"))
+    )
+    return (
+        sibs.join(p, sibs.neighbor_id == p.p_partkey)
+        .select("neighbor_id", F.col("p_name").alias("name"))
+        .orderBy("neighbor_id")
+    )
+
+
+# Bridge edges: Brand#1→Brand#2→…→Brand#5 merge five star components.
+_BRIDGE = [("Brand#1", "Brand#2"), ("Brand#2", "Brand#3"),
+           ("Brand#3", "Brand#4"), ("Brand#4", "Brand#5")]
+
+
+@register(
+    "graph_connected_components",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(p_partkey AS VARCHAR) AS sku, p_brand,
+             CASE WHEN p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+                  THEN '§merged' ELSE p_brand END AS g
+      FROM part),
+    mins AS (SELECT g, MIN(sku) AS component FROM base GROUP BY g)
+    SELECT b.sku AS id, m.component FROM base b JOIN mins m ON b.g = m.g
+    UNION ALL
+    SELECT DISTINCT b.p_brand AS id, m.component FROM base b JOIN mins m ON b.g = m.g
+    ORDER BY component, id
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by min-label propagation over the
+    product-category graph + brand bridges. Components are identified
+    by their minimum vertex label; with the bridges, Brand#1…#5 and all
+    their products collapse into one component. The oracle derives the
+    same partition closed-form (the graph is a forest of stars plus a
+    known path)."""
+    e = _edges(spark, sf_dir)
+    bridges = spark.createDataFrame(_BRIDGE, ["src", "dst"])
+    cc = graph.connected_components(e.unionByName(bridges))
+    # canonical component label: the lexicographically-min member name
+    # (string min labels; vertex ids here are strings)
+    return cc.orderBy("component", "id")
+
+
+@register("graph_pagerank", oracle=None)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over product→category edges (10 iterations, d=0.85).
+    Rows-only: iterative double accumulation is order-sensitive;
+    pytest asserts Σrank ≈ N and category ranks dominate."""
+    e = _edges(spark, sf_dir)
+    return graph.pagerank(e, n_iter=10).orderBy(F.col("rank").desc(), "id").limit(30)

@@ -1,0 +1,256 @@
+"""Mutation-semantics queries (SURVEY.md §2.10 G1-G3, §2.11 M1-M5):
+each applies a deterministic batch of mutations derived from the
+testdata and returns the resulting table (or its delta), so the DuckDB
+oracle can state the end-state declaratively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.functions.scalar import money
+from sales_agent_graphdb_spark.operators.merge import (
+    delete_by_key,
+    merge_create_only,
+    merge_overwrite,
+)
+from sales_agent_graphdb_spark.registry import register
+
+
+@register(
+    "g1_merge_create_only",
+    oracle="""
+    SELECT p_partkey AS id, p_retailprice AS price FROM part
+    UNION ALL
+    SELECT p_partkey + 1000000 AS id, 1.0 AS price
+    FROM part WHERE p_partkey < 100
+    ORDER BY id
+    """,
+)
+def g1_merge_create_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — batch MERGE ON CREATE SET (reference neo4j_service.py:113-146):
+    a new batch overlaps all existing keys (existing rows must win,
+    price unchanged) and adds shifted new keys (inserted at price 1.0)."""
+    existing = catalog.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("price")
+    )
+    new = existing.filter(F.col("id") < 100).select(
+        F.col("id"), F.lit(-99.0).alias("price")  # collides: must NOT overwrite
+    )
+    new = new.unionByName(
+        existing.filter(F.col("id") < 100).select(
+            (F.col("id") + 1000000).alias("id"), F.lit(1.0).alias("price")
+        )
+    )
+    return merge_create_only(existing, new, "id").orderBy("id")
+
+
+@register(
+    "g2_merge_overwrite",
+    oracle="""
+    SELECT p_partkey AS id,
+           CASE WHEN p_partkey < 100 THEN -99.0 ELSE p_retailprice END AS price
+    FROM part ORDER BY id
+    """,
+)
+def g2_merge_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 — admin sync MERGE with unconditional SET (reference
+    neo4j_service.py:256-303): colliding keys take the new value."""
+    existing = catalog.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_retailprice").alias("price")
+    )
+    new = existing.filter(F.col("id") < 100).select("id", F.lit(-99.0).alias("price"))
+    return merge_overwrite(existing, new, "id").orderBy("id")
+
+
+@register(
+    "g3_detach_delete",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS sku, p_brand AS category_name
+    FROM part WHERE p_partkey % 10 <> 0
+    ORDER BY CAST(sku AS BIGINT)
+    """,
+)
+def g3_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — DETACH DELETE by key (reference neo4j_service.py:305-323):
+    remove every 10th product from the edge table (vertices and
+    incident edges drop together in the bipartite schema)."""
+    edges = catalog.in_category(spark, sf_dir)
+    doomed = edges.filter(F.col("sku").cast("long") % 10 == 0).select("sku")
+    return delete_by_key(edges, doomed, "sku").orderBy(F.col("sku").cast("long"))
+
+
+@register(
+    "m1_product_crud",
+    oracle="""
+    WITH after_update AS (
+      SELECT p_partkey AS id, p_name AS name,
+             CASE WHEN p_brand = 'Brand#7'
+                  THEN CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(4,2)) AS DOUBLE)
+                  ELSE p_retailprice END AS price
+      FROM part WHERE p_partkey % 13 <> 0)
+    SELECT id, name, price FROM after_update
+    UNION ALL
+    SELECT 9000001 AS id, 'new gadget alpha' AS name, 19.99 AS price
+    UNION ALL
+    SELECT 9000002 AS id, 'new gadget beta' AS name, 29.99 AS price
+    ORDER BY id
+    """,
+)
+def m1_product_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — product CRUD batch (reference db_service.py:89-128): delete
+    ids %13==0, raise Brand#7 prices 10% (exact DECIMAL), insert two
+    new products."""
+    p = catalog.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+        F.col("p_brand").alias("brand"),
+    )
+    after_delete = p.filter(F.col("id") % 13 != 0)
+    after_update = after_delete.select(
+        "id",
+        "name",
+        F.when(
+            F.col("brand") == "Brand#7",
+            (money("price") * F.lit(1.10).cast("decimal(4,2)")).cast("double"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    inserts = spark.createDataFrame(
+        [(9000001, "new gadget alpha", 19.99), (9000002, "new gadget beta", 29.99)],
+        "id bigint, name string, price double",
+    )
+    return after_update.unionByName(inserts).orderBy("id")
+
+
+@register(
+    "m3_stock_decrement",
+    oracle="""
+    WITH demand AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem WHERE l_orderkey < 100 GROUP BY l_partkey)
+    SELECT p.p_partkey AS product_id, p.p_size AS stock_before,
+           CAST(p.p_size - COALESCE(d.qty, 0) AS DOUBLE) AS stock_after,
+           (p.p_size >= COALESCE(d.qty, 0)) AS fulfillable
+    FROM part p LEFT JOIN demand d ON d.l_partkey = p.p_partkey
+    ORDER BY product_id
+    """,
+)
+def m3_stock_decrement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — order-placement stock decrement (reference orders.py:16-93):
+    aggregate demand per product, decrement stock via one join — the
+    set-oriented form of the reference's per-item UPDATE loop. Batch
+    semantics: the whole batch sees one consistent before-state
+    (documented batch-only, SURVEY.md §7)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    demand = (
+        li.filter(F.col("l_orderkey") < 100)
+        .groupBy("l_partkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("qty"))
+    )
+    return (
+        p.join(demand, p.p_partkey == demand.l_partkey, "left")
+        .select(
+            F.col("p_partkey").alias("product_id"),
+            F.col("p_size").alias("stock_before"),
+            (F.col("p_size") - F.coalesce("qty", F.lit(0.0))).cast("double").alias("stock_after"),
+            (F.col("p_size") >= F.coalesce("qty", F.lit(0.0))).alias("fulfillable"),
+        )
+        .orderBy("product_id")
+    )
+
+
+@register(
+    "m4_guarded_cancel",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderkey % 5 = 0
+                     AND o_orderstatus IN ('O','P')
+                THEN 'CANCELLED'
+                ELSE CASE o_orderstatus WHEN 'O' THEN 'PENDING'
+                     WHEN 'P' THEN 'PROCESSING' ELSE 'DELIVERED' END
+           END AS status
+    FROM orders ORDER BY id
+    """,
+)
+def m4_guarded_cancel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 — guarded cancel (reference db_service.py:158-178): only
+    PENDING/PROCESSING orders in the cancel-set flip to CANCELLED;
+    everything else is untouched."""
+    o = catalog.ref_orders(spark, sf_dir)
+    eligible = (F.col("id") % 5 == 0) & F.col("status").isin("PENDING", "PROCESSING")
+    return o.select(
+        "id", F.when(eligible, "CANCELLED").otherwise(F.col("status")).alias("status")
+    ).orderBy("id")
+
+
+@register(
+    "m5_register_unique",
+    oracle="""
+    SELECT c_custkey + 5000000 AS id, c_custkey || '@x.test' AS email
+    FROM customer WHERE c_custkey % 2 = 1
+    ORDER BY id
+    """,
+)
+def m5_register_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — registration uniqueness guard (reference auth.py:25-42):
+    a batch of candidate signups where even-custkey emails already
+    exist (semi-join drops them) and odd ones insert."""
+    existing = catalog.customers(spark, sf_dir)
+    candidates = catalog.load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") + 5000000).alias("id"),
+        F.concat(F.col("c_custkey").cast("string"), F.lit("@x.test")).alias("email"),
+        (F.col("c_custkey") % 2).alias("parity"),
+    )
+    # even custkeys: pretend they're already registered (collide on the
+    # synthesized email); odd: genuinely new
+    collide = existing.select("email").filter(F.col("email").isNotNull())
+    collide_even = collide.join(
+        candidates.filter(F.col("parity") == 0).select("email"), "email", "left_semi"
+    )
+    inserted = candidates.join(collide_even, "email", "left_anti").filter(
+        F.col("parity") == 1
+    )
+    return inserted.select("id", "email").orderBy("id")
+
+
+@register(
+    "m2_csv_upsert_preserve",
+    oracle="""
+    SELECT p_partkey AS id, p_name AS name, p_retailprice AS price, 'kept' AS provenance
+    FROM part
+    UNION ALL
+    SELECT p_partkey + 2000000 AS id, 'import ' || p_name AS name, 0.01 AS price,
+           'imported' AS provenance
+    FROM part WHERE p_partkey < 50
+    ORDER BY id
+    """,
+)
+def m2_csv_upsert_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — CSV→table upsert preserving existing rows (reference
+    db_service.py:148-205, seed_products.py insert-if-missing): the
+    import batch half-collides with existing ids (dropped) and
+    half-inserts shifted ids."""
+    existing = catalog.load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+        F.lit("kept").alias("provenance"),
+    )
+    imported = catalog.load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    batch = imported.select(F.col("p_partkey").alias("id")).unionByName(
+        imported.select((F.col("p_partkey") + 2000000).alias("id"))
+    )
+    batch = batch.join(
+        imported.select(
+            F.col("p_partkey").alias("src_id"),
+            F.concat(F.lit("import "), F.col("p_name")).alias("name"),
+        ),
+        (F.col("id") % 2000000) == F.col("src_id"),
+    ).select("id", "name", F.lit(0.01).alias("price"), F.lit("imported").alias("provenance"))
+    return merge_create_only(existing, batch, "id").orderBy("id")

@@ -1,0 +1,139 @@
+"""Vector / similarity query inventory (SURVEY.md §2.9, V1–V7).
+
+The query vector is the embedding of vec_id=0 — looked up driver-side
+(single-row point read, exactly what the reference does when it embeds
+the user's query string) and inlined into the plan as an array literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators import similarity as sim
+from sales_agent_graphdb_spark.registry import register
+
+# Reference constants: retriever k=5 (db_service.py:201-204), cache
+# threshold 0.85 (semantic_cache.py:35-49). The testdata embeddings are
+# random (max pairwise cosine ≈ 0.37), so the oracle-checked probe uses
+# a data-informed threshold; the operator default stays 0.85.
+K = 5
+PROBE_THRESHOLD = 0.30
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row.embedding]
+
+
+def _oracle_knn(k: int, threshold: float | None = None) -> str:
+    cos = sim.duckdb_cosine_sql("e.embedding", "q.embedding")
+    thresh = f"AND {cos} >= {threshold}" if threshold is not None else ""
+    return f"""
+    SELECT e.vec_id, {cos} AS sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 {thresh}
+    ORDER BY sim DESC, e.vec_id LIMIT {k}
+    """
+
+
+@register("v1_knn_cosine_top5", oracle=_oracle_knn(K))
+def v1_knn_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 — exact cosine k-NN, k=5 (reference db_service.py:336-358).
+    JVM-side zip_with/aggregate scoring + TakeOrderedAndProject top-k;
+    the DuckDB oracle mirrors the fold order for bit-identical sims."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return sim.knn(emb, _query_vec(spark, sf_dir), k=K, exclude_ids=[0])
+
+
+@register("v2_semantic_cache_probe", oracle=_oracle_knn(1, PROBE_THRESHOLD))
+def v2_semantic_cache_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 — thresholded top-1 semantic-cache probe (reference
+    semantic_cache.py:27-58): hit iff cosine ≥ threshold."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    top1 = sim.knn(emb, _query_vec(spark, sf_dir), k=1, exclude_ids=[0])
+    return top1.filter(F.col("sim") >= PROBE_THRESHOLD)
+
+
+@register(
+    "v3_cache_upsert",
+    oracle="""
+    SELECT vec_id, label FROM embeddings WHERE vec_id % 50 <> 0
+    UNION ALL
+    SELECT vec_id, 999 AS label FROM embeddings WHERE vec_id % 50 = 0
+    ORDER BY vec_id
+    """,
+)
+def v3_cache_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — keyed cache upsert, new wins (reference
+    semantic_cache.py:60-74 `upsert(ids=[f"cache_{hash(q)}"])`):
+    existing ⟕anti new ∪ new. The same keyed-merge pattern as G2/M2."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    new = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .select("vec_id", F.lit(999).cast("int").alias("label"))
+    )
+    merged = emb.join(new, "vec_id", "left_anti").unionByName(new)
+    return merged.orderBy("vec_id")
+
+
+@register(
+    "v6_conditional_format",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN source = 'src1'
+                THEN text || ' [engagement: ' || CAST(n_chars AS VARCHAR) || ' likes]'
+                ELSE text END AS formatted
+    FROM documents ORDER BY doc_id
+    """,
+)
+def v6_conditional_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V6 — per-source conditional metadata formatting (reference
+    db_service.py:215-234: engagement metrics appended iff
+    engagement_type == 'facebook_post')."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(
+            F.col("source") == "src1",
+            F.concat(
+                F.col("text"),
+                F.lit(" [engagement: "),
+                F.col("n_chars").cast("string"),
+                F.lit(" likes]"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("formatted"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "v4_deterministic_embed",
+    oracle="""
+    SELECT doc_id,
+           CAST((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 1000) AS DOUBLE) / 1000.0 AS e0,
+           CAST((CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT) % 1000) AS DOUBLE) / 1000.0 AS e1
+    FROM documents ORDER BY doc_id
+    """,
+)
+def v4_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — embedding computation (reference db_service.py:193 calls
+    OpenAI per chunk). The model call is pluggable; here a
+    deterministic content-hash embedding stands in (same shape:
+    text -> fixed-width float vector), computed JVM-side. The
+    pandas-UDF batch-embed path for a real model lives in
+    operators/embed.py."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+
+    def hash_dim(start: int):
+        hexpart = F.substring(F.md5(F.col("text")), start, 8)
+        return (F.conv(hexpart, 16, 10).cast("bigint") % 1000).cast("double") / 1000.0
+
+    return d.select(
+        "doc_id",
+        hash_dim(1).alias("e0"),
+        hash_dim(9).alias("e1"),
+    ).orderBy("doc_id")

@@ -1,0 +1,60 @@
+"""Semantics checks for the rows-only dedup operators: LSH recall vs
+exact Jaccard, SimHash collision behavior on planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark.queries.dedup import DUP_OFFSET, dup_corpus
+from sales_agent_graphdb_spark.operators import lsh
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    corpus = dup_corpus(spark, SF_SMALL)
+    # ground truth: exact Jaccard >= 0.5 over the same shingles
+    sh = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 4).alias("g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lsh.jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in lsh.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+    }
+    assert truth, "planted duplicates must produce ground-truth pairs"
+    # post-verification LSH can only miss (banding), never invent
+    assert found <= truth
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.95, f"LSH recall {recall:.2f} < 0.95 ({len(found)}/{len(truth)})"
+
+
+def test_simhash_exact_dups_collide(spark):
+    corpus = dup_corpus(spark, SF_SMALL)
+    pairs = lsh.simhash_near_dup_pairs(corpus, max_hamming=3).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    # the planted identical copies (doc_id in [40,60)) must collide at 0
+    exact_ids = [
+        r.doc_id
+        for r in corpus.filter(
+            (F.col("doc_id") >= 40) & (F.col("doc_id") < 60)
+        ).collect()
+    ]
+    assert exact_ids
+    for i in exact_ids:
+        assert got.get((i, i + DUP_OFFSET)) == 0, f"exact dup {i} not found at hamming 0"
+
+
+def test_simhash_is_64_bitstring(spark):
+    corpus = dup_corpus(spark, SF_SMALL).limit(10)
+    rows = corpus.select(lsh.simhash(F.col("text")).alias("sh")).collect()
+    for r in rows:
+        assert len(r.sh) == 64 and set(r.sh) <= {"0", "1"}
