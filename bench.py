@@ -26,9 +26,19 @@ from sales_agent_graphdb_spark.session import get_spark  # noqa: E402
 # inventory grows.
 HEADLINE = [
     "flagship_revenue_by_brand",
-    "p6_isin_status",
-    "set_intersect_except",
-    "o1_orderby_desc",
+    "j2_order_nest_strform",
+    "a1_order_totals",
+    "w3_topn_per_group",
+    "st_sliding_window",
+    "st_session_window",
+    "g6_fulltext_fuzzy",
+    "graph_connected_components",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "v1_knn_cosine_top5",
+    "ann_ivf_topk",
+    "text_quality_score",
+    "mm_media_features",
 ]
 
 

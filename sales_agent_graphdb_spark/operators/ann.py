@@ -1,0 +1,144 @@
+"""Approximate nearest-neighbor search over embedding columns.
+
+Exact brute-force cosine (operators/similarity.py) is the baseline and
+the rerank kernel; these are the scale paths that keep the scan off
+the full corpus at 100 TB:
+
+- **Random-hyperplane LSH** (SimHash for vectors): b sign-bits of
+  projections per table, T independent tables. A vector lands in one
+  bucket per table; the query probes its own T buckets and reranks
+  only the union. At scale the signature columns are precomputed at
+  ingest and the probe is a partition-pruned equi-join on bucket ids
+  (bucketed/clustered by signature), never a scan.
+- **IVF** (inverted-file index): coarse centroids partition the corpus
+  (Voronoi cells); each vector stores its cell id; the query probes
+  the ``n_probe`` nearest cells. Cell id is the natural partition
+  column at 100 TB, so probing = partition pruning. Centroids here are
+  taken deterministically from the corpus (first ``n_cells`` by id) —
+  production would run k-means; the operator only needs *some* fixed
+  centroid set.
+
+All scoring is JVM-side (zip_with/aggregate folds, no Python); the
+hyperplanes/centroids are inlined as array literals into the plan
+(tiny: T·b·dim doubles), the distributed analogue of a broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark.operators.similarity import cosine, dot, lit_vector
+
+SEED = 42
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic standard-normal hyperplanes, shape (T, b, dim)."""
+    rng = np.random.RandomState(SEED)
+    return rng.standard_normal((n_tables, n_planes, dim))
+
+
+def _bucket_col(vec: Column, planes: np.ndarray) -> Column:
+    """Bucket id for one table: b sign bits packed into a long."""
+    bits = [
+        (dot(vec, lit_vector(p)) > 0).cast("long") * (1 << j)
+        for j, p in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def hyperplane_lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: candidates = rows sharing the
+    query's bucket in ANY of the T tables; rerank = exact cosine.
+    Collision probability per table is (1 - θ/π)^b — more tables raise
+    recall, more planes shrink candidate sets. Defaults are tuned for
+    near-orthogonal corpora (θ≈72°, p≈0.6/plane): b=4, T=8 gives
+    ~0.66 recall per true neighbor at ~50% candidate fraction. Clustered
+    real-world embeddings (θ small for true neighbors) support much
+    larger b with high recall — tune b to the neighbor angle, T to the
+    recall target."""
+    dim = len(query_vec)
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    q = np.asarray(query_vec)
+    q_buckets = [
+        int(sum(int(p @ q > 0) << j for j, p in enumerate(planes[t])))
+        for t in range(n_tables)
+    ]
+    v = F.col(vec_col)
+    match_any = None
+    for t in range(n_tables):
+        cond = _bucket_col(v, planes[t]) == F.lit(q_buckets[t])
+        match_any = cond if match_any is None else (match_any | cond)
+    candidates = embeddings.filter(match_any)
+    scored = candidates.select(
+        F.col(id_col), cosine(v, lit_vector(query_vec)).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cell`` column = argmax-dot centroid (ties → lowest id).
+    One codegen'd projection; at ingest time this is the partition
+    column writers cluster by."""
+    v = F.col(vec_col)
+    scores = F.array(
+        *[
+            F.struct(
+                dot(v, lit_vector(c)).alias("s"), F.lit(-i).alias("negi")
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    # array_max on struct(s, negi): max dot, ties to the lowest index.
+    return embeddings.withColumn("cell", -F.array_max(scores)["negi"])
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign cells, probe the n_probe cells
+    whose centroids are nearest the query, rerank exact. The cell
+    filter is the partition-pruning surrogate — at scale it prunes
+    (n_cells - n_probe)/n_cells of the corpus before any scoring."""
+    cents = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    q = np.asarray(query_vec)
+    probe = np.argsort(-(cents @ q))[:n_probe].tolist()
+    assigned = ivf_assign(embeddings, cents, vec_col)
+    scored = assigned.filter(F.col("cell").isin(probe)).select(
+        F.col(id_col), cosine(F.col(vec_col), lit_vector(query_vec)).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def _ivf_centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """First n_cells vectors by id as centroids (deterministic stand-in
+    for k-means; one tiny point-read, cached by parquet footer stats)."""
+    rows = (
+        embeddings.orderBy(id_col).select(vec_col).limit(n_cells).collect()
+    )
+    return np.array([[float(x) for x in r[0]] for r in rows])

@@ -20,12 +20,53 @@ def normalized(c: Column) -> Column:
 
 def char_shingles(c: Column, k: int = 4) -> Column:
     """Distinct k-char shingles of a normalized text column
-    (array<string>), built with sequence→transform — no explode yet, so
-    the set stays row-local until the join needs it."""
+    (array<string>), built with sequence→transform — no explode, the
+    set stays row-local.
+
+    NOTE (hot-path caveat): ``norm`` is an expression INSIDE the
+    lambda, so it re-evaluates (regex over the full text) once per
+    shingle position — fine for small/candidate sets, ruinous for a
+    full-corpus scan (~300 regex evals per row). Bulk paths must use
+    ``shingle_tokens``/``shingle_sets`` below, which materialize the
+    normalization once per row behind a Generate barrier."""
     norm = normalized(c)
     n_pos = F.greatest(F.length(norm) - (k - 1), F.lit(1))
     return F.array_distinct(
         F.transform(F.sequence(F.lit(1), n_pos), lambda p: norm.substr(p, F.lit(k)))
+    )
+
+
+def shingle_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """(id, g) — one row per k-shingle occurrence. The normalization
+    projects in its own Project node and the position expansion is a
+    Generate (explode), so the regex runs once per document and the
+    per-position substr reads a materialized attribute. This is the
+    bulk shingling path (and already the shape MinHash aggregation
+    wants)."""
+    normed = df.select(
+        F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("norm")
+    )
+    pos = normed.select(
+        "id",
+        "norm",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("norm") - (k - 1), F.lit(1)))
+        ).alias("p"),
+    )
+    return pos.select("id", F.col("norm").substr(F.col("p"), F.lit(k)).alias("g"))
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+) -> DataFrame:
+    """(id, sh: array<string>) distinct shingle sets via the bulk path
+    (explode → collect_set)."""
+    return (
+        shingle_tokens(df, text_col, id_col, k)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
     )
 
 
@@ -70,45 +111,120 @@ def minhash_lsh_pairs(
     shingle_k: int = 4,
     jaccard_threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs: shingle → signature → band buckets →
-    bucket equi-join (candidates) → exact-Jaccard verify. Returns
-    (id_a, id_b, jaccard_sim) with id_a < id_b.
+    """MinHash+LSH near-dup pairs as a 3-stage cascade: (1) band-bucket
+    equi-join over skinny (id, band, bucket) rows → candidates; (2)
+    signature-agreement estimate filter (32 long equalities/pair) →
+    survivors; (3) exact-Jaccard verify over hashed shingle sets.
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b; jaccard is
+    computed on xxhash64'd shingles (collision probability ~2^-64).
 
-    Scale notes: the only shuffle is the candidate equi-join on
-    (band, bucket) — short keys, heavily combinable; the shingle sets
-    ride along only for verification. At 100 TB you'd hash-partition by
-    bucket and salt hot buckets (boilerplate text); AQE skew-join
-    covers moderate skew here."""
+    Scale notes: signatures come from an explode → 32-partial-min
+    aggregation (one narrow shuffle, map-side combinable); no payload
+    rides the candidate join; each cascade stage cuts the pair count
+    ~10-100× before the next pays more per pair. At 100 TB you'd
+    hash-partition by bucket and salt hot buckets (boilerplate text);
+    AQE skew-join covers moderate skew here."""
     rows_per_band = n_hashes // n_bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        char_shingles(F.col(text_col), shingle_k).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
-    banded = base.select(
+    # Signature via explode → n_hashes partial-min aggregates: one
+    # narrow shuffle of (id, 32 longs); duplicates among shingles
+    # don't change the min, so no array_distinct on the hot path.
+    # (A single nested-HOF expression would be re-inlined by
+    # CollapseProject and re-evaluate the shingle array once per
+    # seed — O(seeds · |shingles|²) interpreted work per row.)
+    tokens = shingle_tokens(df, text_col, id_col, shingle_k)
+    hashed = tokens.select(
+        "id", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    # Band buckets: hash of each band's signature slice; skinny rows
+    # (id, band, bucket) only — no payload rides the shuffle.
+    banded = sig.select(
         "id",
-        "shingles",
-        F.explode(minhash_bands(F.col("sig"), n_bands, rows_per_band)).alias("bb"),
-    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(
-            right,
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Cascade stage 2 — signature-agreement estimate (E[matches/n] =
+    # Jaccard): 32 long equalities per pair vs an array intersect, so
+    # the dense sub-threshold candidate mass (vocab overlap) is pruned
+    # ~100× cheaper than exact verification. The 0.1 margin keeps
+    # borderline true pairs: P(est < θ-0.1 | j=θ) ≈ 11% at n=32 — a
+    # small recall cost confined to pairs already at the threshold
+    # edge (banding itself recalls only ~40% there).
+    est_threshold = max(jaccard_threshold - 0.1, 0.0)
+    sa = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    agree = None
+    for i in range(n_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    survivors = (
+        cand.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter((agree / float(n_hashes)) >= est_threshold)
+        .select("id_a", "id_b")
+    )
+    # Cascade stage 3 — exact-Jaccard verify on survivors only, over
+    # HASHED shingle sets (long compares, not 4-char strings); one
+    # intersect per pair, union size derived from set sizes.
+    cand_ids = (
+        survivors.select(F.col("id_a").alias("cid"))
+        .unionByName(survivors.select(F.col("id_b").alias("cid")))
+        .distinct()
+    )
+    pruned = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
+    sh = (
+        shingle_tokens(pruned, text_col, id_col, shingle_k)
+        .groupBy("id")
+        .agg(F.collect_set(F.xxhash64("g")).alias("sh"))
+        .withColumn("n", F.size("sh"))
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
-        cand.withColumn("jaccard_sim", jaccard(F.col("sh_a"), F.col("sh_b")))
+        survivors.join(
+            sh.select(
+                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+            ),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", inter / (F.col("na") + F.col("nb") - inter))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )
@@ -152,6 +268,38 @@ def hamming_bits(a: Column, b: Column) -> Column:
     )
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """(id, sh bitstring) via the bulk path: explode word tokens, hash
+    each ONCE, then n_bits signed-count aggregates (map-side partial).
+    The expression form ``simhash`` re-evaluates the whole token-hash
+    chain per bit (64× per row) — this shape hashes once per token and
+    shuffles only (id, 64 longs)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t")
+    )
+    hashed = toks.select("id", F.xxhash64("t").alias("h"))
+    # MSB-first to match simhash()'s bin()-string convention.
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), 63 - j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_bits)
+        ]
+    )
+    return sums.select("id", sig.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -161,7 +309,7 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs with hamming ≤ max_hamming, candidates
     via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits leave ≥1
     of 4 chunks identical)."""
-    base = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    base = simhash_signatures(df, text_col, id_col)
     banded = base.select(
         "id",
         "sh",

@@ -3,13 +3,19 @@ every query into sales_agent_graphdb_spark.registry."""
 
 from sales_agent_graphdb_spark.queries import (  # noqa: F401
     aggregates,
+    ann_search,
     dedup,
     event_windows,
     graphq,
+    ingestion,
     joins,
+    multimodal_q,
     mutations,
+    plans_nl,
     relational,
     scalar_fns,
+    sources_io,
+    streaming_exec,
     text,
     vector,
     windows,

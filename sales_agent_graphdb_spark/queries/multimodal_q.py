@@ -1,0 +1,89 @@
+"""Multimodal + batch-embed queries. The binary payloads are
+deterministic (utf-8 of document text), so even the mapInPandas
+feature/frame stages are fully oracle-checked in DuckDB via md5/length
+arithmetic — the checks cover the Arrow batch plumbing end-to-end, not
+just the stub.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators import embed
+from sales_agent_graphdb_spark.registry import register
+from sales_agent_graphdb_spark.sources import multimodal
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.synthesize_media(
+        catalog.load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "mm_media_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(md5(text), 1, 16) AS sig,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via mapInPandas (Arrow batches
+    of payload bytes → per-row features). The md5 signature must
+    survive Spark→Arrow→pandas→Arrow→Spark byte-exactly."""
+    return multimodal.media_features(_media(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    WITH nb AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT doc_id, n,
+             unnest(range(0, greatest(CAST(ceil(n / 256.0) AS BIGINT), 1))) AS fno
+      FROM nb)
+    SELECT doc_id, CAST(fno AS INT) AS frame_no,
+           CAST(least(256, n - fno * 256) AS INT) AS frame_len
+    FROM f ORDER BY doc_id, frame_no
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per 256-byte frame of each payload —
+    the explode-shaped plumbing a video pipeline needs (frame_sig
+    dropped here: DuckDB md5 over binary slices of multi-byte text
+    isn't worth the oracle contortion; pytest covers it)."""
+    return (
+        multimodal.frame_sample(_media(spark, sf_dir))
+        .select("doc_id", "frame_no", "frame_len")
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@register(
+    "v4b_batch_embed_pandas",
+    oracle=f"""
+    SELECT doc_id,
+           {embed.duckdb_embed_dim_sql("text", 0)} AS e0,
+           {embed.duckdb_embed_dim_sql("text", 3)} AS e3
+    FROM documents ORDER BY doc_id
+    """,
+)
+def v4b_batch_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V4 — the Arrow-batched pandas-UDF embed path (swap the hash
+    embedder for a model client per batch; plan unchanged). Dims 0 and
+    3 of the 4-dim vector are oracle-checked element-wise."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    vec = embed.embed_col(F.col("text"), dim=4)
+    return d.select(
+        "doc_id",
+        vec.getItem(0).alias("e0"),
+        vec.getItem(3).alias("e3"),
+    ).orderBy("doc_id")

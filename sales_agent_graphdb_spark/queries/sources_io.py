@@ -1,0 +1,123 @@
+"""Source/sink roundtrip queries (SURVEY.md §2.1, S1–S4).
+
+Each query derives a deterministic dataset from the parquet testdata,
+writes it through a sink connector, reads it back through the matching
+source connector (dialect translation included), and returns the
+normalized rows — so the DuckDB oracle, written over the original
+parquet views, passes only if schema mapping, typing, and value
+fidelity survive the full write→read cycle. Scratch files live under
+``/root/repo/.scratch`` (gitignored).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.registry import register
+from sales_agent_graphdb_spark.sources import connectors
+
+SCRATCH = "/root/repo/.scratch"
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(SCRATCH, tag, name)
+
+
+@register(
+    "s1_s2_csv_roundtrip_scraper_dialect",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR) AS sku, p_name AS name,
+           p_brand AS category, p_retailprice AS price
+    FROM part WHERE p_partkey <= 200
+    ORDER BY CAST(sku AS BIGINT)
+    """,
+)
+def s1_s2_csv_roundtrip_scraper_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 — products → scraper-dialect CSV sink → scraper-dialect
+    source (rename map ``product_name/category_name/url`` →
+    ``name/category/product_url``, the dual-dialect surface at
+    reference product_scraper.py:223 vs seed_products.py:30-34).
+    Doubles survive bit-exactly: the CSV writer emits shortest
+    round-trip decimal strings."""
+    prods = catalog.products(spark, sf_dir).filter(F.col("id") <= 200).select(
+        "id",
+        "sku",
+        "name",
+        "category",
+        "description",
+        "price",
+        "stock_quantity",
+        F.lit(None).cast("string").alias("image_url"),
+        F.concat(F.lit("https://x.test/p/"), F.col("sku")).alias("product_url"),
+    )
+    path = _scratch(sf_dir, "csv_scraper")
+    connectors.write_scraper_csv(prods, path)
+    back = connectors.read_scraper_csv(spark, path)
+    return back.select("sku", "name", "category", "price").orderBy(
+        F.col("sku").cast("bigint")
+    )
+
+
+@register(
+    "s1_s2_csv_roundtrip_golden_dialect",
+    oracle="""
+    SELECT p_partkey AS id, CAST(p_partkey AS VARCHAR) AS sku, p_name AS name,
+           p_retailprice AS price, p_size AS stock_quantity
+    FROM part WHERE p_partkey <= 200
+    ORDER BY id
+    """,
+)
+def s1_s2_csv_roundtrip_golden_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2 — golden-copy CSV dialect roundtrip (the products.csv
+    header read by neo4j_service.py:135-140), typed schema-on-read
+    (id long, price double, stock int — reference casts at
+    neo4j_service.py:123,274 happen here in the schema instead)."""
+    prods = catalog.products(spark, sf_dir).filter(F.col("id") <= 200).select(
+        "id",
+        "sku",
+        "name",
+        "category",
+        "description",
+        "price",
+        "stock_quantity",
+        F.lit(None).cast("string").alias("image_url"),
+        F.lit(None).cast("string").alias("product_url"),
+    )
+    path = _scratch(sf_dir, "csv_golden")
+    connectors.write_products_csv(prods, path)
+    back = connectors.read_products_csv(spark, path)
+    return back.select("id", "sku", "name", "price", "stock_quantity").orderBy("id")
+
+
+@register(
+    "s3_s4_json_envelope_roundtrip",
+    oracle="""
+    SELECT 'post_' || CAST(doc_id AS VARCHAR) AS post_id, text, source,
+           CAST(n_chars AS BIGINT) AS likes_count
+    FROM documents WHERE doc_id < 100
+    ORDER BY CAST(doc_id AS BIGINT)
+    """,
+)
+def s3_s4_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 — documents → scraper-envelope JSON sink → envelope source
+    (unwrap ``data`` + explode, db_service.py:413-416). The envelope
+    fields (timestamp/source_url/posts_scraped) are written and then
+    stripped by the unwrap, exactly like the reference's
+    ``obj.get("data", [])``."""
+    posts = catalog.load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).select(
+        F.concat(F.lit("post_"), F.col("doc_id").cast("string")).alias("post_id"),
+        "text",
+        "source",
+        F.col("n_chars").cast("long").alias("likes_count"),
+    )
+    path = _scratch(sf_dir, "json_envelope")
+    connectors.write_scraper_json(posts, path, source_url="https://x.test/feed")
+    back = connectors.read_scraper_json(spark, path)
+    return back.orderBy(F.regexp_extract("post_id", r"(\d+)", 1).cast("bigint"))

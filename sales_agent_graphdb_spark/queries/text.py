@@ -54,6 +54,31 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]{1,3}| ?[^A-Za-z0-9\s]+|\s+"
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS INT) AS n_bpe_pieces,
+           CAST(ceil(length(text) / 4.0) AS INT) AS n_chars_div4
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (space-prefixed letter runs / short digit runs / punctuation runs /
+    whitespace) counts merge-candidate pieces, plus the crude chars/4
+    estimate — both pure JVM regex, no tokenizer library."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)).alias("n_bpe_pieces"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_chars_div4"),
+    ).orderBy("doc_id")
+
+
 @register(
     "text_quality_score",
     oracle="""

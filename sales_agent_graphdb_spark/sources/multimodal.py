@@ -1,0 +1,136 @@
+"""Multimodal column surface: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The decode step (real JPEG/WAV/MP4 parsing) is STUBBED — the image/
+audio libraries are not in this container — behind ``decode_media``,
+which raises ``NotImplementedError`` unless PIL/soundfile are
+importable. Everything Spark-side is real and tested: the schema, the
+``mapInPandas`` batch shape (iterator of record batches, bounded
+memory), the feature/frame-sample plumbing, and the deterministic
+fake decode used by the oracle-checked queries.
+
+Scale design: binary payloads dominate row size, so media tables are
+stored with the binary column LAST in the schema and read with column
+pruning — metadata-only queries never touch the bytes; payload stages
+cap ``spark.sql.files.maxPartitionBytes`` so one task's Arrow batches
+(payload × rows-per-batch) fit executor memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("media_type", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+        T.StructField("payload", T.BinaryType()),  # binary LAST: prune-friendly
+    ]
+)
+
+FRAME_BYTES = 256  # fake "frame" stride for the sampler
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """documents → media rows: payload = utf-8 bytes of the text
+    (deterministic fake media), typed metadata derived from doc
+    fields. Pure column expressions — the shape real ingestion
+    produces when landing scraped media (SURVEY.md S7/S8)."""
+    mt = (
+        F.when(F.col("doc_id") % 3 == 0, "image/jpeg")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    return docs.select(
+        "doc_id",
+        F.struct(
+            mt.alias("media_type"),
+            (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+            (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+            (F.col("n_chars") * 40).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def decode_media(payload: bytes, media_type: str):
+    """Real decode — STUB. Raises unless a decoder library is present
+    (none are in this container; the Spark-side plumbing above/below
+    is what this engine owns)."""
+    if media_type.startswith("image/"):
+        try:
+            import io
+
+            from PIL import Image  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError("image decode requires PIL") from e
+        return Image.open(io.BytesIO(payload))
+    raise NotImplementedError(f"no decoder for {media_type}")
+
+
+FEATURES_SCHEMA = "doc_id long, n_bytes long, sig string, media_type string"
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas:
+    deterministic features (byte length + md5 signature) stand in for
+    the embedding a real vision/audio model would emit. Arrow moves
+    the binary batches; pandas processes them vectorized; the iterator
+    contract keeps memory bounded per batch."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "sig": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()[:16]
+                    ),
+                    "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_no int, frame_len int, frame_sig string"
+
+
+def frame_sample(media: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampler: split each payload into fixed-stride 'frames'
+    (the plumbing a video frame-sampler needs — per-frame rows with
+    bounded batches; the codec is the stubbed part)."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, lens, sigs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                for i in range(0, max(len(b), 1), stride):
+                    chunk = b[i : i + stride]
+                    ids.append(doc_id)
+                    nos.append(i // stride)
+                    lens.append(len(chunk))
+                    sigs.append(hashlib.md5(chunk).hexdigest()[:16])
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame_len": lens, "frame_sig": sigs}
+            )
+
+    return media.mapInPandas(frames, schema=FRAMES_SCHEMA)

@@ -1,0 +1,182 @@
+"""Structured Streaming pipelines over the events table.
+
+The reference has no data streaming (SURVEY.md §2.12 — its SSE chat is
+token transport; Redis TTL is its only time-based semantics). The
+events table is the designated extension surface: here the SAME window
+expressions used by the batch queries in ``queries/event_windows.py``
+run as real ``readStream`` pipelines — file source over the testdata
+parquet, event-time watermark, windowed aggregation, memory sink,
+``availableNow`` trigger so a bounded run drains the source and
+terminates. Batch/stream parity is the correctness claim: the driver
+oracle-checks the streamed result against the same DuckDB SQL as the
+batch form.
+
+Scale design: in production the source is a real log stream (Kafka/
+files on object storage); state lives in the state store partitioned
+by grouping key, so 1000 executors shard windows by (window, key)
+hash. ``availableNow`` is also the production backfill path — the same
+pipeline replays history with bounded per-batch file counts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+SCRATCH = "/root/repo/.scratch/streaming"
+
+# events schema as written (ts is TIMESTAMP(NANOS) => long ns with
+# nanosAsLong; see catalog.load_table).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded source: file-stream over the testdata
+    parquet (schema pinned — streaming sources never infer), nanos→µs
+    timestamp conversion identical to the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{sf_dir}/events.[p]arquet")  # glob => file-source basePath is the dir
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream: DataFrame, mode: str) -> DataFrame:
+    """Execute a bounded streaming query into a memory sink and return
+    the result table. Checkpoint + sink name are per-run unique."""
+    run_id = uuid.uuid4().hex[:12]
+    ckpt = os.path.join(SCRATCH, f"ckpt_{run_id}")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(f"sink_{run_id}")
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = stream.sparkSession.table(f"sink_{run_id}")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event_type — the
+    streaming twin of queries/event_windows.st_tumbling_window (same
+    window expression, same exact-DECIMAL sums). Complete output mode
+    so the bounded run emits every window including those still inside
+    the watermark when the source drains."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user session aggregation via
+# applyInPandasWithState (SURVEY.md §2.12 "custom stateful operators").
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800  # 30 min, the reference's session-ish constant
+
+_STATE_SCHEMA = "last_ts long, session_start long, n long, total double"
+_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, n_events long, total_value double"
+)
+
+
+def _make_session_fn(gap_s: int):
+    """Build the per-group stateful function as a self-contained
+    closure: cloudpickle serializes it by VALUE (a nested function
+    referencing only pandas and the captured gap), so executors that
+    don't have this package on their python path can still deserialize
+    it — the driver contract imports us from an arbitrary cwd."""
+    import pandas as _pd
+
+    def session_fn(key, pdf_iter, state):
+        """Flush completed sessions for one user; keep the open session
+        in state. Event-time sessionization with an inactivity gap —
+        the applyInPandasWithState form of F.session_window,
+        demonstrating arbitrary stateful logic (the built-in covers
+        this case; the pattern covers ones it can't)."""
+        (user_id,) = key
+        rows = _pd.concat(list(pdf_iter)).sort_values("ts_us")
+        if state.exists:
+            last_ts, start, n, total = state.get
+        else:
+            last_ts, start, n, total = None, None, 0, 0.0
+        out = []
+        for ts_us, value in zip(rows["ts_us"], rows["value"]):
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us - last_ts > gap_s * 1_000_000:
+                out.append((user_id, start, n, total))
+                start, n, total = ts_us, 1, float(value)
+            else:
+                start = ts_us if start is None else start
+                n += 1
+                total += float(value)
+            last_ts = ts_us
+        state.update((last_ts, start, n, total))
+        # A real stream would flush on timeout; the bounded driver
+        # flushes terminal state via the batch fallback below.
+        if out:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [_pd.Timestamp(o[1], unit="us") for o in out],
+                    "n_events": [o[2] for o in out],
+                    "total_value": [o[3] for o in out],
+                }
+            )
+
+    return session_fn
+
+
+def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completed (flushed) sessions per user from the stateful
+    operator. Terminal open sessions remain in state — asserted against
+    the batch session_window in tests (every flushed session must match
+    a batch session exactly)."""
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "value",
+    )
+    result = events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(SESSION_GAP_S),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "append")
+    return out.orderBy("user_id", "session_start")

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: schema, decode stub, frame signatures."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.sources import multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+def _media(spark):
+    return multimodal.synthesize_media(catalog.load_table(spark, SF, "documents"))
+
+
+def test_media_schema_binary_last(spark):
+    m = _media(spark)
+    assert m.schema.fields[-1].dataType.typeName() == "binary"
+    meta = dict(m.select("meta.*").dtypes)
+    assert meta == {
+        "media_type": "string",
+        "width": "int",
+        "height": "int",
+        "duration_ms": "bigint",
+    }
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x00\x01", "video/mp4")
+
+
+def test_frame_sigs_match_local_hash(spark):
+    m = _media(spark).limit(5)
+    src = {r.doc_id: bytes(r.payload) for r in m.collect()}
+    for r in multimodal.frame_sample(m).collect():
+        b = src[r.doc_id][r.frame_no * 256 : r.frame_no * 256 + 256]
+        assert r.frame_len == len(b)
+        assert r.frame_sig == hashlib.md5(b).hexdigest()[:16]
+
+
+def test_features_roundtrip_bytes_exactly(spark):
+    m = _media(spark).limit(20)
+    feats = {r.doc_id: r for r in multimodal.media_features(m).collect()}
+    for r in m.collect():
+        f = feats[r.doc_id]
+        assert f.n_bytes == len(bytes(r.payload))
+        assert f.sig == hashlib.md5(bytes(r.payload)).hexdigest()[:16]
+        assert f.media_type == r.meta.media_type
