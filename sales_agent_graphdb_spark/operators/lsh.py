@@ -138,6 +138,10 @@ def minhash_lsh_pairs(
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
     )
+    # sig feeds three consumers (banding + both sides of the estimate
+    # join); cut lineage so the token→hash→min pipeline runs once, not
+    # three times. Lazy local checkpoint: materializes on first action.
+    sig = sig.localCheckpoint(eager=False)
     # Band buckets: hash of each band's signature slice; skinny rows
     # (id, band, bucket) only — no payload rides the shuffle.
     banded = sig.select(

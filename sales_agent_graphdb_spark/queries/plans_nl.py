@@ -110,6 +110,70 @@ def nl2plan_fuzzy_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agent_turn_check_order",
+    oracle="""
+    SELECT o.o_orderkey AS id,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           format('{:,}', CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100)
+             || '.' ||
+             lpad(CAST(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+             AS total_str,
+           string_agg(
+             format('{:d}x {:s}', CAST(l.l_quantity AS INT), p.p_name),
+             ', ' ORDER BY l.l_linenumber, CAST(l.l_quantity AS INT), p.p_name) AS items_str
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE o.o_custkey = 7
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY order_date DESC, id
+    """,
+)
+def agent_turn_check_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 end-to-end slice — a full agent turn for the
+    check_order_status route: deterministic router dispatch, then the
+    reference's check_order node (agent_graph.py:320-372: user's
+    orders newest-first, per-item product-name lookup joins, '2x NAME'
+    string agg, strftime date + :,.2f money formatting). The N+1
+    loop becomes two joins (items shuffle on order key, part dim
+    broadcast) + one groupBy."""
+    assert router.route("what is my order status") == "check_order_status"
+    uid = 7
+    o = catalog.load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") == uid)
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("o_orderkey").alias("id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.format_number(F.col("o_totalprice").cast("decimal(18,2)"), 2).alias(
+                "total_str"
+            ),
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "l_linenumber",
+                                F.col("l_quantity").cast("int").alias("l_quantity"),
+                                "p_name",
+                            )
+                        )
+                    ),
+                    lambda s: F.format_string("%dx %s", s.l_quantity, s.p_name),
+                ),
+                ", ",
+            ).alias("items_str")
+        )
+        .orderBy(F.col("order_date").desc(), "id")
+    )
+
+
+@register(
     "nl2plan_broad_scan",
     oracle="""
     SELECT CAST(p_partkey AS VARCHAR) AS sku, p_name AS name,
