@@ -39,8 +39,13 @@ def connected_components(
     """Min-label propagation: component(v) = min vertex label reachable.
     Returns (id, component). Each iteration is one shuffle (groupBy id);
     the loop stops when no label changes."""
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Checkpoint the symmetric edge list ONCE — every iteration joins
+    # against it, and without the checkpoint each iteration re-scans
+    # the source (parquet + projections) from the start of lineage.
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("id"))
@@ -49,7 +54,10 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        # neighbor minimum, then take min(own, neighbors')
+        # neighbor minimum, then take min(own, neighbors'). The changed
+        # flag is computed in the same pass and materialized with the
+        # labels, so convergence detection is a cheap scan of the
+        # checkpointed partitions — not a second join job per iteration.
         neigh = (
             sym.join(labels, sym.b == labels.id)
             .groupBy(F.col("a").alias("id"))
@@ -61,18 +69,16 @@ def connected_components(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("neigh_min", F.col("component"))
-                ).alias("component"),
+                ).alias("new_component"),
+                (F.coalesce(F.col("neigh_min") < F.col("component"), F.lit(False))).alias(
+                    "chg"
+                ),
             )
+            .withColumnRenamed("new_component", "component")
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

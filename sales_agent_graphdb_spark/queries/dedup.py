@@ -119,7 +119,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs and zero false positives post-verification."""
     corpus = dup_corpus(spark, sf_dir)
     return lsh.minhash_lsh_pairs(
-        corpus, n_hashes=32, n_bands=8, shingle_k=4, jaccard_threshold=0.5
+        corpus,
+        n_hashes=32,
+        n_bands=8,
+        shingle_k=4,
+        jaccard_threshold=0.5,
+        max_bucket_size=128,
     ).orderBy("id_a", "id_b")
 
 
