@@ -29,6 +29,8 @@ HEADLINE = [
     "j2_order_nest_strform",
     "a1_order_totals",
     "w3_topn_per_group",
+    "asof_join_last_purchase",
+    "pct_exact_disc",
     "st_sliding_window",
     "st_session_window",
     "g6_fulltext_fuzzy",

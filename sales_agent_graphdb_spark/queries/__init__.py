@@ -16,6 +16,7 @@ from sales_agent_graphdb_spark.queries import (  # noqa: F401
     scalar_fns,
     sources_io,
     streaming_exec,
+    temporal,
     text,
     vector,
     windows,

@@ -1,0 +1,215 @@
+"""Temporal / range join extensions over the events table.
+
+SURVEY.md §2.3 records that the reference has *no* theta/range/as-of
+joins anywhere ("absent — extension surface only"); these are the
+operators an event/training-data pipeline needs at 100 TB, expressed
+Spark-first:
+
+- **as-of join** — Spark has no ASOF JOIN operator; the scalable
+  re-expression is the union-tag-window form: tag both sides, union,
+  and carry the last left-side row forward with
+  ``last(..., ignorenulls=True)`` over a (key, time)-ordered window.
+  ONE shuffle on the key, state bounded by one row per key — vs a
+  per-pair range join that explodes quadratically per key.
+- **banded range join** — small band dimension broadcast against the
+  fact with a non-equi predicate (BroadcastNestedLoopJoin); each fact
+  partition streams once. For uniform grids the arithmetic equi form
+  (bucket = floor(value/width)) is preferred; for big×big range joins,
+  pre-bucket both sides on a coarse grid and refine inside the bucket.
+- **exact discrete percentile** — position-pick via row_number per
+  group: deterministic and oracle-exact (it returns an actual element,
+  no interpolation arithmetic to drift between engines). The window
+  sort shards by group; for the 100 TB form use the approx sketch
+  variant below (`pct_approx_value`, t-digest-style).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.registry import register
+
+VAL = "decimal(20,6)"
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS side, value FROM events
+      WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS side, CAST(NULL AS DOUBLE) AS value
+      FROM events WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_ts,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase_value
+      FROM u
+    )
+    SELECT event_id, user_id, ts, last_purchase_ts, last_purchase_value
+    FROM w WHERE side = 1 ORDER BY event_id
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event picks up the most recent purchase
+    (ts ≤ click ts, same-instant purchase counts) by the same user.
+    Union-tag-window form: one shuffle on user_id, O(1) carried state
+    per key — no per-pair range explosion. Ties are totally ordered by
+    (ts, side, event_id), so the result is deterministic."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side"), "value"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_p = F.col("side") == 0
+    return (
+        p.unionByName(c)
+        .withColumn(
+            "last_purchase_ts",
+            F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "last_purchase_value",
+            F.last(F.when(is_p, F.col("value")), ignorenulls=True).over(w),
+        )
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", "ts", "last_purchase_ts", "last_purchase_value")
+        .orderBy("event_id")
+    )
+
+
+_BANDS = [
+    ("micro", 0.0, 1.0),
+    ("small", 1.0, 10.0),
+    ("mid", 10.0, 50.0),
+    ("large", 50.0, 200.0),
+    ("huge", 200.0, 1000.0),
+]
+
+_BANDS_VALUES = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register(
+    "range_join_value_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT band, CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band, b.lo, b.hi ORDER BY b.lo
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events joined to a non-uniform band dimension
+    on lo ≤ value < hi, aggregated per band. The band side is broadcast
+    (BroadcastNestedLoopJoin over 5 rows — each fact partition streams
+    once, no shuffle before the partial agg). Sums go through exact
+    DECIMAL so partition order can't skew the double."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .orderBy("lo")
+    )
+
+
+@register(
+    "pct_exact_disc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, MAX(n) AS n_events,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 0.5) AS BIGINT) THEN value END) AS p50,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT) THEN value END) AS p90,
+           MIN(CASE WHEN rn = CAST(CEIL(n * 0.99) AS BIGINT) THEN value END) AS p99
+    FROM r GROUP BY event_type ORDER BY event_type
+    """,
+)
+def pct_exact_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 of event value per type)
+    by position-pick: rank within group, select the element at
+    ceil(p·n). Returns actual data values — bit-exact across engines,
+    unlike interpolated percentile_cont. Per-group window sort shards
+    by event_type; see pct_approx_value for the sketch-based 100 TB
+    form."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    wr = W.partitionBy("event_type").orderBy("value", "event_id")
+    wn = W.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float, alias: str):
+        pos = F.ceil(F.col("n") * F.lit(p)).cast("long")
+        return F.min(F.when(F.col("rn") == pos, F.col("value"))).alias(alias)
+
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            pick(0.5, "p50"),
+            pick(0.9, "p90"),
+            pick(0.99, "p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("pct_approx_value", oracle=None)
+def pct_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's built-in sketch
+    (approx_percentile, Greenwald-Khanna): map-side partial sketches
+    merge associatively — no global sort, no single-partition window.
+    This is the 100 TB path that pct_exact_disc and w5_ntile_buckets
+    degrade to; rows-only (the sketch is engine-specific), accuracy
+    pinned against pct_exact_disc in tests/test_semantics.py."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    pct = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    return (
+        e.groupBy("event_type")
+        .agg(pct.alias("pcts"))
+        .select(
+            "event_type",
+            F.col("pcts")[0].alias("p50"),
+            F.col("pcts")[1].alias("p90"),
+            F.col("pcts")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )

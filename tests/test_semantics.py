@@ -62,3 +62,21 @@ def test_multistage_exact_beats_substring(spark):
     assert rows3 and all(r.match_stage == 3 for r in rows3)
     # no stage matches => empty
     assert matcher.multistage_match(p, "zzqx", name_col="name").count() == 0
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """pct_approx_value (sketch, the 100 TB path) must stay within the
+    inter-percentile spread of pct_exact_disc per event type."""
+    from sales_agent_graphdb_spark.registry import all_queries
+
+    qs = all_queries()
+    exact = {r.event_type: r for r in qs["pct_exact_disc"].fn(spark, SF).collect()}
+    approx = {r.event_type: r for r in qs["pct_approx_value"].fn(spark, SF).collect()}
+    assert set(exact) == set(approx) and exact
+    for t, e in exact.items():
+        a = approx[t]
+        spread = max(e.p99 - e.p50, 1.0)
+        for q in ("p50", "p90", "p99"):
+            assert abs(getattr(a, q) - getattr(e, q)) <= 0.05 * spread, (
+                f"{t}.{q}: approx {getattr(a, q)} vs exact {getattr(e, q)}"
+            )
