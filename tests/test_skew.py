@@ -1,0 +1,64 @@
+"""salted_join must be result-identical to the plain join (salting
+only redistributes rows) — checked on a deliberately skewed fact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators.skew import salted_join
+from tests.conftest import SF_SMALL
+
+
+def _skewed_fact(spark):
+    """lineitem with 90% of rows collapsed onto one hot part key."""
+    li = catalog.load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+    )
+    return li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(F.col("l_partkey")),
+    )
+
+
+def test_salted_join_matches_plain(spark):
+    fact = _skewed_fact(spark)
+    dim = catalog.load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+    plain = (
+        fact.join(dim, fact.l_partkey == dim.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    salted = (
+        salted_join(
+            fact.withColumnRenamed("l_partkey", "p_partkey"), dim, "p_partkey", n_salts=4
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    assert {tuple(r) for r in salted.collect()} == {tuple(r) for r in plain.collect()}
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    fact = _skewed_fact(spark).withColumnRenamed("l_partkey", "p_partkey")
+    # dim missing the hot key => left join must keep those rows with nulls
+    dim = (
+        catalog.load_table(spark, SF_SMALL, "part")
+        .select("p_partkey", "p_brand")
+        .filter(F.col("p_partkey") != 1)
+    )
+    plain = fact.join(dim, "p_partkey", "left")
+    salted = salted_join(fact, dim, "p_partkey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("p_brand").isNull()).count()
+        == plain.filter(F.col("p_brand").isNull()).count()
+    )
+
+
+def test_salted_join_rejects_right_join(spark):
+    fact = _skewed_fact(spark)
+    dim = catalog.load_table(spark, SF_SMALL, "part")
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "l_partkey", how="right")
