@@ -141,8 +141,30 @@ def minhash_lsh_pairs(
     # exact-verify shingle sets consume it — shingling (regex + explode
     # + substr over the whole corpus) should run once.
     tokens = shingle_tokens(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
-    hashed = tokens.select(
-        "id", *[F.xxhash64("g", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+
+    # Double hashing (Kirsch-Mitzenmacher-style): two independent
+    # 64-bit string hashes per shingle occurrence, mixed into n_hashes
+    # family members as h_i = g1 XOR rot_i(g2). The signature build is
+    # the dominant per-row cost at corpus scale, and this replaces
+    # n_hashes xxhash64-over-string evaluations per shingle with 2
+    # string hashes + cheap long shift/xor ops. XOR/shift cannot
+    # overflow, so the mixing is safe under ANSI mode (a_i*x+b_i
+    # arithmetic would throw on long overflow there).
+    def _rot(c: Column, i: int) -> Column:
+        i %= 64
+        if i == 0:
+            return c
+        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
+    base = tokens.select(
+        "id", F.xxhash64("g").alias("g1"), F.xxhash64("g", F.lit(1)).alias("g2")
+    )
+    hashed = base.select(
+        "id",
+        *[
+            F.col("g1").bitwiseXOR(_rot(F.col("g2"), i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
     )
     sig = hashed.groupBy("id").agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
