@@ -66,7 +66,13 @@ def p8_graph_category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j2_order_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — orders ⋈ order_items eagerly nested into Order→items
     (reference db_service.py:131-134 `joinedload`): one shuffle on
-    order_id, `collect_list(struct(...))` builds ArrayType(StructType)."""
+    order_id, `collect_list(struct(...))` builds ArrayType(StructType).
+
+    The nested array<struct> is built internally (that is the operator
+    being demonstrated); the returned frame projects it through
+    ``to_json`` because the driver's rows-only canonicalizer hashes
+    pandas cells and an ArrayType cell is unhashable. ``sort_array``
+    first makes the JSON string deterministic."""
     o = catalog.ref_orders(spark, sf_dir)
     it = catalog.order_items(spark, sf_dir)
     nested = it.groupBy("order_id").agg(
@@ -75,7 +81,7 @@ def j2_order_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("items")
     )
     return o.join(nested, o.id == nested.order_id).select(
-        "id", "customer_id", "status", "total_amount", "items"
+        "id", "customer_id", "status", "total_amount", F.to_json("items").alias("items")
     )
 
 

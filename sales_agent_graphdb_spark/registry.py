@@ -42,11 +42,71 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
     return deco
 
 
+# Driver-budget ordering. The per-round correctness driver iterates the
+# queries() dict in insertion order and stops after a fixed budget
+# (round 1 recorded exactly the first 50 entries). So iteration order IS
+# the verification schedule: names in _PRIORITY run first (fixed bugs,
+# newly-oracled queries, and new operators that need their first driver
+# row), then every query that still has no green driver row, and the
+# already-hash-verified round-1 names run last — they only re-check if
+# the round's budget allows.
+_PRIORITY: list[str] = [
+    "j2_order_items_nested",  # r01's one red row: canonicalizer fix needs re-check
+    "graph_pagerank",  # gained a DuckDB oracle (was rows-only)
+    "p11_result_validity",
+    "ann_lsh_pruned_topk",
+    "ann_ivf_pruned_topk",
+    "dedup_embedding_lsh",
+    "ingest_invalidate_pipeline",
+    "mm_arrow_fidelity_probe",
+]
+
+# Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
+_VERIFIED_R01: frozenset[str] = frozenset({
+    "a1_order_totals", "a2_count_by_group", "a3_distinct_categories",
+    "a4_dedup_last_wins", "a5_dedup_normalized_content", "a6_string_agg",
+    "agg_rollup", "agg_cube", "agg_approx_distinct",
+    "v1_knn_cosine_top5", "v2_semantic_cache_probe", "v3_cache_upsert",
+    "v6_conditional_format", "v4_deterministic_embed",
+    "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine",
+    "st_tumbling_window", "st_sliding_window", "st_session_window",
+    "st_late_data_policy",
+    "g6_fulltext_fuzzy", "graph_degrees", "graph_2hop_neighbors",
+    "graph_connected_components",
+    "v5_ingest_chunk_embed", "s7_html_clean", "v7_wipe_recreate",
+    "j1_one_hop_traversal", "p8_graph_category_filter",
+    "j2_order_nest_strform", "j3_lookup_join", "j4_validation_join",
+    "j5_customer_orders", "j6_semi_join_exists", "j7_anti_join",
+    "mm_media_features", "mm_frame_sample", "v4b_batch_embed_pandas",
+    "g1_merge_create_only", "g2_merge_overwrite", "g3_detach_delete",
+    "m1_product_crud", "m3_stock_decrement",
+})
+
+
+# Slow (multi-second) queries to run at the END of the unverified block
+# so a time-budgeted driver checks many cheap queries before them.
+_SLOW_TAIL: frozenset[str] = frozenset({
+    "st_stream_tumbling_exec", "st_stream_stateful_sessions",
+})
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    prio = [n for n in _PRIORITY if n in names]
+    rest = [n for n in names if n not in prio]
+    unverified = [n for n in rest if n not in _VERIFIED_R01]
+    cheap = [n for n in unverified if n not in _SLOW_TAIL]
+    slow = [n for n in unverified if n in _SLOW_TAIL]
+    verified = [n for n in rest if n in _VERIFIED_R01]
+    return [*prio, *cheap, *slow, *verified]
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # Import query modules lazily so registration happens on first use.
     from sales_agent_graphdb_spark import queries as _q  # noqa: F401
 
-    return dict(_REGISTRY)
+    return {n: _REGISTRY[n] for n in _driver_order(list(_REGISTRY))}
 
 
 def spark_queries() -> dict[str, QueryFn]:
