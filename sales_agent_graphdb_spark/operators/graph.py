@@ -7,10 +7,12 @@ joins + aggregations that Catalyst can optimize and AQE can re-plan.
 
 Iterative algorithms (connected components, PageRank) are driver-side
 loops over DataFrame steps with localCheckpoint() per iteration to cut
-the lineage — the standard large-graph pattern (alternating small-star
-/ large-star contraction would be the 100 TB variant; plain min-label
-propagation converges in O(diameter) here and the product-category
-graph has diameter 2).
+the lineage. Connected components uses min-label propagation with a
+pointer-doubling shortcut (component ← label of my component vertex
+each round), so labels travel 2^k hops after k rounds and a diameter-d
+graph converges in O(log d) rounds — the log-round behavior that makes
+the loop viable on 100 TB graphs, where O(diameter) plain propagation
+would not be.
 """
 
 from __future__ import annotations

@@ -198,14 +198,18 @@ def minhash_lsh_pairs(
     if max_bucket_size is not None:
         # Hot-bucket cap: drop band-buckets whose quadratic pair
         # expansion would dominate (template/boilerplate clusters).
-        # One extra agg over the skinny (band, bucket) rows.
-        small = (
+        # One extra agg over the skinny (band, bucket) rows. Broadcast
+        # the OVERSIZED buckets (a handful of template clusters, bounded
+        # regardless of corpus size) and anti-join — broadcasting the
+        # under-cap whitelist would ship O(n_docs · n_bands) rows and
+        # itself break at scale.
+        big = (
             banded.groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket_size)
+            .filter(F.col("bsz") > max_bucket_size)
             .select("band", "bucket")
         )
-        banded = banded.join(F.broadcast(small), ["band", "bucket"], "left_semi")
+        banded = banded.join(F.broadcast(big), ["band", "bucket"], "left_anti")
     cand = (
         banded.alias("a")
         .join(

@@ -35,7 +35,11 @@ def write_bucketed(
 ) -> None:
     """Write ``df`` as a bucketed (and optionally sorted) parquet table
     registered as ``table`` with explicit storage ``path``. One shuffle
-    now; none on any later join/group on ``bucket_keys``."""
+    now; none on any later join/group on ``bucket_keys``.
+
+    The ``n_buckets=32`` default is TEST-scale only (local[32], MB-size
+    tables). At 100 TB, size the bucket count for ~128-512 MB bucket
+    files — thousands of buckets, per the module docstring."""
     w = (
         df.write.format("parquet")
         .mode("overwrite")
@@ -47,10 +51,14 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
-def cocolated_join(
+def collocated_join(
     spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
 ) -> DataFrame:
     """Join two tables previously written with the same bucket spec on
     the bucket key: scans read bucket i of each side into the same
     task — a zipper of co-located buckets, no Exchange in the plan."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# Backwards-compat alias for the misspelled original name.
+cocolated_join = collocated_join

@@ -55,10 +55,10 @@ def test_bucketed_join_has_no_shuffle(no_broadcast):
         # SortMergeJoin over bucketed scans: no shuffle before the join.
         # (The final single-key agg may still exchange; assert the join
         # inputs specifically by checking the plan up to the join.)
-        join_section = plan[plan.index("SortMergeJoin") :]
         assert "Exchange hashpartitioning(l_orderkey" not in plan
         assert "Exchange hashpartitioning(o_orderkey" not in plan
         assert "SortMergeJoin" in plan, plan
+        join_section = plan[plan.index("SortMergeJoin") :]
         assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, join_section
 
         # and the result is identical to the plain (shuffled) join

@@ -3,6 +3,7 @@ exact Jaccard, SimHash collision behavior on planted duplicates."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sales_agent_graphdb_spark.queries.dedup import DUP_OFFSET, dup_corpus
@@ -10,7 +11,11 @@ from sales_agent_graphdb_spark.operators import lsh
 from tests.conftest import SF_SMALL
 
 
-def test_minhash_lsh_recall_vs_exact(spark):
+# max_bucket_size=128 mirrors the registered dedup_minhash_lsh query's
+# shipped configuration (queries/dedup.py) — the cap can only lose
+# pairs, so recall must hold under it too, not just uncapped.
+@pytest.mark.parametrize("max_bucket_size", [None, 128])
+def test_minhash_lsh_recall_vs_exact(spark, max_bucket_size):
     corpus = dup_corpus(spark, SF_SMALL)
     # ground truth: exact Jaccard >= 0.5 over the same shingles
     sh = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 4).alias("g"))
@@ -28,7 +33,9 @@ def test_minhash_lsh_recall_vs_exact(spark):
     }
     found = {
         (r.id_a, r.id_b)
-        for r in lsh.minhash_lsh_pairs(corpus, jaccard_threshold=0.5).collect()
+        for r in lsh.minhash_lsh_pairs(
+            corpus, jaccard_threshold=0.5, max_bucket_size=max_bucket_size
+        ).collect()
     }
     assert truth, "planted duplicates must produce ground-truth pairs"
     # post-verification LSH can only miss (banding), never invent
