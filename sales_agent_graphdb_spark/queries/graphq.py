@@ -136,10 +136,64 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.orderBy("component", "id")
 
 
-@register("graph_pagerank", oracle=None)
+def _pagerank_oracle(n_iter: int = 10) -> str:
+    """Fixed-iteration PageRank oracle, closed-form for this graph.
+
+    Every product has out-degree exactly 1 (one brand per part row) and
+    receives no in-edges; every category is dangling. So per iteration
+    all products share one rank ``rp`` and the dangling mass ``dang`` is
+    the sum of category ranks — the whole iteration reduces to a
+    2-scalar recurrence, unrolled here as ``n_iter - 1`` chained CTEs
+    plus a final per-category update:
+
+        rp(t+1)   = (1-d) + d * dang(t)/n
+        dang(t+1) = nc*(1-d) + d*(np*rp(t) + nc*dang(t)/n)
+        rank_c    = (1-d) + d*(deg_c * rp(t) + dang(t)/n)
+
+    ``(1.0 - 0.85)`` is spelled as the subtraction so DuckDB produces
+    the same IEEE double as the engine's ``F.lit(1 - damping)``; both
+    sides round to 6 decimals before the hash compare."""
+    omd = "(1.0 - 0.85)"  # 1 - damping, as computed (not the literal 0.15)
+    its = ["it0 AS (SELECT 1.0 AS rp, nc * 1.0 AS dang FROM cnt)"]
+    for k in range(1, n_iter):
+        its.append(
+            f"""it{k} AS (
+      SELECT {omd} + 0.85 * prev.dang / (cnt.np + cnt.nc) AS rp,
+             cnt.nc * {omd}
+               + 0.85 * (cnt.np * prev.rp + cnt.nc * prev.dang / (cnt.np + cnt.nc)) AS dang
+      FROM it{k - 1} prev, cnt)"""
+        )
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH cnt AS (
+      SELECT CAST(COUNT(DISTINCT p_partkey) AS DOUBLE) AS np,
+             CAST(COUNT(DISTINCT p_brand) AS DOUBLE) AS nc
+      FROM part),
+    {chain},
+    deg AS (
+      SELECT p_brand AS id, CAST(COUNT(*) AS DOUBLE) AS d FROM part GROUP BY p_brand),
+    ranks AS (
+      SELECT deg.id,
+             {omd} + 0.85 * (deg.d * fin.rp + fin.dang / (cnt.np + cnt.nc)) AS rank
+      FROM deg, it{n_iter - 1} fin, cnt
+      UNION ALL
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS id,
+             (SELECT {omd} + 0.85 * fin.dang / (cnt.np + cnt.nc)
+              FROM it{n_iter - 1} fin, cnt) AS rank
+      FROM part)
+    SELECT id, ROUND(rank, 6) AS rank
+    FROM ranks ORDER BY rank DESC, id LIMIT 30
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle(10))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over product→category edges (10 iterations, d=0.85).
-    Rows-only: iterative double accumulation is order-sensitive;
-    pytest asserts Σrank ≈ N and category ranks dominate."""
+    Hash-checked against a closed-form fixed-iteration DuckDB oracle
+    (see _pagerank_oracle); ranks rounded to 6 decimals on both sides
+    so the ~1e-14 float drift between the distributed sum and the
+    closed form cannot flip the hash. pytest additionally asserts
+    Σrank ≈ N and that category ranks dominate."""
     e = _edges(spark, sf_dir)
-    return graph.pagerank(e, n_iter=10).orderBy(F.col("rank").desc(), "id").limit(30)
+    r = graph.pagerank(e, n_iter=10).select("id", F.round("rank", 6).alias("rank"))
+    return r.orderBy(F.col("rank").desc(), "id").limit(30)

@@ -108,3 +108,44 @@ def v7_wipe_recreate(spark: SparkSession, sf_dir: str) -> DataFrame:
     recreated (empty, correctly-typed) table."""
     emb = catalog.load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     return emb.filter(F.lit(False))
+
+
+@register(
+    "ingest_invalidate_pipeline",
+    oracle=f"""
+    WITH c AS ({chunker.duckdb_chunk_sql(CHUNK_SIZE, CHUNK_OVERLAP)})
+    SELECT 'collection' AS entity, doc_id AS key, CAST(COUNT(*) AS BIGINT) AS n
+    FROM c WHERE doc_id < 100 GROUP BY doc_id
+    UNION ALL
+    SELECT 'cache_after' AS entity, CAST(-1 AS BIGINT) AS key,
+           CAST((SELECT COUNT(*) FROM embeddings WHERE FALSE) AS BIGINT) AS n
+    ORDER BY entity, key
+    """,
+)
+def ingest_invalidate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest→cache-invalidation composition (reference admin.py:129,
+    144,210,237,255: every ingestion clears the semantic cache). One
+    batch flow: chunk+ingest docs (doc_id < 100) into the collection,
+    then wipe the semantic cache; the returned end state is the per-doc
+    collection chunk counts plus the post-wipe cache count (0) — both
+    stages are actually evaluated, so the check covers the composition,
+    not just the parts."""
+    docs = catalog.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    chunks = chunker.chunk_documents(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+    collection = (
+        chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("collection").alias("entity"),
+            F.col("doc_id").alias("key"),
+            F.col("n"),
+        )
+    )
+    cache = catalog.load_table(spark, sf_dir, "embeddings")
+    cache_after = cache.filter(F.lit(False))  # the wipe (v7 semantics)
+    cache_row = cache_after.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("cache_after").alias("entity"),
+        F.lit(-1).cast("long").alias("key"),
+        F.col("n"),
+    )
+    return collection.unionByName(cache_row).orderBy("entity", "key")

@@ -35,10 +35,31 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column feature extraction via mapInPandas (Arrow batches
-    of payload bytes → per-row features). The md5 signature must
-    survive Spark→Arrow→pandas→Arrow→Spark byte-exactly."""
+    """Binary-column feature extraction, JVM built-ins only
+    (octet_length + md5 + struct field access — whole-stage codegen,
+    no Python). The Arrow-path twin is mm_arrow_fidelity_probe."""
     return multimodal.media_features(_media(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "mm_arrow_fidelity_probe",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(md5(text), 1, 16) AS sig,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm_arrow_fidelity_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas feature path: binary payloads cross
+    Spark→Arrow→pandas→Arrow→Spark and the Python md5 must equal the
+    JVM/DuckDB md5 byte-for-byte — the one registered Arrow round-trip
+    probe (VERDICT r01: keep exactly one; production features use the
+    built-in mm_media_features)."""
+    return multimodal.media_features_arrow(_media(spark, sf_dir)).orderBy("doc_id")
 
 
 @register(
@@ -56,10 +77,11 @@ def mm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: one row per 256-byte frame of each payload —
-    the explode-shaped plumbing a video pipeline needs (frame_sig
-    dropped here: DuckDB md5 over binary slices of multi-byte text
-    isn't worth the oracle contortion; pytest covers it)."""
+    """Frame sampling: one row per 256-byte frame of each payload via
+    JVM sequence→explode + binary substring — no Python (frame_sig
+    dropped from the projection: DuckDB md5 over binary slices of
+    multi-byte text isn't worth the oracle contortion; pytest asserts
+    the JVM frame_sig equals the mapInPandas frame_sig)."""
     return (
         multimodal.frame_sample(_media(spark, sf_dir))
         .select("doc_id", "frame_no", "frame_len")

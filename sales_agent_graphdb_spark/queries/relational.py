@@ -369,3 +369,54 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = big.intersect(pend).withColumn("side", F.lit("both"))
     only = big.distinct().exceptAll(pend.distinct()).withColumn("side", F.lit("big_only"))
     return both.unionByName(only).select("side", "id").orderBy("side", "id")
+
+
+# ---------------------------------------------------------------------------
+# P11 — result-validity predicate (negated rlike)
+# ---------------------------------------------------------------------------
+
+# The raw testdata text never contains failure markers, so the query
+# derives a tool-result corpus with deterministic failures (doc_id % 7
+# == 0 -> a rotating failure string), mirrored in the oracle — the same
+# non-vacuous-fixture pattern the dedup suite uses.
+_P11_FAIL = (
+    "CASE WHEN doc_id % 21 = 0 THEN 'No result found for query'"
+    " WHEN doc_id % 21 = 7 THEN 'Error: upstream tool timeout'"
+    " ELSE 'I do not have that information' END"
+)
+
+
+@register(
+    "p11_result_validity",
+    oracle=f"""
+    WITH results AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN {_P11_FAIL} ELSE text END AS result
+      FROM documents)
+    SELECT doc_id, result
+    FROM results
+    WHERE NOT regexp_matches(result,
+      '(?i)(no result|error|not found|do not have|don''t have|unable to)')
+    ORDER BY doc_id
+    """,
+)
+def p11_result_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — result-validity filter: keep only tool results that are NOT
+    failure text, via a negated case-insensitive rlike (reference
+    agent_graph.py:121-122,529-533 checks Cypher/tool results against
+    'no result|error|not found|...' before trusting them). The regex is
+    a pushdown-able row predicate — at 100 TB it rides the parquet scan
+    with no shuffle."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    fail = (
+        F.when(F.col("doc_id") % 21 == 0, "No result found for query")
+        .when(F.col("doc_id") % 21 == 7, "Error: upstream tool timeout")
+        .otherwise("I do not have that information")
+    )
+    result = F.when(F.col("doc_id") % 7 == 0, fail).otherwise(F.col("text"))
+    invalid = r"(?i)(no result|error|not found|do not have|don't have|unable to)"
+    return (
+        d.select("doc_id", result.alias("result"))
+        .filter(~F.col("result").rlike(invalid))
+        .orderBy("doc_id")
+    )

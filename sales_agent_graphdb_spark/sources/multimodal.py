@@ -88,11 +88,27 @@ FEATURES_SCHEMA = "doc_id long, n_bytes long, sig string, media_type string"
 
 
 def media_features(media: DataFrame) -> DataFrame:
-    """Feature extraction over binary payloads via mapInPandas:
-    deterministic features (byte length + md5 signature) stand in for
-    the embedding a real vision/audio model would emit. Arrow moves
-    the binary batches; pandas processes them vectorized; the iterator
-    contract keeps memory bounded per batch."""
+    """Feature extraction over binary payloads, JVM-side: byte length
+    (``octet_length``) and md5 signature are built-in codegen'd
+    expressions — no Python in the hot path. This is the registered
+    production form; ``media_features_arrow`` below is the same
+    computation through mapInPandas, kept as the Arrow round-trip
+    fidelity probe (both are oracle-checked to identical results)."""
+    return media.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.substring(F.md5("payload"), 1, 16).alias("sig"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+def media_features_arrow(media: DataFrame) -> DataFrame:
+    """The mapInPandas twin of ``media_features``: Arrow moves the
+    binary batches, pandas computes the same features row-wise. Exists
+    to prove payload bytes survive Spark→Arrow→pandas→Arrow→Spark
+    exactly (its md5 must equal the JVM md5); swap the hash for a
+    vision/audio model client and the plan is the real inference
+    stage."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,9 +130,34 @@ FRAMES_SCHEMA = "doc_id long, frame_no int, frame_len int, frame_sig string"
 
 
 def frame_sample(media: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
-    """Frame sampler: split each payload into fixed-stride 'frames'
-    (the plumbing a video frame-sampler needs — per-frame rows with
-    bounded batches; the codec is the stubbed part)."""
+    """Frame sampler, JVM-side: one row per fixed-stride byte 'frame'
+    via sequence→explode, frame bytes sliced with binary ``substring``
+    and signed with built-in md5 — the explode-shaped plumbing a video
+    frame pipeline needs, with no Python. ``frame_sample_arrow`` is the
+    mapInPandas twin (pytest asserts identical output, covering
+    byte-slice fidelity through Arrow)."""
+    n = F.octet_length("payload")
+    last = (F.greatest(n, F.lit(1)) - 1).cast("int") / F.lit(stride)
+    frames = media.select(
+        "doc_id",
+        n.alias("n"),
+        F.col("payload"),
+        F.explode(F.sequence(F.lit(0), last.cast("int"))).alias("frame_no"),
+    )
+    chunk = F.expr(f"substring(payload, frame_no * {stride} + 1, {stride})")
+    return frames.select(
+        "doc_id",
+        F.col("frame_no").cast("int").alias("frame_no"),
+        F.least(F.lit(stride), F.col("n") - F.col("frame_no") * stride)
+        .cast("int")
+        .alias("frame_len"),
+        F.substring(F.md5(chunk), 1, 16).alias("frame_sig"),
+    )
+
+
+def frame_sample_arrow(media: DataFrame, stride: int = FRAME_BYTES) -> DataFrame:
+    """mapInPandas twin of ``frame_sample`` (Arrow-fidelity probe for
+    per-frame byte slices; the codec is the stubbed part)."""
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -50,3 +50,20 @@ def test_features_roundtrip_bytes_exactly(spark):
         assert f.n_bytes == len(bytes(r.payload))
         assert f.sig == hashlib.md5(bytes(r.payload)).hexdigest()[:16]
         assert f.media_type == r.meta.media_type
+
+
+def test_arrow_twin_matches_jvm_features(spark):
+    """The mapInPandas feature path must byte-exactly reproduce the JVM
+    built-in path — the Arrow round-trip fidelity claim."""
+    m = _media(spark)
+    jvm = sorted(tuple(r) for r in multimodal.media_features(m).collect())
+    arrow = sorted(tuple(r) for r in multimodal.media_features_arrow(m).collect())
+    assert jvm == arrow
+
+
+def test_arrow_twin_matches_jvm_frames(spark):
+    """Per-frame binary slices through Arrow == JVM binary substring."""
+    m = _media(spark).limit(50)
+    jvm = sorted(tuple(r) for r in multimodal.frame_sample(m).collect())
+    arrow = sorted(tuple(r) for r in multimodal.frame_sample_arrow(m).collect())
+    assert jvm == arrow
