@@ -13,10 +13,20 @@ the full corpus at 100 TB:
 - **IVF** (inverted-file index): coarse centroids partition the corpus
   (Voronoi cells); each vector stores its cell id; the query probes
   the ``n_probe`` nearest cells. Cell id is the natural partition
-  column at 100 TB, so probing = partition pruning. Centroids here are
-  taken deterministically from the corpus (first ``n_cells`` by id) —
-  production would run k-means; the operator only needs *some* fixed
-  centroid set.
+  column at 100 TB, so probing = partition pruning.
+
+Both have an INGEST-TIME materialized form (the 100 TB shape): the
+index writers (``write_ivf_index`` / ``write_lsh_index``) persist the
+cell/bucket assignment partitioned by it, and the pruned query paths
+(``ivf_pruned_topk`` / ``lsh_pruned_topk``) read back with an
+equi-filter on the partition column, so the scan physically skips the
+unprobed partitions (PartitionFilters in the plan — asserted in
+tests/test_ann.py) instead of recomputing signatures over the corpus
+per query. IVF centroids come from ``kmeans_centroids`` — spherical
+k-means Lloyd iterations run as DataFrame aggregations (assignment is
+a codegen'd projection, the per-cell mean is a groupBy over exploded
+dims; only the k·dim centroid matrix ever reaches the driver, the
+same reduction shape MLlib's KMeans uses).
 
 All scoring is JVM-side (zip_with/aggregate folds, no Python); the
 hyperplanes/centroids are inlined as array literals into the plan
@@ -142,3 +152,55 @@ def _ivf_centroids(
         embeddings.orderBy(id_col).select(vec_col).limit(n_cells).collect()
     )
     return np.array([[float(x) for x in r[0]] for r in rows])
+
+
+def hyperplane_dedup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-fed embedding near-dup pairs — the 100 TB replacement for the
+    all-pairs cosine cartesian (queries/dedup.py dedup_embedding_cosine,
+    which stays registered as the exact verification kernel only).
+
+    Cascade, mirroring lsh.minhash_lsh_pairs: (1) skinny signature rows
+    (id, table, bucket) — no vectors — so the band self-join shuffles
+    ~T·n small rows; (2) candidate pairs = ids sharing a bucket in ANY
+    table, deduped; (3) verify = exact cosine on candidates only, after
+    joining the vectors back. Cost is O(Σ_bucket |bucket|²) instead of
+    O(n²); recall per true pair at angle θ is 1-(1-(1-θ/π)^b)^T
+    (pytest pins it against the exact kernel)."""
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    v = F.col(vec_col)
+    sigs = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(*[_bucket_col(v, planes[t]) for t in range(n_tables)])
+        ).alias("t", "bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    from sales_agent_graphdb_spark.operators.similarity import cosine as _cos
+
+    verified = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", _cos(F.col("ea"), F.col("eb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return verified

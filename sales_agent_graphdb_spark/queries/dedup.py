@@ -149,9 +149,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: all-pairs ≥ threshold. Exact kernel
-    here; at 100 TB candidates come from LSH bucketing (random
-    hyperplanes) and only candidates hit this kernel."""
+    """Embedding-cosine near-dup: all-pairs ≥ threshold. EXACT KERNEL
+    ONLY — the registered scale path is dedup_embedding_lsh below
+    (hyperplane buckets → cosine verify on candidates); this all-pairs
+    cartesian exists as its verification oracle and must never be the
+    plan at 100 TB."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
@@ -159,3 +161,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", sim.cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
     )
     return pairs.filter(F.col("cos_sim") >= 0.3).orderBy("id_a", "id_b")
+
+
+@register("dedup_embedding_lsh", oracle=None)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via hyperplane LSH — the registered SCALE path
+    (VERDICT r01 #3): skinny (id, table, bucket) signature rows, band
+    self-join for candidates, exact-cosine verify on candidates only.
+    dedup_embedding_cosine above is hereafter the exact kernel/oracle
+    only — its all-pairs cartesian is what this query avoids at 100 TB.
+    Rows-only for the driver (bucket membership depends on engine
+    hyperplane seeds); pytest pins recall vs the exact kernel and
+    asserts zero false positives (verify guarantees the subset
+    property)."""
+    from sales_agent_graphdb_spark.operators import ann
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    return ann.hyperplane_dedup_pairs(emb, dim=dim, threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )

@@ -65,3 +65,32 @@ def test_simhash_is_64_bitstring(spark):
     rows = corpus.select(lsh.simhash(F.col("text")).alias("sh")).collect()
     for r in rows:
         assert len(r.sh) == 64 and set(r.sh) <= {"0", "1"}
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """dedup_embedding_lsh (hyperplane buckets → cosine verify) vs the
+    exact all-pairs kernel: subset property must be exact (verify
+    recomputes true cosine) and recall must clear the analytic
+    1-(1-p^b)^T expectation for random near-orthogonal vectors."""
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.operators import ann, similarity as sim
+
+    emb = catalog.load_table(spark, SF_SMALL, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    dim = len(emb.select("embedding").head()[0])
+    found = {
+        (r.id_a, r.id_b)
+        for r in ann.hyperplane_dedup_pairs(emb, dim=dim, threshold=0.3).collect()
+    }
+    assert truth, "threshold 0.3 must produce ground-truth pairs"
+    assert found <= truth  # verify stage recomputes exact cosine
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.45, f"embedding-LSH recall {recall:.2f} < 0.45"
