@@ -47,3 +47,50 @@ def test_ivf_assign_covers_all_cells_probed(spark):
     assigned = ann.ivf_assign(emb, cents)
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(8))
+
+
+def test_kmeans_centroids_unit_norm_and_deterministic(spark):
+    emb = catalog.load_table(spark, SF, "embeddings")
+    c1 = ann.kmeans_centroids(emb, n_cells=8, n_iter=2)
+    c2 = ann.kmeans_centroids(emb, n_cells=8, n_iter=2)
+    assert c1.shape == (8, 64)
+    import numpy as np
+
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert np.array_equal(c1, c2)
+
+
+def test_ivf_pruned_recall_and_partition_pruning(spark, tmp_path):
+    emb = catalog.load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_idx")
+    cents = ann.write_ivf_index(spark, emb, path, n_cells=16, n_iter=3)
+    got_df = ann.ivf_pruned_topk(spark, path, cents, _query_vec(spark, SF), k=10, n_probe=8)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # The probe must reach the scan as a partition filter (physical
+    # file skipping), not a post-scan Filter over the whole index.
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    got = {r.vec_id for r in got_df.collect()}
+    exact = _exact_topk(spark, 10)
+    assert 0 in got
+    assert len(got & exact) / len(exact) >= 0.3
+
+
+def test_lsh_pruned_matches_querytime_variant(spark, tmp_path):
+    """The materialized-index path must find the same candidates as the
+    query-time path (same planes, same buckets) — so its top-k equals
+    hyperplane_lsh_topk's exactly."""
+    emb = catalog.load_table(spark, SF, "embeddings")
+    qv = _query_vec(spark, SF)
+    path = str(tmp_path / "lsh_idx")
+    ann.write_lsh_index(spark, emb, path, dim=len(qv))
+    pruned_df = ann.lsh_pruned_topk(spark, path, emb, qv, k=10)
+    plan = pruned_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pruned = [(r.vec_id, round(r.sim, 9)) for r in pruned_df.collect()]
+    querytime = [
+        (r.vec_id, round(r.sim, 9))
+        for r in ann.hyperplane_lsh_topk(emb, qv, k=10).collect()
+    ]
+    assert pruned == querytime
+    assert 0 in {v for v, _ in pruned}
