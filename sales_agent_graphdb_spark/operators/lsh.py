@@ -36,6 +36,21 @@ def char_shingles(c: Column, k: int = 4) -> Column:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to default parallelism before a
+    generator stage. An explode multiplies row count ~300× here, so
+    whatever parallelism the scan produced is what the expensive
+    post-explode work is stuck with — a single small parquet file
+    (one row group, unsplittable) serializes the whole pipeline.
+    Shuffling the skinny pre-explode rows costs ~nothing relative to
+    the expansion. Gated: at 100 TB the scan already has far more
+    partitions than cores and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def shingle_tokens(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
 ) -> DataFrame:
@@ -45,7 +60,7 @@ def shingle_tokens(
     per-position substr reads a materialized attribute. This is the
     bulk shingling path (and already the shape MinHash aggregation
     wants)."""
-    normed = df.select(
+    normed = _spread(df).select(
         F.col(id_col).alias("id"), normalized(F.col(text_col)).alias("norm")
     )
     pos = normed.select(
@@ -111,7 +126,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 4,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
-    est_margin: float = 0.05,
+    est_margin: float = 0.0,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs as a 3-stage cascade: (1) band-bucket
     equi-join over skinny (id, band, bucket) rows → candidates; (2)
@@ -224,13 +239,21 @@ def minhash_lsh_pairs(
     # Cascade stage 2 — signature-agreement estimate (E[matches/n] =
     # Jaccard): 32 long equalities per pair vs an array intersect, so
     # the dense sub-threshold candidate mass (vocab overlap) is pruned
-    # ~100× cheaper than exact verification. The margin keeps
-    # borderline true pairs: P(est < θ-m | j=θ) ≈ 29% at m=0.05, n=32
-    # — but pairs at the exact threshold are already mostly lost to
-    # banding (recall ~40% there); measured recall on the corpus stays
-    # ≥0.95 while the sub-threshold survivor mass entering exact
-    # verification (the most expensive per-pair stage) drops ~3×.
+    # ~100× cheaper than exact verification. est_margin=0 by default:
+    # borderline pairs (J near θ) are already mostly lost to banding
+    # (keep-prob ~40% at J=θ), so a margin mostly admits sub-threshold
+    # survivor mass into exact verification — the most expensive
+    # per-pair stage. Measured at sf0.1: margin 0.05→0 cut survivors
+    # 64k→39k and verify wall 3.2s→1.9s with an identical final pair
+    # set; corpus recall stays ≥0.95 (pytest). Raise the margin only
+    # when borderline recall matters more than verify cost.
     est_threshold = max(jaccard_threshold - est_margin, 0.0)
+    # NO broadcast hint on the signature joins: the sig table is
+    # O(n_docs) rows, and forcing a broadcast of it would be the same
+    # non-scaling shape as broadcasting a bucket whitelist. Unhinted,
+    # AQE picks broadcast when sig is actually small (local/test scale)
+    # and a shuffle join on id at corpus scale — both correct, chosen
+    # at runtime from measured sizes.
     sa = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)]
     )
@@ -242,8 +265,8 @@ def minhash_lsh_pairs(
         t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         agree = t if agree is None else agree + t
     survivors = (
-        cand.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter((agree / float(n_hashes)) >= est_threshold)
         .select("id_a", "id_b")
         # survivors feeds both the shingle-set build (via the id prune)
@@ -341,7 +364,7 @@ def simhash_signatures(
     The expression form ``simhash`` re-evaluates the whole token-hash
     chain per bit (64× per row) — this shape hashes once per token and
     shuffles only (id, 64 longs)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(word_tokens(F.col(text_col))).alias("t")
     )
     hashed = toks.select("id", F.xxhash64("t").alias("h"))
