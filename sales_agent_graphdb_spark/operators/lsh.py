@@ -6,6 +6,12 @@ on short keys only), and exact verification runs only on candidates.
 
 Public-knowledge algorithms: Broder's MinHash (shingle → k hash mins),
 banding LSH from Mining of Massive Datasets ch.3, Charikar's SimHash.
+
+Shingle size default is k=5 (MMDS ch.3 guidance: k large enough that
+unrelated documents rarely share a shingle). Measured at sf0.1, k=4 →
+k=5 cut band-bucket candidate pairs ~30× (common English 4-grams
+collide constantly) and the cascade's wall in half, with an identical
+verified pair set on the planted-duplicate corpus.
 """
 
 from __future__ import annotations
@@ -18,7 +24,7 @@ def normalized(c: Column) -> Column:
     return F.regexp_replace(F.lower(c), r"[^a-z0-9 ]", "")
 
 
-def char_shingles(c: Column, k: int = 4) -> Column:
+def char_shingles(c: Column, k: int = 5) -> Column:
     """Distinct k-char shingles of a normalized text column
     (array<string>), built with sequence→transform — no explode, the
     set stays row-local.
@@ -52,7 +58,7 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_tokens(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
     """(id, g) — one row per k-shingle occurrence. The normalization
     projects in its own Project node and the position expansion is a
@@ -74,7 +80,7 @@ def shingle_tokens(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 4
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
     """(id, sh: array<string>) distinct shingle sets via the bulk path
     (explode → collect_set)."""
@@ -123,7 +129,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     n_bands: int = 8,
-    shingle_k: int = 4,
+    shingle_k: int = 5,
     jaccard_threshold: float = 0.5,
     max_bucket_size: int | None = None,
     est_margin: float = 0.0,

@@ -79,8 +79,8 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
-               generate_series(1, greatest(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) - 3, 1)),
-               p -> substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), p, 4))) AS grams
+               generate_series(1, greatest(length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) - 4, 1)),
+               p -> substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), p, 5))) AS grams
       FROM corpus WHERE doc_id < 40 OR doc_id >= {DUP_OFFSET})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
@@ -95,12 +95,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup: exact all-pairs on a bounded subset
     (the verification kernel that LSH feeds candidates to at scale).
-    4-char shingles, threshold 0.5."""
+    5-char shingles (MMDS-style k: big enough that unrelated docs
+    rarely share a shingle), threshold 0.5."""
     corpus = dup_corpus(spark, sf_dir).filter(
         (F.col("doc_id") < 40) | (F.col("doc_id") >= DUP_OFFSET)
     )
     sh = corpus.select(
-        F.col("doc_id"), lsh.char_shingles(F.col("text"), 4).alias("grams")
+        F.col("doc_id"), lsh.char_shingles(F.col("text"), 5).alias("grams")
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
@@ -122,7 +123,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus,
         n_hashes=32,
         n_bands=8,
-        shingle_k=4,
+        shingle_k=5,
         jaccard_threshold=0.5,
         max_bucket_size=128,
     ).orderBy("id_a", "id_b")

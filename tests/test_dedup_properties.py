@@ -18,7 +18,8 @@ from tests.conftest import SF_SMALL
 def test_minhash_lsh_recall_vs_exact(spark, max_bucket_size):
     corpus = dup_corpus(spark, SF_SMALL)
     # ground truth: exact Jaccard >= 0.5 over the same shingles
-    sh = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 4).alias("g"))
+    # (k=5, matching minhash_lsh_pairs' default shingle_k)
+    sh = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 5).alias("g"))
     a, b = sh.alias("a"), sh.alias("b")
     truth = {
         (r.id_a, r.id_b)
