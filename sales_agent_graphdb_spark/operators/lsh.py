@@ -123,6 +123,61 @@ def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _rot(c: Column, i: int) -> Column:
+    """64-bit rotate-left by a constant (shift/xor only — safe under
+    ANSI mode where multiplicative mixing could overflow)."""
+    i %= 64
+    if i == 0:
+        return c
+    return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
+
+
+def minhash_sigs(tokens: DataFrame, n_hashes: int = 32) -> DataFrame:
+    """(id, h0..h{n-1}) MinHash signatures from a (id, g) token stream
+    via double hashing (Kirsch-Mitzenmacher): two independent 64-bit
+    string hashes per shingle occurrence, mixed into n_hashes family
+    members as h_i = g1 XOR rot_i(g2) — 2 string hashes + cheap long
+    ops per row instead of n_hashes string hashes. One narrow,
+    map-side-combinable shuffle of (id, n_hashes longs)."""
+    base = tokens.select(
+        "id", F.xxhash64("g").alias("g1"), F.xxhash64("g", F.lit(1)).alias("g2")
+    )
+    hashed = base.select(
+        "id",
+        *[
+            F.col("g1").bitwiseXOR(_rot(F.col("g2"), i)).alias(f"h{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
+def band_rows(sig: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """Skinny (id, band, bucket) rows — bucket = hash of the band's
+    signature slice; no payload rides the candidate-join shuffle."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -163,58 +218,12 @@ def minhash_lsh_pairs(
     # + substr over the whole corpus) should run once.
     tokens = shingle_tokens(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
 
-    # Double hashing (Kirsch-Mitzenmacher-style): two independent
-    # 64-bit string hashes per shingle occurrence, mixed into n_hashes
-    # family members as h_i = g1 XOR rot_i(g2). The signature build is
-    # the dominant per-row cost at corpus scale, and this replaces
-    # n_hashes xxhash64-over-string evaluations per shingle with 2
-    # string hashes + cheap long shift/xor ops. XOR/shift cannot
-    # overflow, so the mixing is safe under ANSI mode (a_i*x+b_i
-    # arithmetic would throw on long overflow there).
-    def _rot(c: Column, i: int) -> Column:
-        i %= 64
-        if i == 0:
-            return c
-        return F.shiftleft(c, i).bitwiseOR(F.shiftrightunsigned(c, 64 - i))
-
-    base = tokens.select(
-        "id", F.xxhash64("g").alias("g1"), F.xxhash64("g", F.lit(1)).alias("g2")
-    )
-    hashed = base.select(
-        "id",
-        *[
-            F.col("g1").bitwiseXOR(_rot(F.col("g2"), i)).alias(f"h{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
-    )
+    # minhash_sigs: double-hash signature build (see its docstring).
     # sig feeds three consumers (banding + both sides of the estimate
     # join); cut lineage so the token→hash→min pipeline runs once, not
     # three times. Lazy local checkpoint: materializes on first action.
-    sig = sig.localCheckpoint(eager=False)
-    # Band buckets: hash of each band's signature slice; skinny rows
-    # (id, band, bucket) only — no payload rides the shuffle.
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).cast("int").alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = minhash_sigs(tokens, n_hashes).localCheckpoint(eager=False)
+    banded = band_rows(sig, n_bands, rows_per_band)
 
     if max_bucket_size is not None:
         # Hot-bucket cap: drop band-buckets whose quadratic pair
@@ -321,6 +330,122 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_sim", inter / (F.col("na") + F.col("nb") - inter))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW BATCH against an
+    EXISTING CORPUS — the production dedup shape (nightly batch vs
+    100 TB corpus), where all-pairs over the union would redo the
+    corpus-vs-corpus work every run. Returns (new_id, corpus_id,
+    jaccard_sim) with exact Jaccard >= threshold.
+
+    Same cascade as ``minhash_lsh_pairs`` but the band-bucket join is
+    BETWEEN sides (new bands ⋈ corpus bands), so cost scales with
+    |batch| · collision-rate, never |corpus|²: corpus band rows are
+    (re)computed here, but at scale they are the materialized
+    signature index (write once at ingest — the same pattern as
+    operators/ann.write_lsh_index), making a nightly run's join input
+    |batch|·n_bands skinny rows against a bucketed index.
+    ``max_bucket_size`` caps template-cluster buckets on the corpus
+    side only (the batch side is already bounded)."""
+    rows_per_band = n_hashes // n_bands
+    toks_new = shingle_tokens(new_df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
+    toks_cor = shingle_tokens(corpus_df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=False
+    )
+    sig_new = minhash_sigs(toks_new, n_hashes).localCheckpoint(eager=False)
+    sig_cor = minhash_sigs(toks_cor, n_hashes).localCheckpoint(eager=False)
+    bands_new = band_rows(sig_new, n_bands, rows_per_band)
+    bands_cor = band_rows(sig_cor, n_bands, rows_per_band)
+    if max_bucket_size is not None:
+        big = (
+            bands_cor.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        bands_cor = bands_cor.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    cand = (
+        bands_new.alias("n")
+        .join(
+            bands_cor.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    # Estimate filter (unhinted joins — AQE broadcasts small sides).
+    sa = sig_new.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(n_hashes)],
+    )
+    sb = sig_cor.select(
+        F.col("id").alias("corpus_id"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(n_hashes)],
+    )
+    agree = None
+    for i in range(n_hashes):
+        t = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    survivors = (
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .filter((agree / float(n_hashes)) >= jaccard_threshold)
+        .select("new_id", "corpus_id")
+        .localCheckpoint(eager=False)
+    )
+    # Exact verify on survivors, hashed shingle sets per side.
+    def _sets(tokens: DataFrame, ids: DataFrame) -> DataFrame:
+        return (
+            tokens.join(ids, F.col("id") == F.col("cid"), "left_semi")
+            .groupBy("id")
+            .agg(F.collect_set(F.xxhash64("g")).alias("sh"))
+            .withColumn("n", F.size("sh"))
+        )
+
+    sh_new = _sets(toks_new, survivors.select(F.col("new_id").alias("cid")).distinct())
+    sh_cor = _sets(
+        toks_cor, survivors.select(F.col("corpus_id").alias("cid")).distinct()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    return (
+        survivors.join(
+            F.broadcast(
+                sh_new.select(
+                    F.col("id").alias("new_id"),
+                    F.col("sh").alias("sh_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "new_id",
+        )
+        .join(
+            F.broadcast(
+                sh_cor.select(
+                    F.col("id").alias("corpus_id"),
+                    F.col("sh").alias("sh_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "corpus_id",
+        )
+        .withColumn("jaccard_sim", inter / (F.col("na") + F.col("nb") - inter))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+        .select("new_id", "corpus_id", "jaccard_sim")
     )
 
 

@@ -182,3 +182,21 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.hyperplane_dedup_pairs(emb, dim=dim, threshold=0.3).orderBy(
         "id_a", "id_b"
     )
+
+
+@register("dedup_incremental_minhash", oracle=None)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the planted-duplicate batch (doc_id >=
+    DUP_OFFSET) matched against the original corpus with
+    minhash_lsh_join — the nightly-batch-vs-existing-corpus shape a
+    100 TB pipeline actually runs (cost |batch|·collisions, never
+    |corpus|²; corpus signatures are the ingest-time index at scale).
+    Expected result: every planted copy finds its source. Rows-only
+    for the driver (xxhash64 seeds are engine-specific); pytest pins
+    recall = 1.0 on the planted pairs vs exact Jaccard."""
+    full = dup_corpus(spark, sf_dir)
+    batch = full.filter(F.col("doc_id") >= DUP_OFFSET)
+    corpus = full.filter(F.col("doc_id") < DUP_OFFSET)
+    return lsh.minhash_lsh_join(
+        batch, corpus, jaccard_threshold=0.5, max_bucket_size=128
+    ).orderBy("new_id", "corpus_id")

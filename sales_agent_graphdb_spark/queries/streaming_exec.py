@@ -41,3 +41,19 @@ def st_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     strict prefix of the batch session list); pytest asserts every
     flushed session matches the batch session_window result exactly."""
     return pipelines.stateful_sessions_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_dedup",
+    oracle="""
+    SELECT event_id, event_type, value FROM events ORDER BY event_id
+    """,
+)
+def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 / dedup family — streaming exactly-once dedup over an
+    at-least-once (self-unioned) source via
+    dropDuplicatesWithinWatermark: watermark-bounded seen-key state
+    (evicted past the horizon — viable on unbounded streams, unlike a
+    forever-growing seen set). Hash-checked: the deduped stream must
+    equal the batch table exactly."""
+    return pipelines.dedup_stream(spark, sf_dir)

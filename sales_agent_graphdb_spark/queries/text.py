@@ -203,3 +203,175 @@ def f11_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "chunk_idx", "chunk_text")
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 3 THEN list_transform(
+               generate_series(1, len(w) - 2),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+             ELSE [] END AS gs
+      FROM toks),
+    flat AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flat GROUP BY gram HAVING COUNT(*) >= 3
+    ORDER BY n_docs DESC, gram
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: word 3-grams appearing in >= 3 distinct
+    documents (the corpus-frequency pass behind template/boilerplate
+    removal in training-data pipelines — find repeated spans first,
+    strip or down-weight them second). Scale shape: one explode of
+    per-doc gram arrays into (doc_id, gram) rows, distinct, then a
+    count per gram — two map-side-combinable shuffles on short string
+    keys; no pairwise comparison anywhere. At 100 TB the HAVING
+    threshold prunes the long unique-gram tail before it ever leaves
+    the partial aggregation."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    w = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
+        r"\s+",
+    )
+    grams = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    flat = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    return (
+        flat.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.col("n_docs").desc(), "gram")
+    )
+
+
+# Deterministic planted PII: every 7th document gets an email, every
+# 11th a phone number, appended to its text. Mirrored in the oracle so
+# the scrub has real targets (raw testdata contains none).
+_PII_EMAIL = " contact bob.smith+spam@example-mail.org for details"
+_PII_PHONE = " call +1 (415) 555-0137 now"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+# SQL-literal forms: DuckDB single-quoted strings pass backslashes
+# through verbatim (no escape processing), so the Python regex strings
+# are already the SQL literals. Bound to names outside the f-string
+# (f-string expressions cannot contain backslashes on 3.11).
+_EMAIL_RE_SQL = _EMAIL_RE
+_PHONE_RE_SQL = _PHONE_RE
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 7 = 0 THEN '{_PII_EMAIL}' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN '{_PII_PHONE}' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE_SQL}', '[EMAIL]', 'g'),
+             '{_PHONE_RE_SQL}', '[PHONE]', 'g') AS scrubbed,
+           CAST(length(text) - length(regexp_replace(text, '{_EMAIL_RE_SQL}', '', 'g')) > 0 AS BOOLEAN) AS had_email,
+           CAST(length(text) - length(regexp_replace(text, '{_PHONE_RE_SQL}', '', 'g')) > 0 AS BOOLEAN) AS had_phone
+    FROM planted ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails and phone numbers (the
+    compliance pass of a training-data pipeline), plus per-doc flags.
+    Pure JVM regexp_replace — whole-stage codegen, no UDF. Targets are
+    deterministically planted (raw testdata has none) so the check is
+    non-vacuous; the oracle plants identically."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(_PII_EMAIL)).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(_PII_PHONE)).otherwise(F.lit("")),
+    )
+    t = planted
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(t, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+        (F.length(t) - F.length(F.regexp_replace(t, _EMAIL_RE, "")) > 0).alias("had_email"),
+        (F.length(t) - F.length(F.regexp_replace(t, _PHONE_RE, "")) > 0).alias("had_phone"),
+    ).orderBy("doc_id")
+
+
+# --- end-to-end curation composition -------------------------------------
+from sales_agent_graphdb_spark.queries.dedup import _CORPUS_SQL, dup_corpus  # noqa: E402
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    q AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  w -> w IN ('the','and','of','to','a','in','is'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+      FROM corpus),
+    kept AS (
+      SELECT * FROM q
+      WHERE n_tokens BETWEEN 5 AND 1000 AND stop_ratio > 0.01),
+    deduped AS (
+      SELECT fp, MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens
+      FROM kept GROUP BY fp)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CASE WHEN CAST(('0x' || substr(fp, 1, 15)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM deduped ORDER BY doc_id
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation — the C4-style composition a
+    training-data pipeline actually runs, as ONE declarative plan:
+    (1) quality filter (length + stopword-ratio heuristics), (2) exact
+    dedup (min doc_id per normalized-content md5; the planted-dup
+    corpus makes this stage non-vacuous), (3) deterministic train/val
+    split by content-hash shard (md5-derived, engine-portable — NOT
+    xxhash, so the DuckDB oracle reproduces it bit-for-bit; content
+    hashing also means the split is stable under re-ingestion and
+    corpus growth, unlike row-number sampling). Entirely JVM column
+    math: filter → groupBy → projection, two map-side-combinable
+    shuffles, no UDF, no collect."""
+    corpus = dup_corpus(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS["en"]))).cast("double")
+        / n_tokens
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
+    kept = corpus.select(
+        "doc_id", n_tokens.alias("n_tokens"), stop_ratio.alias("stop_ratio"),
+        fp.alias("fp"),
+    ).filter(F.col("n_tokens").between(5, 1000) & (F.col("stop_ratio") > 0.01))
+    deduped = kept.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
+    )
+    shard = F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("bigint") % 100
+    return deduped.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.when(shard < 90, "train").otherwise("val").alias("split"),
+    ).orderBy("doc_id")

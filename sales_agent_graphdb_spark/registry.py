@@ -59,6 +59,10 @@ _PRIORITY: list[str] = [
     "dedup_embedding_lsh",
     "ingest_invalidate_pipeline",
     "mm_arrow_fidelity_probe",
+    "dedup_incremental_minhash",
+    "text_boilerplate_ngrams",
+    "text_pii_scrub",
+    "pipeline_curate_corpus",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
@@ -89,6 +93,7 @@ _VERIFIED_R01: frozenset[str] = frozenset({
 # so a time-budgeted driver checks many cheap queries before them.
 _SLOW_TAIL: frozenset[str] = frozenset({
     "st_stream_tumbling_exec", "st_stream_stateful_sessions",
+    "st_stream_dedup",
 })
 
 

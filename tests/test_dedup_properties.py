@@ -95,3 +95,47 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert found <= truth  # verify stage recomputes exact cosine
     recall = len(found & truth) / len(truth)
     assert recall >= 0.45, f"embedding-LSH recall {recall:.2f} < 0.45"
+
+
+def test_incremental_minhash_finds_planted_sources(spark):
+    """minhash_lsh_join(batch, corpus): every planted duplicate
+    (doc_id+DUP_OFFSET) must match its source doc, results must be a
+    subset of exact batch-x-corpus Jaccard >= 0.5, and no pair may
+    pair a batch doc with an unrelated source at J < threshold
+    (verify stage recomputes exact Jaccard)."""
+    full = dup_corpus(spark, SF_SMALL)
+    batch = full.filter(F.col("doc_id") >= DUP_OFFSET)
+    corpus = full.filter(F.col("doc_id") < DUP_OFFSET)
+    found = {
+        (r.new_id, r.corpus_id)
+        for r in lsh.minhash_lsh_join(
+            batch, corpus, jaccard_threshold=0.5, max_bucket_size=128
+        ).collect()
+    }
+    # exact ground truth between the two sides at the same shingling
+    sha = batch.select("doc_id", lsh.char_shingles(F.col("text"), 5).alias("g"))
+    shb = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 5).alias("g"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in sha.alias("a")
+        .join(shb.alias("b"), F.lit(True))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lsh.jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    }
+    planted = {(i + DUP_OFFSET, i) for i in range(60) if (i + DUP_OFFSET, i) in truth}
+    exact_copies = {(i + DUP_OFFSET, i) for i in range(40, 60)} & truth
+    assert planted, "planted batch->source pairs must exist in ground truth"
+    assert found <= truth
+    # Exact copies (J=1) always collide in every band: must all be hit.
+    assert exact_copies <= found
+    # Near-dups: the lowest planted J is ~0.70, where banding keeps a
+    # pair with prob 1-(1-J^4)^8 ~ 0.88 — individual misses are
+    # expected LSH behavior (deterministic, hashes are fixed), so pin
+    # aggregate recall instead of per-pair membership.
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.9, f"planted recall {recall:.2f} < 0.9"

@@ -55,3 +55,21 @@ def test_stateful_sessions_prefix_of_batch(spark):
     for r in flushed:
         key = (r.user_id, r.session_start, r.n_events, round(r.total_value, 6))
         assert key in bset, f"flushed session not in batch result: {key}"
+
+
+def test_stream_dedup_exactly_once(spark):
+    """dropDuplicatesWithinWatermark over the self-unioned (×2) source
+    must return each event exactly once — equal to the batch table."""
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.streaming import pipelines
+
+    out = pipelines.dedup_stream(spark, SF)
+    got = [(r.event_id, r.event_type, round(r.value, 9)) for r in out.collect()]
+    batch = catalog.load_table(spark, SF, "events").select(
+        "event_id", "event_type", "value"
+    )
+    want = sorted(
+        (r.event_id, r.event_type, round(r.value, 9)) for r in batch.collect()
+    )
+    assert got == want
+    assert len(got) == len({g[0] for g in got})  # ids unique
