@@ -45,15 +45,19 @@ STATUS_MAP = {"O": "PENDING", "P": "PROCESSING", "F": "DELIVERED"}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet => pushdown + pruning for free.
 
-    ``events.ts`` is written as TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default — read the nanos as long (runtime conf)
-    and convert to a microsecond timestamp, which is exactly how DuckDB
-    surfaces the same column (floor-truncated to µs)."""
+    ``events.ts`` has shipped in two encodings across testdata
+    generations: TIMESTAMP(NANOS) (Spark rejects by default — read the
+    nanos as long and floor-truncate to µs, matching DuckDB) and plain
+    TIMESTAMP_NTZ (read natively). Detect from the file schema and
+    normalize both to session-TZ TimestampType so downstream window /
+    watermark / oracle code sees one type regardless of generation."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: ns values (~1.7e18) overflow double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # integer division: ns values (~1.7e18) overflow double precision
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -31,31 +31,41 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 
 SCRATCH = "/root/repo/.scratch/streaming"
 
-# events schema as written (ts is TIMESTAMP(NANOS) => long ns with
-# nanosAsLong; see catalog.load_table).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# events schema as written. ts has shipped as TIMESTAMP(NANOS) (=> long
+# ns with nanosAsLong) or plain TIMESTAMP_NTZ depending on testdata
+# generation; the streaming source pins whichever the file actually has
+# (streaming sources never infer), detected via a cheap batch read.
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
+    )
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded source: file-stream over the testdata
-    parquet (schema pinned — streaming sources never infer), nanos→µs
-    timestamp conversion identical to the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    parquet (schema pinned — streaming sources never infer), ts
+    normalized to session-TZ TimestampType identical to the batch
+    loader (nanos→µs floor when long-encoded)."""
+    schema = _events_raw_schema(spark, sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}/events.[p]arquet")  # glob => file-source basePath is the dir
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if schema["ts"].dataType.simpleString() == "bigint":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_memory(stream: DataFrame, mode: str) -> DataFrame:
