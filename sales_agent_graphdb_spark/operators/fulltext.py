@@ -52,3 +52,117 @@ def fuzzy_search(
         .agg(F.min("distance").alias("distance"))
     )
     return scored.orderBy("distance", "id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 constants (k1, b) — standard defaults.
+BM25_K1, BM25_B = 1.2, 0.75
+
+# Per-term score, written ONCE as SQL text and parsed by both engines so
+# the double-arithmetic DAG is identical and the result bit-exact. The
+# idf is the *rational* variant (N - df + 0.5)/(df + 0.5) — monotone in
+# df like the classic ln() idf, but free of transcendental functions,
+# which differ at ulp level between JVM Math.log and DuckDB's libm and
+# would break the driver's value-hash. (Swapping in ln() changes scores,
+# not ranks.)
+_BM25_TERM_SCORE = (
+    "((n_docs - dfreq + 0.5)/(dfreq + 0.5))"
+    " * ((tf * {k1_plus_1})/(tf + {k1}*({one_minus_b} + {b}*(dl/avgdl))))"
+).format(k1_plus_1=BM25_K1 + 1.0, k1=BM25_K1, one_minus_b=1.0 - BM25_B, b=BM25_B)
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Okapi-BM25 top-k retrieval for a fixed bag of query ``terms``
+    over ``docs(doc_id, text)``.
+
+    Spark-first shape: one token explode feeds three aggregates —
+    per-doc length (dl), per-(doc, term) tf (filtered to the query
+    terms BEFORE the shuffle, so the heavy agg only moves matching
+    postings), and per-term document frequency. Corpus stats (N,
+    avgdl) and the df table are tiny and broadcast; the doc-side
+    joins stay shuffle-light and the final top-k is
+    TakeOrderedAndProject — no global sort. The per-doc score sums
+    term scores in a FIXED column order (one conditional-max per
+    term), not an aggregation fold, so summation order can never
+    change the double result between engines.
+
+    At 100 TB: tokens/tf/dl are the materialized inverted-index
+    tables (bucketed by token); a query then joins k postings lists
+    and never rescans the corpus.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), _TOKEN_SPLIT)).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    hits = toks.filter(F.col("token").isin(terms))
+    dfreq = (
+        hits.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("dfreq"))
+    )
+    tf = hits.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    term_scores = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.expr(_BM25_TERM_SCORE))
+    )
+    per_term_cols = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+        ).alias(f"s_{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = term_scores.groupBy("doc_id").agg(*per_term_cols)
+    total = None
+    for i in range(len(terms)):
+        c = F.col(f"s_{i}")
+        total = c if total is None else total + c
+    return (
+        scored.select("doc_id", total.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+
+
+def duckdb_bm25_sql(terms: list[str], k: int = 10) -> str:
+    """DuckDB oracle for :func:`bm25_rank` — same token split, same
+    per-term score expression text, same fixed-order summation."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    per_term = " + ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)" for t in terms
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, t.token
+      FROM documents, unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t(token)
+      WHERE length(t.token) > 0),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                 CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+    dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq
+              FROM toks WHERE token IN ({in_list}) GROUP BY token),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE token IN ({in_list}) GROUP BY doc_id, token),
+    term_scores AS (
+      SELECT tf.doc_id, tf.token, {_BM25_TERM_SCORE} AS s
+      FROM tf JOIN dfreq USING (token) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g)
+    SELECT doc_id, ({per_term}) AS score
+    FROM term_scores GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT {k}
+    """

@@ -375,3 +375,29 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.when(shard < 90, "train").otherwise("val").alias("split"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval (BM25) — extends the G6 fulltext family from boolean
+# fuzzy match to scored ranking (what the reference's Lucene index does
+# under the hood for `queryNodes` relevance ordering,
+# neo4j_service.py:71,107).
+# ---------------------------------------------------------------------------
+
+from sales_agent_graphdb_spark.operators.fulltext import (  # noqa: E402
+    bm25_rank,
+    duckdb_bm25_sql,
+)
+
+_BM25_TERMS = ["vector", "stream"]
+
+
+@register("text_bm25_search", oracle=duckdb_bm25_sql(_BM25_TERMS, k=10))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-10 over documents for a two-term query. Rational
+    idf (no ln → bit-exact across engines); per-term scores summed in
+    fixed column order; df/corpus-stats broadcast; top-k via
+    TakeOrderedAndProject. See operators/fulltext.py:bm25_rank for the
+    100 TB inverted-index layout."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return bm25_rank(d.select("doc_id", "text"), _BM25_TERMS, k=10)

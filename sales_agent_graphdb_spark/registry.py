@@ -63,6 +63,7 @@ _PRIORITY: list[str] = [
     "text_boilerplate_ngrams",
     "text_pii_scrub",
     "pipeline_curate_corpus",
+    "text_bm25_search",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
