@@ -236,10 +236,19 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold prunes the long unique-gram tail before it ever leaves
     the partial aggregation."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    w = F.split(
-        F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
-        r"\s+",
+    # Materialize the token array as its own projection: referencing the
+    # split expression inline would duplicate the regex+split into every
+    # element_at inside the transform lambda (Catalyst's CollapseProject
+    # keeps a non-cheap expr referenced more than once in its own
+    # Project, but only if we alias it) — measured 22x slower inlined.
+    d = d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
+            r"\s+",
+        ).alias("w"),
     )
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= 3,
         F.transform(
