@@ -4,6 +4,7 @@ every query into sales_agent_graphdb_spark.registry."""
 from sales_agent_graphdb_spark.queries import (  # noqa: F401
     aggregates,
     ann_search,
+    curation,
     dedup,
     event_windows,
     graphq,

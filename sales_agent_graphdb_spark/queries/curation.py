@@ -1,0 +1,200 @@
+"""Training-corpus curation operators beyond dedup: benchmark
+decontamination, deterministic stratified sampling, and domain-mix
+weighting. These are the remaining first-class LLM-data-pipeline
+components (brief: "the operations a large-scale training-data
+pipeline would need") that queries/dedup.py and queries/text.py don't
+already cover.
+
+All JVM column math, each with a DuckDB oracle. Hash-derived sharding
+uses md5 (engine-portable), never xxhash, so oracles reproduce splits
+bit-for-bit — same rationale as pipeline_curate_corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.registry import register
+
+# Deterministic content-independent shard in [0, 10): md5 of the doc id
+# string. Used for the train/eval split (decontamination) and the
+# per-stratum sample. Stable under corpus growth and re-ingestion.
+def _shard10(doc_id: Column) -> Column:
+    return (
+        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 15), 16, 10).cast("bigint")
+        % 10
+    )
+
+
+_SHARD10_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10"
+
+# Word 5-gram array of a document, reused by decontamination. The token
+# array MUST be its own projection (see text_boilerplate_ngrams: an
+# inline split re-evaluates per element_at, measured 22x slower).
+_NGRAM_N = 5
+
+
+def _word_ngrams(w: Column, n: int = _NGRAM_N) -> Column:
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_TOKENS_SQL = (
+    "string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+')"
+)
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
+            r"\s+",
+        ).alias("w"),
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHARD10_SQL} AS shard, {_TOKENS_SQL} AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, shard,
+             CASE WHEN len(w) >= {_NGRAM_N} THEN list_transform(
+               generate_series(1, len(w) - {_NGRAM_N - 1}),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4]))
+             ELSE [] END AS gs
+      FROM toks),
+    flat AS (SELECT DISTINCT doc_id, shard, unnest(gs) AS gram FROM grams),
+    train AS (SELECT doc_id, gram FROM flat WHERE shard <> 0),
+    eval_set AS (SELECT doc_id, gram FROM flat WHERE shard = 0)
+    SELECT t.doc_id AS train_doc_id,
+           CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM train t JOIN eval_set e ON t.gram = e.gram
+    GROUP BY t.doc_id ORDER BY train_doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    word 5-gram with the held-out eval split (the n-gram-overlap
+    contamination check every serious pretraining pipeline runs before
+    training; GPT-3/PaLM-style 13-gram at full scale — 5 here because
+    testdata docs are 30–80 tokens).
+
+    Spark-first shape: ONE tokenize+gram explode over the corpus,
+    split into train/eval by a deterministic md5 shard of doc_id, then
+    an equi-join on the gram string — never a doc×doc comparison. At
+    100 TB the eval side is tiny (the benchmark suite), so the join
+    broadcasts eval grams and the check is one map-side pass over
+    train grams."""
+    toks = _tokenized(spark, sf_dir).withColumn("shard", _shard10(F.col("doc_id")))
+    flat = toks.select(
+        "doc_id", "shard", F.explode(_word_ngrams(F.col("w"))).alias("gram")
+    ).distinct()
+    train = flat.filter(F.col("shard") != 0).select("doc_id", "gram")
+    eval_set = flat.filter(F.col("shard") == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    return (
+        train.join(F.broadcast(eval_set), "gram")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .orderBy("train_doc_id")
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT doc_id, lang, {_SHARD10_SQL} AS shard FROM documents)
+    SELECT doc_id, lang FROM sharded WHERE shard < 2 ORDER BY doc_id
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a 20% per-language sample by
+    content-independent hash shard — the reproducible subsampling a
+    training pipeline uses for ablations and eval carve-outs. Unlike
+    df.sample(), the selection is stable across runs, engines, and
+    partitionings (md5(doc_id) mod 10 < 2), and joins against any
+    other hash-sharded artifact line up for free. Pure filter — no
+    shuffle at all; the per-stratum rate is enforced by hash
+    uniformity within each stratum."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang")
+        .filter(_shard10(F.col("doc_id")) < 2)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents),
+    per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(COUNT(*) AS DOUBLE) AS n_sources FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           (CAST(n_tokens AS DOUBLE) / total_tokens) AS token_share,
+           ((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / total_tokens)) AS mix_weight
+    FROM per_source CROSS JOIN tot ORDER BY source
+    """,
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix weighting: per-source token counts and the sampling
+    weight that re-balances the corpus to a uniform target mix
+    (weight = target_share / actual_share) — the DoReMi/Pile-style
+    domain-reweighting input computed as one aggregation. Counts are
+    exact BIGINTs; the two shares are each a single double division of
+    exact integers, so the oracle matches bit-for-bit. At 100 TB this
+    is one map-side-combinable groupBy on a low-cardinality key plus a
+    broadcast of the one-row total."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.split(
+            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
+            r"\s+",
+        ).alias("w"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.col("w"))).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            share.alias("token_share"),
+            ((F.lit(1.0) / F.col("n_sources")) / share).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )

@@ -121,3 +121,46 @@ def s3_s4_json_envelope_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     connectors.write_scraper_json(posts, path, source_url="https://x.test/feed")
     back = connectors.read_scraper_json(spark, path)
     return back.orderBy(F.regexp_extract("post_id", r"(\d+)", 1).cast("bigint"))
+
+
+@register(
+    "s9b_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag AS returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate
+    FROM lineitem WHERE l_orderkey <= 1000
+    GROUP BY l_returnflag ORDER BY returnflag
+    """,
+)
+def s9b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 extension — columnar-format breadth beyond parquet: lineitem
+    subset → ORC sink partitioned by l_returnflag (predicate-prunable
+    layout, same as a production ORC lake) → ORC source → exact-DECIMAL
+    aggregate. The oracle runs over the ORIGINAL parquet, so it passes
+    only if types (double, timestamp, partition-column string) survive
+    the ORC write→read cycle bit-for-bit. ORC is the second Spark-
+    native columnar format; at 100 TB the same partitioned-write /
+    pruned-read pattern applies unchanged."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 1000
+    )
+    path = _scratch(sf_dir, "orc_lineitem")
+    (
+        li.select("l_orderkey", "l_quantity", "l_shipdate", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.min("l_shipdate").cast("string").alias("min_shipdate"),
+        )
+        .orderBy("returnflag")
+    )

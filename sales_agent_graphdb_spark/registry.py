@@ -64,6 +64,10 @@ _PRIORITY: list[str] = [
     "text_pii_scrub",
     "pipeline_curate_corpus",
     "text_bm25_search",
+    "decontaminate_ngram_overlap",
+    "sample_stratified_hash",
+    "corpus_mix_weights",
+    "s9b_orc_roundtrip",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
