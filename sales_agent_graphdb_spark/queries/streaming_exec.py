@@ -57,3 +57,23 @@ def st_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever-growing seen set). Hash-checked: the deduped stream must
     equal the batch table exactly."""
     return pipelines.dedup_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_interval_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+)
+def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — stream-stream interval join (view→purchase attribution
+    within 1h) executed as a real watermarked streaming query;
+    hash-checked against the identical batch join SQL. The time-range
+    condition bounds join state on both sides — see
+    streaming/pipelines.py:interval_join_stream."""
+    return pipelines.interval_join_stream(spark, sf_dir)

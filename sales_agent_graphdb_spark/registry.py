@@ -68,6 +68,7 @@ _PRIORITY: list[str] = [
     "sample_stratified_hash",
     "corpus_mix_weights",
     "s9b_orc_roundtrip",
+    "st_stream_interval_join",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.

@@ -211,3 +211,49 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(deduped, "append")
     return out.select("event_id", "event_type", "value").orderBy("event_id")
+
+
+def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchase events joined to the same
+    user's view events from the preceding hour — the attribution join
+    every clickstream pipeline runs. Both sides are watermarked, so the
+    join STATE is bounded: a buffered view can be evicted once the
+    purchase-side watermark passes view_ts + 1h (the time-range
+    condition gives Spark the eviction bound; an unconstrained
+    stream-stream join would buffer forever). Inner-join matches emit
+    as they form; availableNow drains the source, so the streamed
+    result equals the batch join exactly and the driver hash-checks it
+    against the batch SQL. At 100 TB/day both sides shard by user_id
+    in the state store across executors."""
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    buys = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("buy_ts"),
+        )
+        .withWatermark("buy_ts", "2 hours")
+    )
+    joined = views.join(
+        buys,
+        F.expr(
+            "v_user_id = b_user_id AND "
+            "view_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"
+        ),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select(
+        F.col("v_user_id").alias("user_id"), "view_id", "purchase_id"
+    ).orderBy("user_id", "view_id", "purchase_id")
