@@ -1,0 +1,76 @@
+"""Physical-plan probes for the session's ranked-retrieval / curation
+operators — the 100 TB evidence that complements the value checks in
+test_oracle_parity.py: broadcasts where the design says broadcast,
+top-k as TakeOrderedAndProject (never a global sort), and no
+nested-loop join anywhere in the candidate-generation paths.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bm25_plan_broadcasts_and_topk(spark):
+    from sales_agent_graphdb_spark.queries.text import text_bm25_search
+
+    plan = _plan(text_bm25_search(spark, SF_SMALL))
+    # df table and corpus stats are tiny → broadcast, not shuffled.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # top-k is TakeOrderedAndProject, not Sort + CollectLimit.
+    assert "TakeOrderedAndProject" in plan, plan
+    # the corpus-side joins must not degrade to a cartesian product:
+    # the only nested-loop allowed is the single-row stats crossJoin.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_decontaminate_plan_broadcasts_eval_side(spark):
+    from sales_agent_graphdb_spark.queries.curation import (
+        decontaminate_ngram_overlap,
+    )
+
+    plan = _plan(decontaminate_ngram_overlap(spark, SF_SMALL))
+    # the eval (benchmark) side is the small side and must broadcast —
+    # at 100 TB the train side never shuffles for this check.
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    from sales_agent_graphdb_spark.queries.curation import (
+        sample_stratified_hash,
+    )
+
+    plan = _plan(sample_stratified_hash(spark, SF_SMALL))
+    # no shuffle other than the final presentation sort: the sample
+    # itself is a map-side filter.
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_interval_join_batch_shape(spark):
+    """The batch twin of st_stream_interval_join (same join condition)
+    keeps an equi-key on user_id — Spark must plan a hash/merge join on
+    user_id with the time-range as post-join predicate, never a pure
+    nested loop over events x events."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+
+    ev = catalog.load_table(spark, SF_SMALL, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    j = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("vts") <= F.col("pts")),
+    )
+    plan = _plan(j)
+    assert "NestedLoop" not in plan, plan
