@@ -14,6 +14,7 @@ from sales_agent_graphdb_spark.queries import (  # noqa: F401
     mutations,
     plans_nl,
     relational,
+    scale_joins,
     scalar_fns,
     sources_io,
     streaming_exec,

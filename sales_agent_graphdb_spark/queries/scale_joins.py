@@ -1,0 +1,123 @@
+"""Scale-join strategy queries: the two explicit shuffle-management
+operators (salting for hot keys, bucketing for co-located fact-fact
+joins) surfaced as oracle-checked queries so the driver verifies their
+RESULTS, while tests/test_skew.py and tests/test_bucketing.py assert
+their PLANS (spread partitions / no Exchange).
+
+Both return exact-DECIMAL aggregates, so partition placement — the
+one thing these operators change — provably cannot change the answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.operators.skew import salted_join
+from sales_agent_graphdb_spark.registry import register
+from sales_agent_graphdb_spark.sources.bucketing import (
+    collocated_join,
+    write_bucketed,
+)
+
+# event_type is the canonical hot-key column: 5 values over the whole
+# events table, i.e. every key is a heavy hitter a plain shuffle join
+# would send to 5 reducers total.
+_TYPE_WEIGHTS = [
+    ("click", "0.10"),
+    ("error", "0.00"),
+    ("purchase", "1.00"),
+    ("signup", "0.50"),
+    ("view", "0.05"),
+]
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    WITH weights(event_type, w) AS (VALUES
+      {", ".join(f"('{t}', CAST({w} AS DECIMAL(6,2)))" for t, w in _TYPE_WEIGHTS)})
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(20,6)) * w) AS DOUBLE) AS weighted_value
+    FROM events e JOIN weights USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join: events (every event_type a heavy hitter —
+    5 keys over the whole table) joined to a tiny weights dim through
+    ``salted_join`` (operators/skew.py), which spreads each hot key
+    over 8 reducers by salting the fact side and replicating the dim.
+    The oracle is the PLAIN join SQL: salting must be invisible in the
+    result (exact-DECIMAL sum, so reducer assignment cannot skew the
+    double). tests/test_skew.py asserts the partition-spread plan; at
+    100 TB this is the shape for the hot-key tail AQE's size-based
+    splitting misses."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [(t, w) for t, w in _TYPE_WEIGHTS], "event_type string, w string"
+    ).select("event_type", F.col("w").cast("decimal(6,2)").alias("w"))
+    joined = salted_join(ev, dim, on="event_type", n_salts=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)") * F.col("w"))
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "join_bucketed_collocated",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY status ORDER BY status
+    """,
+)
+def join_bucketed_collocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join: lineitem and orders written ONCE as
+    bucketed tables sharing the orderkey bucket spec
+    (sources/bucketing.py), then joined via ``collocated_join`` — the
+    pay-the-shuffle-at-ingest layout that makes every later join on
+    the key Exchange-free (asserted in tests/test_bucketing.py). The
+    oracle is the plain join SQL over the original parquet, so the
+    bucketed write→read cycle must preserve every row and type. At
+    100 TB the bucket count scales to thousands (128-512 MB files);
+    the query shape is unchanged."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    li_t, o_t = f"bq_lineitem_{tag}", f"bq_orders_{tag}"
+    scratch = f"/root/repo/.scratch/bucketed/{tag}"
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(li, li_t, f"{scratch}/lineitem", ["l_orderkey"], n_buckets=16)
+    write_bucketed(orders, o_t, f"{scratch}/orders", ["o_orderkey"], n_buckets=16)
+    joined = collocated_join(
+        spark,
+        li_t,
+        o_t,
+        on=[F.col("l_orderkey") == F.col("o_orderkey")],  # type: ignore[list-item]
+    )
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("status")
+    )

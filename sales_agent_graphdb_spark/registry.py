@@ -69,6 +69,8 @@ _PRIORITY: list[str] = [
     "corpus_mix_weights",
     "s9b_orc_roundtrip",
     "st_stream_interval_join",
+    "join_salted_skew",
+    "join_bucketed_collocated",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
