@@ -164,3 +164,53 @@ def s9b_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@register(
+    "s9c_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderkey <= 500 THEN NULL ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey <= 1000) t
+    GROUP BY status ORDER BY status NULLS FIRST
+    """,
+)
+def s9c_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 extension — schema evolution across parquet batches, the
+    standard lake lifecycle: an early batch written WITHOUT a column,
+    a later batch WITH it, both under one table root, read back with
+    ``mergeSchema`` so the union schema applies and pre-evolution rows
+    surface NULL for the added column. The oracle reconstructs the
+    same union from the original table, so the evolved read must
+    preserve every row, type, and NULL placement. At 100 TB this is
+    how new telemetry columns roll into a landed dataset without
+    rewriting history (schema merging is scan-time metadata only)."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    root = _scratch(sf_dir, "schema_evolution")
+    (
+        o.filter(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{root}/batch=1")
+    )
+    (
+        o.filter(F.col("o_orderkey") > 500)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(f"{root}/batch=2")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy(F.col("status").asc_nulls_first())
+    )

@@ -135,3 +135,42 @@ def w5_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "w6_rank_distributions",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderkey AS orderkey,
+           rank() OVER w AS rnk,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY priority, rnk, orderkey
+    """,
+)
+def w6_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — analytic rank distributions (rank / percent_rank /
+    cume_dist) per priority group. Partitioned windows, so each group
+    sorts within its own shuffle partition — the scale-safe window
+    shape (contrast w5's deliberately-global ntile). percent_rank =
+    (rank-1)/(n-1) and cume_dist = n_le/n are single divisions of
+    exact integers: bit-exact across engines. Deterministic total
+    order via the (price DESC, orderkey) tie-break."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    )
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.rank().over(w).alias("rnk"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("priority", "rnk", "orderkey")
+    )

@@ -71,6 +71,8 @@ _PRIORITY: list[str] = [
     "st_stream_interval_join",
     "join_salted_skew",
     "join_bucketed_collocated",
+    "w6_rank_distributions",
+    "s9c_schema_evolution",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
