@@ -73,6 +73,7 @@ _PRIORITY: list[str] = [
     "join_bucketed_collocated",
     "w6_rank_distributions",
     "s9c_schema_evolution",
+    "graph_brand_projection",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
