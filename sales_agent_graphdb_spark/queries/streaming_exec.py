@@ -77,3 +77,37 @@ def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     condition bounds join state on both sides — see
     streaming/pipelines.py:interval_join_stream."""
     return pipelines.interval_join_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_sessions_complete",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def st_stream_sessions_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — the stateful sessionizer drained to completion via
+    per-user end-of-stream sentinels, making the custom stateful
+    streaming operator FULLY oracle-checked (st_stream_stateful_sessions
+    stays registered as the honest unbounded-stream shape whose open
+    sessions remain in state). Exact-decimal accumulation in the
+    Python state fn so totals match DuckDB's DECIMAL sums bit-for-bit.
+    See streaming/pipelines.py:stateful_sessions_complete_stream."""
+    return pipelines.stateful_sessions_complete_stream(spark, sf_dir)

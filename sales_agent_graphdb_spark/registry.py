@@ -74,6 +74,7 @@ _PRIORITY: list[str] = [
     "w6_rank_distributions",
     "s9c_schema_evolution",
     "graph_brand_projection",
+    "st_stream_sessions_complete",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.

@@ -257,3 +257,139 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("v_user_id").alias("user_id"), "view_id", "purchase_id"
     ).orderBy("user_id", "view_id", "purchase_id")
+
+
+def _make_session_fn_exact(gap_s: int):
+    """Variant of _make_session_fn that accumulates value in exact
+    decimal (str-roundtripped doubles), so the flushed total matches
+    DuckDB's SUM(CAST(value AS DECIMAL)) bit-for-bit — required for
+    the oracle-checked complete-sessions query. Sentinel events
+    (event-time far past every real event) close each user's final
+    session; the sentinel's own singleton session stays in state and
+    is never emitted."""
+    import decimal as _decimal
+
+    import pandas as _pd
+
+    def session_fn(key, pdf_iter, state):
+        (user_id,) = key
+        rows = _pd.concat(list(pdf_iter)).sort_values("ts_us")
+        if state.exists:
+            last_ts, start, n, total_str = state.get
+            total = _decimal.Decimal(total_str)
+        else:
+            last_ts, start, n, total = None, None, 0, _decimal.Decimal(0)
+        out = []
+        for ts_us, value in zip(rows["ts_us"], rows["value"]):
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us - last_ts > gap_s * 1_000_000:
+                out.append((user_id, start, n, float(total)))
+                start, n, total = ts_us, 1, _decimal.Decimal(str(value))
+            else:
+                start = ts_us if start is None else start
+                n += 1
+                total += _decimal.Decimal(str(value))
+            last_ts = ts_us
+        state.update((last_ts, start, n, str(total)))
+        if out:
+            yield _pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [_pd.Timestamp(o[1], unit="us") for o in out],
+                    "n_events": [o[2] for o in out],
+                    "total_value": [o[3] for o in out],
+                }
+            )
+
+    return session_fn
+
+
+_STATE_SCHEMA_EXACT = "last_ts long, session_start long, n long, total string"
+
+
+def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL sessions from the stateful operator — open sessions are
+    closed by injecting one end-of-stream sentinel event per user
+    (event-time 2 gaps past the global max), the standard
+    drain-a-bounded-run move for stateful streaming: the sentinel
+    exceeds every user's inactivity gap, so each final real session
+    flushes, while the sentinel's own singleton session stays in
+    state unemitted. The streamed result then equals the batch
+    gap-and-islands sessionization EXACTLY, and the driver
+    hash-checks it against the same DuckDB oracle as
+    st_session_window. Source = a scratch dir holding the original
+    events parquet plus the tiny sentinel file (testdata itself is
+    read-only)."""
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = os.path.join(SCRATCH, f"sessions_src_{run_id}")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(
+        os.path.realpath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+
+    schema = _events_raw_schema(spark, sf_dir)
+    ts_kind = schema["ts"].dataType.simpleString()
+    # Batch-read the events to compute per-user sentinels (one tiny
+    # row per user; 2*gap past the global max so every user's gap to
+    # its sentinel exceeds the session gap).
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    sent = (
+        ev.groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .crossJoin(ev.agg(F.max("ts").alias("gmx")))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("gmx") + F.expr(f"INTERVAL {2 * SESSION_GAP_S} SECONDS")).alias(
+                "ts_t"
+            ),
+            F.col("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    if ts_kind == "bigint":
+        sent = sent.withColumn("ts", F.unix_micros(F.col("ts_t")) * F.lit(1000))
+    else:
+        sent = sent.withColumn("ts", F.col("ts_t").cast(schema["ts"].dataType))
+    sent = sent.select("event_id", "ts", "user_id", "event_type", "value", "props")
+    # Single parquet file, written AFTER the symlink so a
+    # modification-time-ordered file source sees it last (either
+    # ordering is correct — the stateful fn sorts by event time).
+    sent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "sentinel.parquet")
+    )
+
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*.parquet")
+    )
+    if ts_kind == "bigint":
+        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    events = stream.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+    )
+    result = events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn_exact(SESSION_GAP_S),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA_EXACT,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "append")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
