@@ -121,3 +121,49 @@ def join_bucketed_collocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey <= 3000
+    GROUP BY priority ORDER BY priority
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a materialized per-priority
+    aggregate (base = orders with key ≤ 2000) updated by MERGING the
+    partial aggregate of a delta batch (2000 < key ≤ 3000) — sums and
+    counts combine associatively, so the maintained view must equal
+    the full recompute the oracle runs. THE core 100 TB pattern: a
+    nightly batch touches the aggregate with O(|delta|) work instead
+    of rescanning the fact table (partial aggregation in exact
+    DECIMAL, so merge order cannot skew the double). The merge is a
+    full-outer union-agg on the group key — the same shape a
+    foreachBatch streaming upsert produces."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+
+    def partial(lo: int, hi: int) -> DataFrame:
+        return (
+            o.filter((F.col("o_orderkey") > lo) & (F.col("o_orderkey") <= hi))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_d"),
+            )
+        )
+
+    base = partial(-1, 2000)  # the standing materialized aggregate (keys start at 0)
+    delta = partial(2000, 3000)  # tonight's batch, aggregated alone
+    merged = (
+        base.unionByName(delta)
+        .groupBy("priority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("total_d").cast("double").alias("total"),
+        )
+    )
+    return merged.orderBy("priority")

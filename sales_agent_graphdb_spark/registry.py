@@ -75,6 +75,7 @@ _PRIORITY: list[str] = [
     "s9c_schema_evolution",
     "graph_brand_projection",
     "st_stream_sessions_complete",
+    "incremental_agg_maintenance",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
