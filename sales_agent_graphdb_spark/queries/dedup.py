@@ -200,3 +200,42 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.minhash_lsh_join(
         batch, corpus, jaccard_threshold=0.5, max_bucket_size=128
     ).orderBy("new_id", "corpus_id")
+
+
+@register("dedup_cluster_canonical", oracle=None)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the final step of a corpus
+    dedup pipeline, composed from two existing operators: MinHash-LSH
+    verified pairs (the similarity graph's edges) → connected
+    components (transitive closure, O(log d) pointer-doubling) →
+    per-cluster canonical = min doc_id, with cluster size. This is
+    what actually gets APPLIED to a 100 TB corpus: keep the canonical,
+    drop the rest — pairwise output alone can't express transitive
+    duplicate chains (A~B, B~C, A!~C must still collapse to one
+    cluster). Rows-only for the driver (xxhash64 seeds); pytest checks
+    the clustering against exact-Jaccard-pairs components at sf0.001.
+    Returns (canonical_doc_id, cluster_size, member_ids as sorted
+    JSON) for clusters with >= 2 members."""
+    from sales_agent_graphdb_spark.operators.graph import connected_components
+
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = lsh.minhash_lsh_pairs(
+        corpus,
+        n_hashes=32,
+        n_bands=8,
+        shingle_k=5,
+        jaccard_threshold=0.5,
+        max_bucket_size=128,
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    clusters = comp.groupBy("component").agg(
+        F.min("id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.to_json(F.sort_array(F.collect_list("id"))).alias("member_ids"),
+    )
+    return (
+        clusters.filter(F.col("cluster_size") >= 2)
+        .select("canonical_doc_id", "cluster_size", "member_ids")
+        .orderBy("canonical_doc_id")
+    )

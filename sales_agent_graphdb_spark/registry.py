@@ -76,6 +76,7 @@ _PRIORITY: list[str] = [
     "graph_brand_projection",
     "st_stream_sessions_complete",
     "incremental_agg_maintenance",
+    "dedup_cluster_canonical",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.

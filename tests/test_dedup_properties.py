@@ -139,3 +139,60 @@ def test_incremental_minhash_finds_planted_sources(spark):
     # aggregate recall instead of per-pair membership.
     recall = len(planted & found) / len(planted)
     assert recall >= 0.9, f"planted recall {recall:.2f} < 0.9"
+
+
+def test_cluster_canonical_matches_exact_components(spark):
+    """dedup_cluster_canonical's clustering must agree with connected
+    components over the EXACT-Jaccard pair graph wherever LSH found
+    the pairs (LSH can only drop edges — banding misses — so every
+    LSH cluster must be a subset of exactly one exact cluster, and
+    every planted exact-duplicate pair must land in the same LSH
+    cluster)."""
+    import json
+
+    from sales_agent_graphdb_spark.queries.dedup import dedup_cluster_canonical
+
+    rows = dedup_cluster_canonical(spark, SF_SMALL).collect()
+    assert rows, "planted duplicates must produce clusters"
+    # exact ground-truth components via union-find over exact pairs
+    corpus = dup_corpus(spark, SF_SMALL)
+    sh = corpus.select("doc_id", lsh.char_shingles(F.col("text"), 5).alias("g"))
+    a, b = sh.alias("a"), sh.alias("b")
+    exact_pairs = [
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            lsh.jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        )
+        .filter(F.col("j") >= 0.5)
+        .collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in exact_pairs:
+        parent[find(x)] = find(y)
+    exact_root = {x: find(x) for x in list(parent)}
+
+    for r in rows:
+        members = json.loads(r.member_ids)
+        assert r.canonical_doc_id == min(members)
+        assert r.cluster_size == len(members)
+        # subset property: one LSH cluster never spans two exact clusters
+        roots = {exact_root.get(m, m) for m in members}
+        assert len(roots) == 1, f"cluster {members} spans exact components {roots}"
+    # planted exact copies (doc_id in [40,60) duplicated at +DUP_OFFSET)
+    # must be clustered together
+    clustered = {m: r.canonical_doc_id for r in rows for m in json.loads(r.member_ids)}
+    for i in range(40, 60):
+        assert clustered.get(i) == clustered.get(i + DUP_OFFSET), (
+            f"planted exact pair ({i}, {i + DUP_OFFSET}) not co-clustered"
+        )
