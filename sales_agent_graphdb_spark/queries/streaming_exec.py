@@ -111,3 +111,21 @@ def st_stream_sessions_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python state fn so totals match DuckDB's DECIMAL sums bit-for-bit.
     See streaming/pipelines.py:stateful_sessions_complete_stream."""
     return pipelines.stateful_sessions_complete_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_foreachbatch_upsert",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — foreachBatch sink maintaining a lake aggregate table
+    across 3 microbatches (partial-aggregate merge per batch, i.e.
+    streaming incremental view maintenance); the maintained table must
+    equal the one-shot batch aggregate. See
+    streaming/pipelines.py:foreachbatch_upsert_stream."""
+    return pipelines.foreachbatch_upsert_stream(spark, sf_dir)

@@ -77,6 +77,7 @@ _PRIORITY: list[str] = [
     "st_stream_sessions_complete",
     "incremental_agg_maintenance",
     "dedup_cluster_canonical",
+    "st_stream_foreachbatch_upsert",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.

@@ -393,3 +393,78 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
         "n_events",
         "total_value",
     ).orderBy("user_id", "session_start")
+
+
+def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → lake-table maintenance via ``foreachBatch``: the
+    events stream (split into multiple microbatches) incrementally
+    upserts a per-event_type aggregate table on disk — each batch
+    merges its PARTIAL aggregate into the standing table (read → union
+    → re-aggregate → overwrite), the exact incremental-view shape of
+    incremental_agg_maintenance driven by a stream. Counts and DECIMAL
+    sums combine associatively, so after the drain the maintained
+    table must equal the one-shot batch aggregate, which the driver
+    hash-checks. At 100 TB the sink is a real MERGE INTO (Delta/
+    Iceberg); parquet overwrite of the tiny aggregate stands in with
+    identical semantics."""
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = os.path.join(SCRATCH, f"febu_src_{run_id}")
+    tbl_dir = os.path.join(SCRATCH, f"febu_tbl_{run_id}")
+
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    # Split the source into 3 files => 3 microbatches with
+    # maxFilesPerTrigger=1: the upsert must be exercised as an UPDATE
+    # of existing keys, not just a first insert.
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    batch_schema = spark.read.parquet(src_dir).schema
+
+    def upsert(batch_df, batch_id):  # noqa: ANN001
+        part = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("total_d"),
+        )
+        if os.path.exists(os.path.join(tbl_dir, "_SUCCESS")):
+            existing = batch_df.sparkSession.read.parquet(tbl_dir)
+            merged = existing.unionByName(part)
+        else:
+            merged = part
+        out = (
+            merged.groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_d").alias("total_d"),
+            )
+            .localCheckpoint(eager=True)  # detach from the table being overwritten
+        )
+        out.write.mode("overwrite").parquet(tbl_dir)
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*.parquet")
+    )
+    ckpt = os.path.join(SCRATCH, f"ckpt_febu_{run_id}")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.read.parquet(tbl_dir)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("total_d").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return final
