@@ -201,3 +201,50 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+_PIVOT_STATUSES = ["DELIVERED", "PENDING", "PROCESSING"]
+
+
+@register(
+    "agg_pivot_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority AS priority,
+             SUM(CASE WHEN status = 'DELIVERED'  THEN 1 ELSE 0 END) AS "DELIVERED",
+             SUM(CASE WHEN status = 'PENDING'    THEN 1 ELSE 0 END) AS "PENDING",
+             SUM(CASE WHEN status = 'PROCESSING' THEN 1 ELSE 0 END) AS "PROCESSING"
+      FROM (SELECT o_orderpriority,
+                   CASE o_orderstatus WHEN 'O' THEN 'PENDING'
+                                      WHEN 'P' THEN 'PROCESSING'
+                                      ELSE 'DELIVERED' END AS status
+            FROM orders)
+      GROUP BY priority)
+    SELECT priority, status, CAST(n AS BIGINT) AS n FROM wide
+    UNPIVOT (n FOR status IN ("DELIVERED", "PENDING", "PROCESSING"))
+    ORDER BY priority, status
+    """,
+)
+def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 extension — pivot (long→wide: order counts per priority ×
+    status, FIXED value list so the schema is static and the pivot
+    needs no discovery pass over the data — the scale-safe form) then
+    unpivot back (wide→long), proving the roundtrip is lossless. The
+    oracle mirrors both steps with CASE sums + UNPIVOT. At 100 TB a
+    pivot with explicit values is one groupBy shuffle; the
+    value-discovery variant (pivot() with no list) adds a distinct
+    scan and an unbounded-width schema — avoided by design."""
+    o = catalog.ref_orders(spark, sf_dir)
+    wide = (
+        o.groupBy(F.col("priority"))
+        .pivot("status", _PIVOT_STATUSES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _PIVOT_STATUSES)
+    )
+    long = wide.unpivot(
+        ids=["priority"],
+        values=_PIVOT_STATUSES,
+        variableColumnName="status",
+        valueColumnName="n",
+    )
+    return long.orderBy("priority", "status")

@@ -78,6 +78,7 @@ _PRIORITY: list[str] = [
     "incremental_agg_maintenance",
     "dedup_cluster_canonical",
     "st_stream_foreachbatch_upsert",
+    "agg_pivot_unpivot",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
