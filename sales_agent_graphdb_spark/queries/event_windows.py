@@ -163,3 +163,58 @@ def st_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'view' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 DAY GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 1 DAY GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_signup,
+           CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_view_after_signup,
+           CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchase_after_view
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (signup → first view within 1 day
+    AFTER signup → first purchase within 1 day AFTER that view) — the
+    product-analytics sequence query windowing alone can't express
+    (each stage's anchor depends on the previous stage's result, and
+    the conversion window makes stage counts strictly informative:
+    150 → 39 → 15 at sf0.01). Three stage aggregations, each joined
+    to the previous stage's per-user anchor time; stage tables shrink
+    monotonically, so joins 2 and 3 broadcast their anchor side. At
+    100 TB each stage is one map-side-combinable groupBy on user_id —
+    the classic funnel shape, never a per-user sort or collect."""
+    e = catalog.load_table(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
+        src = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(F.broadcast(prev), "user_id").filter(
+                (F.col("ts") > F.col("t_prev"))
+                & (F.col("ts") <= F.col("t_prev") + F.expr("INTERVAL 1 DAY"))
+            )
+        return src.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    s1 = stage(None, "signup")
+    s2 = stage(s1, "view")
+    s3 = stage(s2, "purchase")
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias(name))
+        for df, name in (
+            (s1, "n_signup"),
+            (s2, "n_view_after_signup"),
+            (s3, "n_purchase_after_view"),
+        )
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])

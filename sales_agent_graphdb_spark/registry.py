@@ -79,6 +79,7 @@ _PRIORITY: list[str] = [
     "dedup_cluster_canonical",
     "st_stream_foreachbatch_upsert",
     "agg_pivot_unpivot",
+    "funnel_conversion",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
