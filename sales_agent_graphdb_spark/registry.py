@@ -83,6 +83,9 @@ _PRIORITY: list[str] = [
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
+# ROUND-3 TODO: fold CORRECTNESS_r02's newly-green names into this set
+# (and empty _PRIORITY of anything the driver confirmed) so the next
+# 50-query budget reaches the still-unverified tail first.
 _VERIFIED_R01: frozenset[str] = frozenset({
     "a1_order_totals", "a2_count_by_group", "a3_distinct_categories",
     "a4_dedup_last_wins", "a5_dedup_normalized_content", "a6_string_agg",
