@@ -218,3 +218,60 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor((epoch(CAST(date_trunc('week', e.ts) AS TIMESTAMP))
+                         - epoch(CAST(f.cohort_week AS TIMESTAMP)))
+                        / 604800.0) AS BIGINT) AS week_offset
+      FROM events e JOIN first_seen f USING (user_id))
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users grouped by first-seen week,
+    counted per week-offset of later activity: the standard retention
+    analysis every events pipeline serves. Two aggregations and one
+    broadcast-able join on user_id (the cohort table is one row per
+    user — at 100 TB it shards by user hash and the join stays
+    co-partitioned with the events scan). DISTINCT before the count
+    dedups multiple events in the same week; week arithmetic is exact
+    integer epoch math, so the oracle matches bit-for-bit."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+                    - F.unix_timestamp(F.col("cohort_week"))
+                )
+                / F.lit(604800.0)
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -80,6 +80,7 @@ _PRIORITY: list[str] = [
     "st_stream_foreachbatch_upsert",
     "agg_pivot_unpivot",
     "funnel_conversion",
+    "retention_cohorts",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
