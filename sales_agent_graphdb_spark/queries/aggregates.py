@@ -248,3 +248,70 @@ def agg_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="n",
     )
     return long.orderBy("priority", "status")
+
+
+@register(
+    "feature_zscore_stats",
+    oracle="""
+    WITH moments AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(sqrt((s2 - (s1 * s1) / n) / (n - 1)), 6) AS stddev
+    FROM moments ORDER BY event_type
+    """,
+)
+def feature_zscore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML feature-prep: per-group standardization moments (n, mean,
+    sample stddev) computed from EXACT DECIMAL power sums, not the
+    engines' streaming variance kernels — Spark's stddev_samp uses
+    Welford-style updates whose intermediate rounding differs from
+    DuckDB's, so the portable form is sum/sumsq in decimal, then the
+    closed-form variance in doubles with an identical expression tree,
+    rounded to 6 decimals on both sides (DuckDB's int128 DECIMAL(38,12)
+    -> DOUBLE conversion double-rounds, a ~1-ulp drift the rounding
+    absorbs — same trick as graph_pagerank).
+    One map-side-combinable groupBy; the z-score itself is then a
+    broadcast join of these 5 rows against the fact scan."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    d6 = F.col("value").cast("decimal(19,6)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("s1"),
+        F.sum(d6 * d6).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return m.select(
+        "event_type",
+        "n",
+        F.round(s1 / n, 6).alias("mean"),
+        F.round(F.sqrt((s2 - (s1 * s1) / n) / (n - F.lit(1))), 6).alias("stddev"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY bin ORDER BY bin
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bin = floor(value/25)) —
+    the distribution-profiling primitive behind data-quality dashboards
+    and feature binning. One map-side-combinable groupBy on a dense
+    integer key; at 100 TB the bin count stays constant, so the final
+    reduce is trivially small regardless of input size."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )

@@ -81,6 +81,8 @@ _PRIORITY: list[str] = [
     "agg_pivot_unpivot",
     "funnel_conversion",
     "retention_cohorts",
+    "feature_zscore_stats",
+    "agg_value_histogram",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
