@@ -563,3 +563,95 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash-LSH (md5 hash family) — the ORACLE-CHECKABLE
+# twin of minhash_lsh_pairs. Same cascade (shingle → minhash → band →
+# bucket join → exact-Jaccard verify) but every hash is md5-derived,
+# which DuckDB reproduces bit-for-bit, so the driver can hash-check the
+# full LSH pipeline end-to-end instead of trusting rows-only + pytest
+# recall. The xxhash64 variant stays the performance path (one JVM
+# hash vs md5's 128-bit digest per shingle-seed).
+# ---------------------------------------------------------------------------
+
+
+def _portable_hash(s: Column, seed: Column) -> Column:
+    """60-bit hash from md5(s + '#' + seed) — identical in DuckDB as
+    CAST(('0x' || substr(md5(s || '#' || seed), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(s, F.lit("#"), seed.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a deterministic, engine-portable
+    hash family. Output = candidate pairs sharing ≥1 band bucket whose
+    exact shingle Jaccard ≥ threshold — fully reproducible in SQL (no
+    estimate filter or bucket cap in this variant, so the output is a
+    pure function of the md5 family; those stages only prune cost, and
+    the perf twin keeps them).
+
+    Shape is identical to the scale path: skinny (id, band, bucket)
+    rows for the candidate join, shingle sets joined back only for the
+    verified candidates, and every aggregation map-side combinable."""
+    rows_per_band = n_hashes // n_bands
+    toks = shingle_tokens(df, text_col, id_col, shingle_k).distinct()
+    toks = toks.localCheckpoint(eager=False)  # feeds minhash AND verify
+    seeded = toks.select(
+        "id",
+        "g",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
+    )
+    minh = (
+        seeded.select("id", "seed", _portable_hash(F.col("g"), F.col("seed")).alias("h"))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    banded = (
+        minh.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = toks.groupBy("id").agg(F.collect_set("g").alias("gs"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("gs").alias("gs_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gs_b"))
+    inter = F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b"))).cast("double")
+    union = F.size(F.array_union(F.col("gs_a"), F.col("gs_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+    )

@@ -239,3 +239,59 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("canonical_doc_id", "cluster_size", "member_ids")
         .orderBy("canonical_doc_id")
     )
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    norm AS (
+      SELECT doc_id AS id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
+      FROM corpus),
+    toks AS (
+      SELECT DISTINCT id, substr(t, u.p, 5) AS g
+      FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(p)),
+    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+    minh AS (
+      SELECT id, seed,
+             MIN(CAST(('0x' || substr(md5(g || '#' || seed), 1, 15)) AS BIGINT)) AS mh
+      FROM toks CROSS JOIN seeds GROUP BY id, seed),
+    banded AS (
+      SELECT id, seed // 4 AS band,
+             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
+      FROM minh GROUP BY id, seed // 4),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b)
+    SELECT i.id_a, i.id_b,
+           CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jaccard_sim
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, HASH-CHECKED END-TO-END: the
+    oracle-checkable twin of dedup_minhash_lsh. Same cascade, but the
+    hash family is md5-derived (portable to DuckDB bit-for-bit), so
+    the driver verifies the ENTIRE pipeline — shingling, 16-seed
+    minhash signatures, 4-band bucketing, candidate join, exact
+    Jaccard verify — against a full SQL mirror, not just row counts.
+    The xxhash64 variant stays the performance path; pytest ties the
+    two together via the shared recall pin. 16 hashes / 4 bands keeps
+    the banding curve near the 32/8 perf config (r = 4 rows per band
+    in both)."""
+    corpus = dup_corpus(spark, sf_dir)
+    return lsh.minhash_lsh_pairs_portable(
+        corpus, n_hashes=16, n_bands=4, shingle_k=5, jaccard_threshold=0.5
+    ).orderBy("id_a", "id_b")

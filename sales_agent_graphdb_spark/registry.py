@@ -83,6 +83,7 @@ _PRIORITY: list[str] = [
     "retention_cohorts",
     "feature_zscore_stats",
     "agg_value_histogram",
+    "dedup_minhash_lsh_portable",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
