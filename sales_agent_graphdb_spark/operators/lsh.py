@@ -655,3 +655,85 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b", (inter / union).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
     )
+
+
+def simhash_portable_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with the engine-portable md5 hash family —
+    the oracle-checkable twin of simhash_near_dup_pairs (same Charikar
+    construction, same pigeonhole banding, xxhash64 swapped for the
+    60-bit md5 hash DuckDB reproduces). 60 signature bits in 4×15-bit
+    chunks: ≤3 differing bits still leave ≥1 of 4 chunks identical, so
+    the pigeonhole candidate guarantee is unchanged."""
+    n_bits, n_chunks, chunk_len = 60, 4, 15
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("t"),
+    )
+    hashed = toks.select(
+        "id", _portable_hash(F.col("t"), F.lit(0)).alias("h")
+    )
+    # MSB-first over the 60-bit value, matching substr-based banding.
+    sums = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), n_bits - 1 - j).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(n_bits)
+        ]
+    )
+    sig = F.concat(
+        *[
+            F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(n_bits)
+        ]
+    )
+    sigs = sums.select("id", sig.alias("sh"))
+    banded = sigs.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk"),
+                    F.col("sh")
+                    .substr(i * chunk_len + 1, F.lit(chunk_len))
+                    .alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "id", "sh", F.col("bb.chunk").alias("chunk"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "hamming", hamming_bits(F.col("sh_a"), F.col("sh_b")).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

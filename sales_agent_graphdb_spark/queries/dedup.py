@@ -295,3 +295,50 @@ def dedup_minhash_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.minhash_lsh_pairs_portable(
         corpus, n_hashes=16, n_bands=4, shingle_k=5, jaccard_threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+      SELECT doc_id AS id, u.t
+      FROM corpus, unnest(string_split_regex(
+        trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), '\\s+')) AS u(t)),
+    hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(t || '#' || 0), 1, 15)) AS BIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT id, g.j,
+             SUM(CASE WHEN (h >> (59 - g.j)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM hashed, unnest(generate_series(0, 59)) AS g(j)
+      GROUP BY id, g.j),
+    sigs AS (
+      SELECT id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+      FROM bits GROUP BY id),
+    banded AS (
+      SELECT id, sh, c.i AS chunk, substr(sh, c.i * 15 + 1, 15) AS bucket
+      FROM sigs, unnest(generate_series(0, 3)) AS c(i)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, a.sh AS sh_a, b.id AS id_b, b.sh AS sh_b
+      FROM banded a JOIN banded b
+        ON a.chunk = b.chunk AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT id_a, id_b,
+           CAST(len(list_filter(generate_series(1, 60),
+                p -> substr(sh_a, p, 1) <> substr(sh_b, p, 1))) AS INT) AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 60),
+          p -> substr(sh_a, p, 1) <> substr(sh_b, p, 1))) <= 3
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, HASH-CHECKED END-TO-END: the
+    oracle-checkable twin of dedup_simhash (same Charikar signature +
+    pigeonhole banding, md5-portable 60-bit token hashes). The driver
+    verifies the whole pipeline — token hashing, signed bit votes,
+    60-char signature, 4×15-bit banding, hamming verify — against a
+    full SQL mirror. The xxhash64 variant stays the performance
+    path."""
+    corpus = dup_corpus(spark, sf_dir)
+    return lsh.simhash_portable_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")

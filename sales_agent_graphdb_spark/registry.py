@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
     "feature_zscore_stats",
     "agg_value_histogram",
     "dedup_minhash_lsh_portable",
+    "dedup_simhash_portable",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
