@@ -366,3 +366,84 @@ def hyperplane_dedup_pairs(
         .filter(F.col("cos_sim") >= threshold)
     )
     return verified
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable hyperplane-LSH top-k — the oracle-checkable twin of
+# hyperplane_lsh_topk. Same hyperplanes (seeded standard normal, inlined
+# as literals), but the QUERY bucket is computed inside the plan with
+# the same left-to-right fold dot product as the corpus side — so the
+# whole pipeline (sign bits, bucket equality, cosine rerank) is
+# reproducible in DuckDB bit-for-bit. The numpy-side q-bucket variant
+# stays the perf path (one driver-side dot vs a per-row crossJoin col).
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_lsh_topk_portable(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    planes = _hyperplanes(n_tables, n_planes, dim)
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qv")
+    )
+    joined = embeddings.crossJoin(F.broadcast(q))
+    v, qv = F.col(vec_col), F.col("qv")
+    match_any = None
+    for t in range(n_tables):
+        cond = _bucket_col(v, planes[t]) == _bucket_col(qv, planes[t])
+        match_any = cond if match_any is None else (match_any | cond)
+    scored = joined.filter(match_any).select(
+        F.col(id_col), cosine(v, qv).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def duckdb_lsh_topk_sql(
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    query_id: int = 0,
+) -> str:
+    """Full SQL mirror of hyperplane_lsh_topk_portable: literal planes,
+    fold-order dot products (list_sum over list order — matches
+    Spark's aggregate fold, proven bit-exact by the v1 oracle)."""
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    planes = _hyperplanes(n_tables, n_planes, dim)
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def dot_sql(vec: str, p) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {plane_lit(p)}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        terms = [
+            f"(CASE WHEN {dot_sql(vec, planes[t][j])} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    match = " OR ".join(
+        f"{bucket_sql('e.embedding', t)} = {bucket_sql('q.qv', t)}"
+        for t in range(n_tables)
+    )
+    cos = duckdb_cosine_sql("e.embedding", "q.qv")
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id})
+    SELECT e.vec_id, {cos} AS sim
+    FROM embeddings e CROSS JOIN q
+    WHERE {match}
+    ORDER BY sim DESC, e.vec_id LIMIT {k}
+    """

@@ -112,3 +112,20 @@ def ann_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.write_lsh_index(spark, emb, path, dim=len(qv))
         _mark_index(path, sf_dir)
     return ann.lsh_pruned_topk(spark, path, emb, qv, k=5)
+
+
+@register(
+    "ann_lsh_topk_portable",
+    oracle=ann.duckdb_lsh_topk_sql(k=5, n_tables=8, n_planes=4, dim=64, query_id=0),
+)
+def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5, HASH-CHECKED END-TO-END: the
+    oracle-checkable twin of ann_lsh_topk. The seeded hyperplanes are
+    inlined as literals on BOTH engines, and the query bucket is
+    computed inside the plan with the same left-to-right fold dot
+    product as the corpus side — so sign bits, bucket equality, and
+    the exact-cosine rerank are all reproducible in DuckDB bit-for-bit
+    (the fold-order trick proven by the v1 oracle). The numpy-q-bucket
+    variant stays the perf path."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return ann.hyperplane_lsh_topk_portable(emb, k=5)
