@@ -447,3 +447,76 @@ def duckdb_lsh_topk_sql(
     WHERE {match}
     ORDER BY sim DESC, e.vec_id LIMIT {k}
     """
+
+
+def ivf_topk_portable(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k, oracle-checkable twin of ivf_topk: deterministic
+    first-N-by-id centroids (readable identically in SQL), argmax-dot
+    cell assignment with ties→lowest cell, probe = top-n_probe
+    centroids by dot with the query. The probe dots are computed
+    driver-side as a strict left-to-right Python-float fold — the same
+    sequential double fold as Spark's aggregate() and DuckDB's
+    list_sum, so all three agree bit-for-bit."""
+    cents = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    )
+    qv = [float(x) for x in qrow[0]]
+
+    def fold_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    probe = sorted(
+        range(n_cells), key=lambda c: (-fold_dot(cents[c], qv), c)
+    )[:n_probe]
+    assigned = ivf_assign(embeddings, cents, vec_col)
+    scored = assigned.filter(F.col("cell").isin(probe)).select(
+        F.col(id_col), cosine(F.col(vec_col), lit_vector(qv)).alias("sim")
+    )
+    return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def duckdb_ivf_topk_sql(
+    k: int = 5, n_cells: int = 16, n_probe: int = 4, query_id: int = 0
+) -> str:
+    """SQL mirror of ivf_topk_portable. Centroids come from the same
+    first-N-by-id rows; every dot is the same fold; assignment ties
+    break to the lowest cell id via ORDER BY (dot DESC, cid)."""
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    def dot_sql(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    cos = duckdb_cosine_sql("a.embedding", "q.qv")
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+    probe AS (
+      SELECT cid FROM cents, q
+      ORDER BY {dot_sql("cv", "qv")} DESC, cid LIMIT {n_probe}),
+    assign AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cid FROM cents c
+              ORDER BY {dot_sql("c.cv", "e.embedding")} DESC, c.cid LIMIT 1) AS cell
+      FROM embeddings e)
+    SELECT a.vec_id, {cos} AS sim
+    FROM assign a CROSS JOIN q
+    WHERE a.cell IN (SELECT cid FROM probe)
+    ORDER BY sim DESC, a.vec_id LIMIT {k}
+    """

@@ -129,3 +129,19 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant stays the perf path."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return ann.hyperplane_lsh_topk_portable(emb, k=5)
+
+
+@register(
+    "ann_ivf_topk_portable",
+    oracle=ann.duckdb_ivf_topk_sql(k=5, n_cells=16, n_probe=4, query_id=0),
+)
+def ann_ivf_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5, HASH-CHECKED END-TO-END: deterministic first-16-by-id
+    centroids (read identically by the SQL mirror), argmax-dot cell
+    assignment with ties→lowest cell, top-4-cell probe, exact-cosine
+    rerank — every dot the same sequential double fold on Spark,
+    Python (driver-side probe), and DuckDB. The k-means variant
+    (ann_ivf_pruned_topk) stays the quality/scale path; this twin
+    proves the IVF mechanics against a full SQL oracle."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return ann.ivf_topk_portable(emb, k=5)

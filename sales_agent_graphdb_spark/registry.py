@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
     "dedup_minhash_lsh_portable",
     "dedup_simhash_portable",
     "ann_lsh_topk_portable",
+    "ann_ivf_topk_portable",
 ]
 
 # Green (rows+schema+hash) or rows-only-ran names from CORRECTNESS_r01.
