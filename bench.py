@@ -38,7 +38,11 @@ HEADLINE = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "v1_knn_cosine_top5",
-    "ann_ivf_topk",
+    # ANN headline = the materialized-index scale paths. The query-time
+    # twins (ann_ivf_topk / ann_lsh_topk, which re-assign the corpus per
+    # query) stay registered as didactic forms but are not benched: the
+    # production shape is probe-over-existing-index.
+    "ann_lsh_pruned_topk",
     "ann_ivf_pruned_topk",
     "text_quality_score",
     "text_bm25_search",
@@ -51,7 +55,7 @@ HEADLINE = [
 # measures the QUERY path over the existing index — the production
 # shape the materialized-index design exists for; the build cost is the
 # ingest side, amortized over every query.
-WARM_FIRST = ["ann_ivf_pruned_topk"]
+WARM_FIRST = ["ann_lsh_pruned_topk", "ann_ivf_pruned_topk"]
 
 
 def main() -> None:
@@ -84,6 +88,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Index-building queries pre-warmed: their lines time the
+                # probe path over the materialized index, not the ingest-
+                # side build (see WARM_FIRST comment).
+                "warmed": [n for n in WARM_FIRST if n in specs],
             }
         )
     )

@@ -86,9 +86,13 @@ def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     path = _index_path(sf_dir, "ivf")
     cent_file = Path(path) / "_CENTROIDS.json"
+    cents = None
     if _index_fresh(path, sf_dir):
-        cents = np.asarray(json.loads(cent_file.read_text()))
-    else:
+        try:
+            cents = np.asarray(json.loads(cent_file.read_text()))
+        except (OSError, ValueError):
+            cents = None  # stamp present but sidecar missing/corrupt → rebuild
+    if cents is None:
         cents = ann.write_ivf_index(spark, emb, path, n_cells=16, n_iter=3)
         cent_file.write_text(json.dumps(cents.tolist()))
         _mark_index(path, sf_dir)
@@ -112,6 +116,30 @@ def ann_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.write_lsh_index(spark, emb, path, dim=len(qv))
         _mark_index(path, sf_dir)
     return ann.lsh_pruned_topk(spark, path, emb, qv, k=5)
+
+
+@register(
+    "ann_ivf_pruned_portable",
+    oracle=ann.duckdb_ivf_topk_sql(k=5, n_cells=16, n_probe=4, query_id=0),
+)
+def ann_ivf_pruned_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a MATERIALIZED index, HASH-CHECKED END-TO-END
+    (VERDICT r02 #3): the portable twin of ann_ivf_pruned_topk. Ingest
+    writes the corpus partitioned by cell using the deterministic
+    first-16-by-id centroids (the same ones the SQL mirror derives),
+    the query prune-reads the 4 fold-order-probed cell partitions and
+    reranks exact — so the driver's value hash covers the index BUILD
+    (cell assignment at write), the physical partition PRUNE, and the
+    rerank, not just the query-time arithmetic the r02 twin proved.
+    The k-means variant stays the quality/scale path."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _index_path(sf_dir, "ivf_portable")
+    if not _index_fresh(path, sf_dir):
+        ann.write_ivf_index_portable(spark, emb, path, n_cells=16)
+        _mark_index(path, sf_dir)
+    return ann.ivf_pruned_topk_portable(
+        spark, path, emb, k=5, n_cells=16, n_probe=4, query_id=0
+    )
 
 
 @register(
