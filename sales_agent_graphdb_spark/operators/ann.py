@@ -235,14 +235,18 @@ def ivf_pruned_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe: list[int] | None = None,
 ) -> DataFrame:
     """IVF top-k over the MATERIALIZED index: probe = equi-filter on
     the ``cell`` partition column → the parquet scan's PartitionFilters
     skip (n_cells - n_probe)/n_cells of the files before any cosine is
     evaluated (asserted by plan probe in tests/test_ann.py). This is
-    the scale path ``ivf_topk`` only simulated."""
-    q = np.asarray(query_vec)
-    probe = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
+    the scale path ``ivf_topk`` only simulated. ``probe`` overrides the
+    numpy probe-cell selection (the portable twin passes fold-order
+    dots so DuckDB reproduces the choice bit-for-bit)."""
+    if probe is None:
+        q = np.asarray(query_vec)
+        probe = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
     idx = spark.read.parquet(index_path)
     scored = idx.filter(F.col("cell").isin(probe)).select(
         F.col(id_col), cosine(F.col(vec_col), lit_vector(query_vec)).alias("sim")
@@ -449,6 +453,26 @@ def duckdb_lsh_topk_sql(
     """
 
 
+def _fold_dot(a, b) -> float:
+    """Strict left-to-right Python-float fold — the same sequential
+    double fold as Spark's aggregate() and DuckDB's list_sum, so all
+    three engines agree bit-for-bit."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _portable_probe(
+    cents: np.ndarray, qv: list[float], n_probe: int
+) -> list[int]:
+    """Top-n_probe cells by fold-order dot with the query, ties →
+    lowest cell id (mirrors the oracle's ORDER BY dot DESC, cid)."""
+    return sorted(
+        range(len(cents)), key=lambda c: (-_fold_dot(cents[c], qv), c)
+    )[:n_probe]
+
+
 def ivf_topk_portable(
     embeddings: DataFrame,
     k: int = 5,
@@ -470,21 +494,68 @@ def ivf_topk_portable(
         embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
     )
     qv = [float(x) for x in qrow[0]]
-
-    def fold_dot(a, b) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += float(x) * float(y)
-        return acc
-
-    probe = sorted(
-        range(n_cells), key=lambda c: (-fold_dot(cents[c], qv), c)
-    )[:n_probe]
+    probe = _portable_probe(cents, qv, n_probe)
     assigned = ivf_assign(embeddings, cents, vec_col)
     scored = assigned.filter(F.col("cell").isin(probe)).select(
         F.col(id_col), cosine(F.col(vec_col), lit_vector(qv)).alias("sim")
     )
     return scored.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def write_ivf_index_portable(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the IVF index with the PORTABLE centroid choice
+    (deterministic first-N-by-id, no k-means) so the whole
+    write→prune→rerank pipeline is reproducible in SQL: assignment is
+    the same argmax-fold-dot the oracle computes, the written ``cell``
+    partition values are therefore bit-identical to the oracle's
+    ``assign`` CTE, and a pruned read over them must return exactly the
+    oracle's probed subset. The k-means writer (write_ivf_index) stays
+    the quality path; this twin exists to hash-check the materialized
+    machinery end-to-end (index build + partition prune + rerank)."""
+    cents = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    (
+        ivf_assign(embeddings, cents, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_pruned_topk_portable(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query side of the portable MATERIALIZED IVF path: recompute the
+    deterministic first-N centroids (16 rows — a footer-stat point
+    read, not a scan), pick probe cells by fold-order dots, then
+    partition-prune-read the index written by write_ivf_index_portable
+    and rerank exact. Hash-checking this against duckdb_ivf_topk_sql
+    verifies the whole write→prune→rerank pipeline: a wrong cell
+    assignment at write time, a mispruned partition, or a rerank skew
+    all surface as a value-hash mismatch."""
+    cents = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qv = [float(x) for x in qrow[0]]
+    probe = _portable_probe(cents, qv, n_probe)
+    return ivf_pruned_topk(
+        spark, index_path, cents, qv, k=k, id_col=id_col, vec_col=vec_col,
+        probe=probe,
+    )
 
 
 def duckdb_ivf_topk_sql(
@@ -519,4 +590,59 @@ def duckdb_ivf_topk_sql(
     FROM assign a CROSS JOIN q
     WHERE a.cell IN (SELECT cid FROM probe)
     ORDER BY sim DESC, a.vec_id LIMIT {k}
+    """
+
+
+def duckdb_hyperplane_dedup_sql(
+    threshold: float = 0.3,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> str:
+    """Full SQL mirror of hyperplane_dedup_pairs: the same seeded
+    hyperplanes inlined as literals, per-vector bucket ids via
+    fold-order dots (sign bits are bit-identical across engines, so
+    bucket equality — and hence the candidate set — is too), candidate
+    pairs sharing a bucket in ANY table, exact-cosine verify. Makes the
+    registered embedding-dedup SCALE path directly hash-checkable —
+    no separate twin needed, because the perf path's hashes are already
+    engine-portable arithmetic."""
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    planes = _hyperplanes(n_tables, n_planes, dim)
+
+    def plane_lit(p) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def dot_sql(vec: str, p) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {plane_lit(p)}),"
+            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        )
+
+    def bucket_sql(vec: str, t: int) -> str:
+        terms = [
+            f"(CASE WHEN {dot_sql(vec, planes[t][j])} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    buckets = ", ".join(bucket_sql("embedding", t) for t in range(n_tables))
+    cos = duckdb_cosine_sql("ea.embedding", "eb.embedding")
+    return f"""
+    WITH sig AS (
+      SELECT vec_id AS id, [{buckets}] AS bks FROM embeddings),
+    expl AS (
+      SELECT id, g.t AS t, bks[g.t + 1] AS bucket
+      FROM sig, unnest(generate_series(0, {n_tables - 1})) AS g(t)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM expl a JOIN expl b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id)
+    SELECT c.id_a, c.id_b, {cos} AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    ORDER BY id_a, id_b
     """

@@ -586,6 +586,41 @@ def _portable_hash(s: Column, seed: Column) -> Column:
     ).cast("bigint")
 
 
+def _portable_banded(
+    toks: DataFrame, n_hashes: int, n_bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows from distinct shingle tokens via the md5
+    hash family — the banded-signature stage shared by the portable
+    pairs/join/cluster twins. Bucket = md5 of the seed-ordered minhash
+    row concat, reproduced in SQL as md5(string_agg(.. ORDER BY seed))."""
+    rows_per_band = n_hashes // n_bands
+    seeded = toks.select(
+        "id",
+        "g",
+        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
+    )
+    minh = (
+        seeded.select("id", "seed", _portable_hash(F.col("g"), F.col("seed")).alias("h"))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    return (
+        minh.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+
+
 def minhash_lsh_pairs_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -605,34 +640,9 @@ def minhash_lsh_pairs_portable(
     Shape is identical to the scale path: skinny (id, band, bucket)
     rows for the candidate join, shingle sets joined back only for the
     verified candidates, and every aggregation map-side combinable."""
-    rows_per_band = n_hashes // n_bands
     toks = shingle_tokens(df, text_col, id_col, shingle_k).distinct()
     toks = toks.localCheckpoint(eager=False)  # feeds minhash AND verify
-    seeded = toks.select(
-        "id",
-        "g",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
-    )
-    minh = (
-        seeded.select("id", "seed", _portable_hash(F.col("g"), F.col("seed")).alias("h"))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    banded = (
-        minh.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
-    )
+    banded = _portable_banded(toks, n_hashes, n_bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -653,6 +663,51 @@ def minhash_lsh_pairs_portable(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", (inter / union).alias("jaccard_sim"))
+        .filter(F.col("jaccard_sim") >= jaccard_threshold)
+    )
+
+
+def minhash_lsh_join_portable(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup join with the
+    engine-portable md5 hash family — the oracle-checkable twin of
+    minhash_lsh_join. Same incremental shape (new bands ⋈ corpus bands,
+    cost |batch|·collisions, never |corpus|²), no estimate filter or
+    bucket cap so the output is a pure function of the hash family.
+    Returns (new_id, corpus_id, jaccard_sim) with exact Jaccard ≥
+    threshold."""
+    toks_new = shingle_tokens(new_df, text_col, id_col, shingle_k).distinct()
+    toks_cor = shingle_tokens(corpus_df, text_col, id_col, shingle_k).distinct()
+    toks_new = toks_new.localCheckpoint(eager=False)
+    toks_cor = toks_cor.localCheckpoint(eager=False)
+    bands_new = _portable_banded(toks_new, n_hashes, n_bands)
+    bands_cor = _portable_banded(toks_cor, n_hashes, n_bands)
+    cand = (
+        bands_new.alias("n")
+        .join(
+            bands_cor.alias("c"),
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bucket") == F.col("c.bucket")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = toks_new.groupBy("id").agg(F.collect_set("g").alias("gs_a"))
+    sb = toks_cor.groupBy("id").agg(F.collect_set("g").alias("gs_b"))
+    inter = F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b"))).cast("double")
+    union = F.size(F.array_union(F.col("gs_a"), F.col("gs_b")))
+    return (
+        cand.join(sa.withColumnRenamed("id", "new_id"), "new_id")
+        .join(sb.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .select("new_id", "corpus_id", (inter / union).alias("jaccard_sim"))
         .filter(F.col("jaccard_sim") >= jaccard_threshold)
     )
 

@@ -61,7 +61,23 @@ def p8_graph_category_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "j2_order_items_nested",
-    oracle=None,  # array<struct> nesting: rows-only (string form below is oracle-checked)
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             CAST(to_json(list_sort(list(
+               {'line_no': l_linenumber, 'sku': CAST(l_partkey AS VARCHAR),
+                'quantity': l_quantity, 'ext_price': l_extendedprice}
+             ))) AS VARCHAR) AS items
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT o.o_orderkey AS id, o.o_custkey AS customer_id,
+           CASE WHEN o.o_orderstatus = 'O' THEN 'PENDING'
+                WHEN o.o_orderstatus = 'P' THEN 'PROCESSING'
+                WHEN o.o_orderstatus = 'F' THEN 'DELIVERED'
+                ELSE 'PENDING' END AS status,
+           o.o_totalprice AS total_amount,
+           i.items
+    FROM orders o JOIN items i ON i.l_orderkey = o.o_orderkey
+    """,
 )
 def j2_order_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — orders ⋈ order_items eagerly nested into Order→items
@@ -70,9 +86,12 @@ def j2_order_items_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The nested array<struct> is built internally (that is the operator
     being demonstrated); the returned frame projects it through
-    ``to_json`` because the driver's rows-only canonicalizer hashes
-    pandas cells and an ArrayType cell is unhashable. ``sort_array``
-    first makes the JSON string deterministic."""
+    ``to_json``, which since r03 is directly oracle-checked: both
+    engines render struct JSON with declaration-ordered keys, no
+    whitespace, and shortest-repr doubles, and ``sort_array`` /
+    ``list_sort`` both compare structs field-by-field in declaration
+    order (line_no is unique per order, so the sort is total). The
+    strform twin below remains as the formatting-independent check."""
     o = catalog.ref_orders(spark, sf_dir)
     it = catalog.order_items(spark, sf_dir)
     nested = it.groupBy("order_id").agg(

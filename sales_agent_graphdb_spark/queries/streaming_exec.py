@@ -33,13 +33,42 @@ def st_stream_tumbling_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipelines.tumbling_counts_stream(spark, sf_dir)
 
 
-@register("st_stream_stateful_sessions", oracle=None)
+@register(
+    "st_stream_stateful_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    islands AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered),
+    sess AS (
+      SELECT user_id, session_no,
+             strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      FROM islands
+      GROUP BY user_id, session_no)
+    SELECT user_id, session_start, n_events, total_value
+    FROM sess
+    QUALIFY session_no < MAX(session_no) OVER (PARTITION BY user_id)
+    ORDER BY user_id, session_start
+    """,
+)
 def st_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 — custom stateful sessionization via
-    applyInPandasWithState (30-min gap). Rows-only for the driver
-    (terminal open sessions stay in state, so the flushed set is a
-    strict prefix of the batch session list); pytest asserts every
-    flushed session matches the batch session_window result exactly."""
+    applyInPandasWithState (30-min gap), the honest unbounded-stream
+    shape: terminal open sessions stay in state, so the flushed set is
+    the batch session list MINUS each user's last session — which the
+    oracle states exactly (gap-and-islands QUALIFY-filtered to drop the
+    per-user max session_no), making this query hash-checked since r03
+    (VERDICT r02 #5) instead of rows-only. The drain-to-completion
+    variant is st_stream_sessions_complete."""
     return pipelines.stateful_sessions_stream(spark, sf_dir)
 
 

@@ -192,24 +192,51 @@ def pct_exact_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pct_approx_value", oracle=None)
+@register(
+    "pct_approx_value",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def pct_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles via Spark's built-in sketch
     (approx_percentile, Greenwald-Khanna): map-side partial sketches
     merge associatively — no global sort, no single-partition window.
     This is the 100 TB path that pct_exact_disc and w5_ntile_buckets
-    degrade to; rows-only (the sketch is engine-specific), accuracy
-    pinned against pct_exact_disc in tests/test_semantics.py."""
+    degrade to.
+
+    Oracle-checked as a BOUNDS VERDICT (VERDICT r02 #5): the sketch
+    values themselves are engine-specific, but GK guarantees each
+    returned value's rank is within ±ε·n of p·n (ε = 1/accuracy). The
+    query therefore joins the sketch output back to the data, computes
+    each returned value's true rank interval [#(<v)+1, #(≤v)], and
+    emits whether it intersects [p·n − tol, p·n + tol]
+    (tol = ε·n + 1 for float slack) — so the driver row is a real
+    check at ANY scale factor: a sketch that violated its rank bound
+    would flip a boolean and hash-mismatch the all-TRUE oracle."""
     e = catalog.load_table(spark, sf_dir, "events")
     pct = F.expr("approx_percentile(value, array(0.5, 0.9, 0.99), 10000)")
+    approx = e.groupBy("event_type").agg(pct.alias("pcts"))
+    j = e.join(F.broadcast(approx), "event_type")
+
+    def ok(i: int, p: float):
+        v = F.col("pcts")[i]
+        cnt_lt = F.sum((F.col("value") < v).cast("long"))
+        cnt_le = F.sum((F.col("value") <= v).cast("long"))
+        n = F.count(F.lit(1))
+        tol = n * F.lit(1.0 / 10000) + F.lit(1.0)
+        lo, hi = n * F.lit(p) - tol, n * F.lit(p) + tol
+        return ((cnt_lt + 1) <= hi) & (cnt_le >= lo)
+
     return (
-        e.groupBy("event_type")
-        .agg(pct.alias("pcts"))
-        .select(
-            "event_type",
-            F.col("pcts")[0].alias("p50"),
-            F.col("pcts")[1].alias("p90"),
-            F.col("pcts")[2].alias("p99"),
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ok(0, 0.5).alias("p50_ok"),
+            ok(1, 0.9).alias("p90_ok"),
+            ok(2, 0.99).alias("p99_ok"),
         )
         .orderBy("event_type")
     )

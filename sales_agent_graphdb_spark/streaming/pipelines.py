@@ -173,23 +173,34 @@ def _make_session_fn(gap_s: int):
 
 def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completed (flushed) sessions per user from the stateful
-    operator. Terminal open sessions remain in state — asserted against
-    the batch session_window in tests (every flushed session must match
-    a batch session exactly)."""
+    operator. Terminal open sessions remain in state — so the result is
+    exactly the batch gap-and-islands session list MINUS each user's
+    last session, which is what the r03 DuckDB oracle checks (the
+    QUALIFY-prefix form of st_stream_sessions_complete's oracle).
+    Exact-decimal accumulation so totals match the oracle's DECIMAL
+    sums bit-for-bit; session_start formatted like the complete
+    variant."""
     events = stream_events(spark, sf_dir).select(
         "user_id",
         (F.unix_micros(F.col("ts"))).alias("ts_us"),
         "value",
     )
     result = events.groupBy("user_id").applyInPandasWithState(
-        _make_session_fn(SESSION_GAP_S),
+        _make_session_fn_exact(SESSION_GAP_S),
         outputStructType=_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
+        stateStructType=_STATE_SCHEMA_EXACT,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = _run_to_memory(result, "append")
-    return out.orderBy("user_id", "session_start")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "n_events",
+        "total_value",
+    ).orderBy("user_id", "session_start")
 
 
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -261,15 +272,26 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _make_session_fn_exact(gap_s: int):
     """Variant of _make_session_fn that accumulates value in exact
-    decimal (str-roundtripped doubles), so the flushed total matches
-    DuckDB's SUM(CAST(value AS DECIMAL)) bit-for-bit — required for
-    the oracle-checked complete-sessions query. Sentinel events
-    (event-time far past every real event) close each user's final
-    session; the sentinel's own singleton session stays in state and
-    is never emitted."""
+    decimal, so the flushed total matches SUM(CAST(value AS
+    DECIMAL(20,6))) bit-for-bit — required for the oracle-checked
+    complete-sessions query. Each event is quantized to 6 dp with
+    HALF_UP on the shortest repr, which is exactly Spark's
+    double→DECIMAL(20,6) cast (BigDecimal.valueOf → setScale(6,
+    HALF_UP)) — the same cast every other oracle-green query applies
+    JVM-side, so this query diverges from the DuckDB oracle only if
+    they all do. Sentinel events (event-time far past every real
+    event) close each user's final session; the sentinel's own
+    singleton session stays in state and is never emitted."""
     import decimal as _decimal
 
     import pandas as _pd
+
+    _Q6 = _decimal.Decimal("0.000001")
+
+    def _dec6(value) -> _decimal.Decimal:
+        return _decimal.Decimal(str(value)).quantize(
+            _Q6, rounding=_decimal.ROUND_HALF_UP
+        )
 
     def session_fn(key, pdf_iter, state):
         (user_id,) = key
@@ -284,11 +306,11 @@ def _make_session_fn_exact(gap_s: int):
             ts_us = int(ts_us)
             if last_ts is not None and ts_us - last_ts > gap_s * 1_000_000:
                 out.append((user_id, start, n, float(total)))
-                start, n, total = ts_us, 1, _decimal.Decimal(str(value))
+                start, n, total = ts_us, 1, _dec6(value)
             else:
                 start = ts_us if start is None else start
                 n += 1
-                total += _decimal.Decimal(str(value))
+                total += _dec6(value)
             last_ts = ts_us
         state.update((last_ts, start, n, str(total)))
         if out:
@@ -356,18 +378,17 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
     else:
         sent = sent.withColumn("ts", F.col("ts_t").cast(schema["ts"].dataType))
     sent = sent.select("event_id", "ts", "user_id", "event_type", "value", "props")
-    # Single parquet file, written AFTER the symlink so a
-    # modification-time-ordered file source sees it last (either
-    # ordering is correct — the stateful fn sorts by event time).
     sent.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(src_dir, "sentinel.parquet")
     )
 
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src_dir}/*.parquet")
-    )
+    # No maxFilesPerTrigger here: both files land in ONE microbatch, so
+    # the state fn's in-batch event-time sort fully determines order.
+    # (With per-file batches, correctness would rest on the file source's
+    # mtime ordering putting the sentinel last — a sentinel-first batch
+    # would seed state at the far-future sentinel ts and absorb every
+    # real event into the never-emitted sentinel session.)
+    raw = spark.readStream.schema(schema).parquet(f"{src_dir}/*.parquet")
     if ts_kind == "bigint":
         stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:

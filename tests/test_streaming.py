@@ -39,11 +39,15 @@ def test_stateful_sessions_prefix_of_batch(spark):
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("double")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
             "n_events",
             "total_value",
         )
