@@ -98,3 +98,41 @@ def duckdb_cosine_sql(vec_expr_a: str, vec_expr_b: str) -> str:
         f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
     return f"({prod} / ({na} * {nb}))"
+
+
+def embedding_qc(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Per-vector quality control for an embedding column — the sanity
+    gate a training-data pipeline runs before indexing/dedup: dimension,
+    L2 norm (same strict fold as ``dot``), non-finite and exact-zero
+    element counts, a unit-norm flag, and a combined pass flag.
+
+    Purely per-row column math (no shuffle, no corpus-global state):
+    the plan is a single whole-stage-codegen projection, so it runs at
+    scan speed on any corpus size. Corpus-level checks (norm outliers
+    vs the distribution) belong in a separate aggregate so this gate
+    stays embarrassingly parallel."""
+    v = F.col(vec_col)
+    inf, ninf = F.lit(float("inf")), F.lit(float("-inf"))
+    l2 = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    m = df.select(
+        F.col(id_col),
+        F.size(v).cast("int").alias("dim"),
+        l2.alias("l2_norm"),
+        F.size(
+            F.filter(v, lambda x: F.isnan(x) | (x == inf) | (x == ninf))
+        ).cast("int").alias("n_nonfinite"),
+        F.size(F.filter(v, lambda x: x == F.lit(0.0))).cast("int").alias("n_zero"),
+    )
+    return m.select(
+        "*",
+        (F.abs(F.col("l2_norm") - 1.0) <= 0.001).alias("is_unit_norm"),
+        (
+            (F.col("n_nonfinite") == 0)
+            & (F.col("n_zero") < F.col("dim"))
+            & (F.col("l2_norm") > 0.0)
+        ).alias("qc_pass"),
+    )

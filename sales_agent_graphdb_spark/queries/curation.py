@@ -198,3 +198,63 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing — select documents per source up to a fixed
+# token budget (the "take the first N tokens of each domain" step of a
+# training-mix build, the applied form of corpus_mix_weights' ratios).
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+_PACK_BUDGET = 2500  # tokens per source; sf0.01 sources hold ~1.1-1.6k
+# tokens in 25 docs, so the flag exercises both outcomes across SFs.
+
+
+@register(
+    "corpus_token_budget_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           (cum_tokens <= {_PACK_BUDGET}) AS in_budget
+    FROM c ORDER BY source, doc_id
+    """,
+)
+def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget packing: deterministic doc_id
+    order, running token sum, keep while the cumulative count fits the
+    budget. Integer window arithmetic — bit-exact across engines.
+
+    Scale: the window is partitioned by source (never global); a
+    single pathological source would serialize its partition, in which
+    case the two-pass prefix sum (per-partition partial totals +
+    broadcast running offsets, the incremental_agg_maintenance
+    technique) is the drop-in scale-out form."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= _PACK_BUDGET).alias("in_budget"),
+    ).orderBy("source", "doc_id")

@@ -410,3 +410,128 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB inverted-index layout."""
     d = catalog.load_table(spark, sf_dir, "documents")
     return bm25_rank(d.select("doc_id", "text"), _BM25_TERMS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition gate — the n-gram repetition half of the
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models"):
+# top-2-gram character fraction + duplicate-3-gram fraction + word-shape
+# bounds, per document. Complements text_quality_score (length /
+# stopword rules) so the quality family covers both rule classes.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window  # noqa: E402
+
+from sales_agent_graphdb_spark.queries.curation import _word_ngrams  # noqa: E402
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+         CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT)
+           AS word_chars
+  FROM toks),
+bgx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2),
+bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bgx GROUP BY doc_id, g),
+topb AS (
+  SELECT doc_id, g, c FROM bgc
+  QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY c DESC, length(g) DESC, g) = 1),
+trix AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3),
+tris AS (
+  SELECT doc_id, COUNT(*) AS n_tri, COUNT(DISTINCT g) AS n_tri_d
+  FROM trix GROUP BY doc_id),
+final AS (
+  SELECT b.doc_id, b.n_words,
+         CAST(b.word_chars AS DOUBLE) / b.n_words AS mean_word_len,
+         COALESCE(t.g, '') AS top_bigram,
+         COALESCE(CAST(t.c * length(replace(t.g, ' ', '')) AS DOUBLE)
+                  / b.word_chars, 0.0) AS top_bigram_frac,
+         COALESCE(CAST(s.n_tri - s.n_tri_d AS DOUBLE) / s.n_tri, 0.0)
+           AS dup_trigram_frac
+  FROM base b LEFT JOIN topb t USING (doc_id) LEFT JOIN tris s USING (doc_id))
+SELECT *,
+       (n_words BETWEEN 5 AND 1000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        AND top_bigram_frac < 0.2 AND dup_trigram_frac < 0.5) AS keep
+FROM final ORDER BY doc_id
+"""
+
+
+@register("text_gopher_repetition", oracle=_GOPHER_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition rules: fraction of word-characters in
+    the most common 2-gram, duplicate-3-gram fraction, mean word
+    length, plus a combined keep flag. Every fraction is a single
+    int/int division (bit-exact across engines); the top-bigram
+    tie-break is (count DESC, length DESC, bigram ASC), deterministic
+    on both sides.
+
+    Scale: tokens are materialized ONCE per row (the inline-split
+    re-evaluation trap measured 22x in text_boilerplate_ngrams); the
+    two explode->groupBy legs are map-side combinable on
+    high-cardinality (doc_id, gram) keys; the top-bigram window is
+    partitioned by doc_id (never global); the three legs re-join on
+    doc_id. No corpus-global state, so the plan shards linearly at
+    100 TB."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    base = toks.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_words"),
+        F.aggregate(
+            "t", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        ).alias("word_chars"),
+    )
+    bg = toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("g"))
+    bgc = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("c"), F.desc(F.length("g")), F.asc("g")
+    )
+    topb = (
+        bgc.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "g", "c")
+    )
+    tri = toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 3)).alias("g"))
+    tris = tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"), F.countDistinct("g").alias("n_tri_d")
+    )
+    final = (
+        base.join(topb, "doc_id", "left")
+        .join(tris, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("word_chars").cast("double") / F.col("n_words")).alias(
+                "mean_word_len"
+            ),
+            F.coalesce(F.col("g"), F.lit("")).alias("top_bigram"),
+            F.coalesce(
+                (F.col("c") * F.length(F.regexp_replace("g", " ", ""))).cast(
+                    "double"
+                )
+                / F.col("word_chars"),
+                F.lit(0.0),
+            ).alias("top_bigram_frac"),
+            F.coalesce(
+                (F.col("n_tri") - F.col("n_tri_d")).cast("double")
+                / F.col("n_tri"),
+                F.lit(0.0),
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return final.withColumn(
+        "keep",
+        F.col("n_words").between(5, 1000)
+        & F.col("mean_word_len").between(2.0, 12.0)
+        & (F.col("top_bigram_frac") < 0.2)
+        & (F.col("dup_trigram_frac") < 0.5),
+    ).orderBy("doc_id")

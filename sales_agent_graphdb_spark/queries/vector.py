@@ -137,3 +137,30 @@ def v4_deterministic_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_dim(1).alias("e0"),
         hash_dim(9).alias("e1"),
     ).orderBy("doc_id")
+
+
+@register(
+    "v8_embedding_qc",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm,
+             CAST(len(list_filter(embedding, x -> isnan(x) OR isinf(x))) AS INT)
+               AS n_nonfinite,
+             CAST(len(list_filter(embedding, x -> x = 0)) AS INT) AS n_zero
+      FROM embeddings)
+    SELECT vec_id, dim, l2_norm, n_nonfinite, n_zero,
+           (abs(l2_norm - 1.0) <= 0.001) AS is_unit_norm,
+           (n_nonfinite = 0 AND n_zero < dim AND l2_norm > 0.0) AS qc_pass
+    FROM m ORDER BY vec_id
+    """,
+)
+def v8_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column QC gate (dim / L2 norm / non-finite / zero
+    counts + pass flags) — the pre-index sanity sweep of a vector
+    pipeline. Single codegen projection, no shuffle; the L2 norm is the
+    same left-to-right fold as the cosine operators, so the DuckDB
+    mirror (list_sum over list order) is bit-exact."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_qc(e).orderBy("vec_id")

@@ -78,3 +78,50 @@ def test_approx_percentile_tracks_exact(spark):
     for t, a in approx.items():
         assert a.n_events == exact[t].n_events
         assert a.p50_ok and a.p90_ok and a.p99_ok, f"{t}: {a}"
+
+
+def test_embedding_qc_flags_crafted_vectors(spark):
+    """v8 — the QC flags must fire on pathologies the synthetic corpus
+    doesn't contain: NaN/Inf elements, all-zero vectors, non-unit
+    norms."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),            # unit norm, clean
+        (2, [0.0, 0.0, 0.0]),            # all-zero -> fail
+        (3, [float("nan"), 1.0, 0.0]),   # non-finite -> fail
+        (4, [float("inf"), 0.0, 0.0]),   # non-finite -> fail
+        (5, [3.0, 4.0, 0.0]),            # norm 5, finite -> pass, not unit
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in similarity.embedding_qc(df).collect()
+    }
+    assert out[1].qc_pass and out[1].is_unit_norm
+    assert not out[2].qc_pass and out[2].n_zero == 3
+    assert not out[3].qc_pass and out[3].n_nonfinite == 1
+    assert not out[4].qc_pass and out[4].n_nonfinite == 1
+    assert out[5].qc_pass and not out[5].is_unit_norm and out[5].l2_norm == 5.0
+    assert all(r.dim == 3 for r in out.values())
+
+
+def test_gopher_repetition_flags_repeated_text(spark):
+    """The repetition gate must reject a doc that is one 2-gram over
+    and over, and keep normal prose-like text."""
+    import sales_agent_graphdb_spark.queries.text as T  # noqa: PLC0415
+
+    spam = " ".join(["buy now"] * 30)                      # top-2gram dominated
+    okay = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([(1, spam), (2, okay)], "doc_id long, text string")
+    import sales_agent_graphdb_spark.catalog as C  # noqa: PLC0415
+
+    orig = C.load_table
+    try:
+        C.load_table = lambda s, d, t: df  # the query reads only `documents`
+        out = {r.doc_id: r for r in T.text_gopher_repetition(spark, "unused").collect()}
+    finally:
+        C.load_table = orig
+    assert not out[1].keep and out[1].top_bigram_frac > 0.2
+    assert out[1].dup_trigram_frac > 0.5
+    assert out[2].keep
