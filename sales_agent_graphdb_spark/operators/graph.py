@@ -44,9 +44,19 @@ def connected_components(
     # Checkpoint the symmetric edge list ONCE — every iteration joins
     # against it, and without the checkpoint each iteration re-scans
     # the source (parquet + projections) from the start of lineage.
+    # Symmetrize via explode(array(fwd, rev)) rather than a self-union:
+    # ONE scan of the edge source instead of two (r03 cold A/B: 0.6s vs
+    # 0.9s warm at sf0.1, and at 100 TB it halves the edge-scan I/O).
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
         .localCheckpoint(eager=True)
     )
     labels = (
