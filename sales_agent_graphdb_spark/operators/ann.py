@@ -292,6 +292,7 @@ def lsh_pruned_topk(
     n_planes: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q_buckets: list[int] | None = None,
 ) -> DataFrame:
     """LSH top-k over the MATERIALIZED index: compute the query's T
     bucket ids driver-side (T·b dot products on one vector), prune-read
@@ -302,11 +303,12 @@ def lsh_pruned_topk(
     prunes too); contrast ``hyperplane_lsh_topk``, which re-signs the
     whole corpus per query."""
     planes = _hyperplanes(n_tables, n_planes, len(query_vec))
-    q = np.asarray(query_vec)
-    q_buckets = [
-        int(sum(int(p @ q > 0) << j for j, p in enumerate(planes[t])))
-        for t in range(n_tables)
-    ]
+    if q_buckets is None:
+        q = np.asarray(query_vec)
+        q_buckets = [
+            int(sum(int(p @ q > 0) << j for j, p in enumerate(planes[t])))
+            for t in range(n_tables)
+        ]
     idx = spark.read.parquet(index_path)
     probe = None
     for t, qb in enumerate(q_buckets):
@@ -555,6 +557,53 @@ def ivf_pruned_topk_portable(
     return ivf_pruned_topk(
         spark, index_path, cents, qv, k=k, id_col=id_col, vec_col=vec_col,
         probe=probe,
+    )
+
+
+def lsh_pruned_topk_portable(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    query_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query side of the portable MATERIALIZED LSH path. The index
+    written by write_lsh_index is ALREADY portable — its per-row bucket
+    sign bits come from Spark's aggregate fold, the same sequential
+    double fold the DuckDB mirror computes — so the production index is
+    shared with ann_lsh_pruned_topk; only the query-side bucket choice
+    differs: here the T query buckets come from ``_fold_dot`` (not
+    numpy) so a sign-boundary dot can never diverge from the oracle.
+    Hash-checking this against duckdb_lsh_topk_sql therefore certifies
+    the index BUILD (per-row signatures at write), the physical
+    partition PRUNE, and the exact-cosine rerank end-to-end."""
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qv = [float(x) for x in qrow[0]]
+    planes = _hyperplanes(n_tables, n_planes, len(qv))
+    q_buckets = [
+        int(
+            sum(
+                int(_fold_dot(planes[t][j], qv) > 0) << j
+                for j in range(n_planes)
+            )
+        )
+        for t in range(n_tables)
+    ]
+    return lsh_pruned_topk(
+        spark,
+        index_path,
+        embeddings,
+        qv,
+        k=k,
+        n_tables=n_tables,
+        n_planes=n_planes,
+        id_col=id_col,
+        vec_col=vec_col,
+        q_buckets=q_buckets,
     )
 
 

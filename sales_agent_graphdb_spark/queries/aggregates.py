@@ -190,17 +190,36 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 extension — HyperLogLog approx distinct (sketch-based; the
-    scale path for COUNT(DISTINCT) at 100 TB). Rows-only check: HLL
-    estimates are engine-specific, so no value oracle; a pytest asserts
-    the estimate is within 5% of exact."""
+    scale path for COUNT(DISTINCT) at 100 TB).
+
+    Oracle-checked as a BOUNDS VERDICT (the pct_approx_value
+    technique): the HLL estimate itself is engine-specific, so the
+    query emits the exact count (cross-engine bigint) plus a boolean
+    asserting the sketch landed within 5σ of it (rsd=0.02 → 10% + 1
+    slack). A broken sketch flips the boolean and hash-mismatches the
+    all-TRUE oracle, so the driver row is a real check at any SF."""
     li = catalog.load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    within = (
+        F.abs(F.col("approx") - F.col("exact_parts")).cast("double")
+        <= F.col("exact_parts") * F.lit(0.10) + F.lit(1.0)
+    )
+    return agg.select(
+        "l_returnflag", "exact_parts", within.alias("approx_ok")
+    ).orderBy("l_returnflag")
 
 
 _PIVOT_STATUSES = ["DELIVERED", "PENDING", "PROCESSING"]

@@ -143,6 +143,28 @@ def ann_ivf_pruned_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_lsh_pruned_portable",
+    oracle=ann.duckdb_lsh_topk_sql(k=5, n_tables=8, n_planes=4, dim=64, query_id=0),
+)
+def ann_lsh_pruned_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5 over the MATERIALIZED index, HASH-CHECKED
+    END-TO-END: the index is the SAME one ann_lsh_pruned_topk serves
+    (write_lsh_index's per-row sign bits are Spark fold dots — exactly
+    what the DuckDB mirror computes), so this row certifies the shared
+    production index build + the (t, bucket) partition prune + the
+    exact rerank. Only the query-side bucket selection differs from
+    the perf path: fold-order dots instead of numpy, so a
+    sign-boundary dot cannot diverge from the oracle."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    path = _index_path(sf_dir, "lsh")
+    if not _index_fresh(path, sf_dir):
+        ann.write_lsh_index(spark, emb, path, dim=len(qv))
+        _mark_index(path, sf_dir)
+    return ann.lsh_pruned_topk_portable(spark, path, emb, k=5, query_id=0)
+
+
+@register(
     "ann_lsh_topk_portable",
     oracle=ann.duckdb_lsh_topk_sql(k=5, n_tables=8, n_planes=4, dim=64, query_id=0),
 )

@@ -59,6 +59,8 @@ _PRIORITY: list[str] = [
     "dedup_incremental_minhash_portable",
     "dedup_cluster_canonical_portable",
     "ann_ivf_pruned_portable",
+    "agg_approx_distinct",  # converted rows-only -> HLL bounds-verdict oracle
+    "ann_lsh_pruned_portable",  # materialized LSH path, hash-checked end-to-end
 ]
 
 # Queries the driver has hash-verified (rows+schema+value-hash green) in
@@ -91,7 +93,7 @@ _VERIFIED: frozenset[str] = frozenset({
     # --- green in CORRECTNESS_r01 ---
     "a1_order_totals", "a2_count_by_group", "a3_distinct_categories",
     "a4_dedup_last_wins", "a5_dedup_normalized_content", "a6_string_agg",
-    "agg_rollup", "agg_cube", "agg_approx_distinct",
+    "agg_rollup", "agg_cube",
     "v1_knn_cosine_top5", "v2_semantic_cache_probe", "v3_cache_upsert",
     "v6_conditional_format", "v4_deterministic_embed",
     "ann_lsh_topk", "ann_ivf_topk",
