@@ -47,6 +47,8 @@ HEADLINE = [
     "text_quality_score",
     "text_bm25_search",
     "text_boilerplate_ngrams",
+    "text_gopher_repetition",
+    "dedup_containment",
     "mm_media_features",
 ]
 

@@ -485,3 +485,122 @@ def dedup_cluster_canonical_portable(
         .select("canonical_doc_id", "cluster_size", "member_ids")
         .orderBy("canonical_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Directional containment — "is doc A mostly contained in doc B?": the
+# quote/subset detector that symmetric Jaccard misses (a short doc fully
+# quoted inside a long one has high containment but low Jaccard). The
+# planted near-dups make this non-vacuous: the suffix-perturbed copy
+# CONTAINS the original (containment 1.0 one way, < 1 the other).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MAX_DF = 50  # stop-shingle cap: shingles in more docs than
+# this are boilerplate; dropping them bounds the inverted-index join
+# fan-out (the same role as minhash_lsh_pairs' max_bucket_size).
+_CONTAIN_THRESHOLD = 0.9
+_CONTAIN_TOKENS_SQL = (
+    "string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+')"
+)
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (SELECT doc_id, {_CONTAIN_TOKENS_SQL} AS t FROM corpus),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4])) AS g
+      FROM toks WHERE len(t) >= 5),
+    big AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) > {_CONTAIN_MAX_DF}),
+    shf AS (SELECT sh.doc_id, sh.g FROM sh ANTI JOIN big USING (g)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+             CAST(n_shared AS DOUBLE) / sa.n AS containment_a_in_b,
+             CAST(n_shared AS DOUBLE) / sb.n AS containment_b_in_a
+      FROM pairs JOIN sz sa ON sa.doc_id = pairs.id_a
+                 JOIN sz sb ON sb.doc_id = pairs.id_b)
+    SELECT * FROM scored
+    WHERE greatest(containment_a_in_b, containment_b_in_a) >= {_CONTAIN_THRESHOLD}
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment pairs: |shingles(A) ∩ shingles(B)|
+    over each side's own shingle count, flagged when either direction
+    ≥ 0.9. Word-5-gram shingles, distinct per doc; every fraction is a
+    single int/int division (bit-exact vs the oracle).
+
+    Scale shape: inverted-index self-join on the shingle — skinny
+    (doc_id, gram) rows, no text payload — with a broadcast anti-join
+    stop-shingle cap (df > {_CONTAIN_MAX_DF}) bounding the per-gram
+    fan-out exactly like minhash_lsh_pairs' hot-bucket cap; shared
+    counts come from a map-side-combinable groupBy on the pair key.
+    Cost is O(Σ_gram df²) with df capped, never O(n²) over docs."""
+    corpus = dup_corpus(spark, sf_dir)
+    toks = corpus.select(
+        "doc_id",
+        F.split(
+            F.trim(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " "))),
+            r"\s+",
+        ).alias("t"),
+    )
+    from sales_agent_graphdb_spark.queries.curation import _word_ngrams
+
+    # Checkpoint the shingle stream: FOUR consumers (the df count, both
+    # sides of the inverted-index self-join, and the per-doc sizes) —
+    # without it the tokenize→explode→distinct pipeline re-runs per
+    # consumer (same move as minhash_lsh_pairs' token checkpoint).
+    sh = (
+        toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 5)).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    big = (
+        sh.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") > _CONTAIN_MAX_DF)
+        .select("g")
+    )
+    shf = sh.join(F.broadcast(big), "g", "left_anti").localCheckpoint(eager=False)
+    sz = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shf.alias("a"), shf.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sz.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    scored = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("na")).alias(
+                "containment_a_in_b"
+            ),
+            (F.col("n_shared").cast("double") / F.col("nb")).alias(
+                "containment_b_in_a"
+            ),
+        )
+    )
+    return (
+        scored.filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= _CONTAIN_THRESHOLD
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -482,7 +482,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. No corpus-global state, so the plan shards linearly at
     100 TB."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    # Checkpoint the token arrays: THREE consumers (word stats, bigram
+    # leg, trigram leg) — without it the split pipeline re-runs per leg.
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).localCheckpoint(
+        eager=False
+    )
     base = toks.select(
         "doc_id",
         F.size("t").cast("int").alias("n_words"),
