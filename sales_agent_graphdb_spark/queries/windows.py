@@ -122,7 +122,9 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w5_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 — decile bucketing of account balances (global ntile;
     note: single-partition window — at 100 TB use approx percentile
-    instead, see text quality ops)."""
+    (pct_approx_value) for buckets, or the two-pass range-partitioned
+    prefix sum (w7_global_running_sum) when the global accumulation
+    must stay exact)."""
     c = catalog.load_table(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
     return (
@@ -174,3 +176,38 @@ def w6_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "rnk", "orderkey")
     )
+
+
+@register(
+    "w7_global_running_sum",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tokens
+    FROM t ORDER BY doc_id
+    """,
+)
+def w7_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 extension — GLOBAL running sum with NO single-partition
+    window: the two-pass range-partitioned prefix sum
+    (operators/prefix_sum.py) that w5_ntile_buckets' self-flagged
+    global-window weakness calls for. Local per-range cumsums + an
+    n_partitions-row offset pass compute the identical integer result
+    (token ledger in doc_id order) at any scale; the oracle is the
+    plain ordered-window form, so the hash certifies the two-pass
+    decomposition is exact."""
+    from sales_agent_graphdb_spark.operators.prefix_sum import global_prefix_sum
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    out = global_prefix_sum(t, "doc_id", "n_tokens", out_col="cum_tokens")
+    return out.select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    ).orderBy("doc_id")

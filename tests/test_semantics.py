@@ -125,3 +125,24 @@ def test_gopher_repetition_flags_repeated_text(spark):
     assert not out[1].keep and out[1].top_bigram_frac > 0.2
     assert out[1].dup_trigram_frac > 0.5
     assert out[2].keep
+
+
+def test_global_prefix_sum_matches_single_window_and_distributes(spark):
+    """w7 — the two-pass global prefix sum must equal the
+    single-partition window form exactly AND actually use multiple
+    range partitions (i.e. not degrade to the thing it replaces)."""
+    from pyspark.sql import Window, functions as F  # noqa: PLC0415
+
+    from sales_agent_graphdb_spark.operators.prefix_sum import global_prefix_sum
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7 + 1).cast("int").alias("v")
+    )
+    two_pass = {
+        r.k: r.cum for r in global_prefix_sum(df, "k", "v", "cum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    single = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert two_pass == single
+    ranged = df.repartitionByRange(8, F.col("k"))
+    assert ranged.rdd.getNumPartitions() > 1
