@@ -38,11 +38,11 @@ def global_prefix_sum(
     """Exact global running sum of ``value_col`` in ``order_col`` order
     (order key must be unique — it defines a total order). Returns the
     input columns plus ``out_col``."""
-    parts = num_partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
+    if num_partitions is None:
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        num_partitions = int(conf) if str(conf).isdigit() else 32  # "auto" etc.
     ranged = (
-        df.repartitionByRange(int(parts), F.col(order_col))
+        df.repartitionByRange(num_partitions, F.col(order_col))
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
