@@ -59,10 +59,15 @@ def connected_components(
         .select("p.a", "p.b")
         .localCheckpoint(eager=True)
     )
+    # Init = round 1 for free: with component(b)=b the first propagation
+    # join is redundant (min over the augmented neighborhood is just
+    # min(own id, neighbor ids)), so seed labels with that groupBy —
+    # the same shuffle the plain distinct() init would cost, one fewer
+    # join iteration in the loop.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("minb"))
+        .select("id", F.least(F.col("id"), F.col("minb")).alias("component"))
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
