@@ -51,6 +51,9 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-hash-verified names run last — they only re-check if the
 # round's budget allows.
 _PRIORITY: list[str] = [
+    # TODO(round 4): fold CORRECTNESS_r03's green names into _VERIFIED,
+    # clear this list of driver-confirmed names, and keep the unverified
+    # count within the driver's 50-slot budget (r03 shipped at 49/50).
     # Round 3: queries that gained an oracle or are newly registered.
     "j2_order_items_nested",  # nested form gains a DuckDB JSON oracle
     "st_stream_stateful_sessions",  # gains the gap-and-islands oracle

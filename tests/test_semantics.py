@@ -146,3 +146,37 @@ def test_global_prefix_sum_matches_single_window_and_distributes(spark):
     assert two_pass == single
     ranged = df.repartitionByRange(8, F.col("k"))
     assert ranged.rdd.getNumPartitions() > 1
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=200),
+    parts=st.integers(min_value=1, max_value=16),
+)
+def test_global_prefix_sum_property(spark, vals, parts):
+    """prefix_sum — for any values (negatives included) and partition
+    count, the two-pass result equals the sequential prefix sum."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from sales_agent_graphdb_spark.operators.prefix_sum import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k int, v int"
+    )
+    got = {
+        r.k: r.cum
+        for r in global_prefix_sum(df, "k", "v", "cum", num_partitions=parts).collect()
+    }
+    acc, want = 0, {}
+    for i, v in enumerate(vals):
+        acc += v
+        want[i] = acc
+    assert got == want
