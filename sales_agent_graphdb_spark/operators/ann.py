@@ -302,8 +302,8 @@ def lsh_pruned_topk(
     table is bucketed by id — sources/bucketing.py — so the join-back
     prunes too); contrast ``hyperplane_lsh_topk``, which re-signs the
     whole corpus per query."""
-    planes = _hyperplanes(n_tables, n_planes, len(query_vec))
     if q_buckets is None:
+        planes = _hyperplanes(n_tables, n_planes, len(query_vec))
         q = np.asarray(query_vec)
         q_buckets = [
             int(sum(int(p @ q > 0) << j for j, p in enumerate(planes[t])))

@@ -38,6 +38,12 @@ def global_prefix_sum(
     """Exact global running sum of ``value_col`` in ``order_col`` order
     (order key must be unique — it defines a total order). Returns the
     input columns plus ``out_col``."""
+    reserved = {"_pid", "_local", "_ptotal", "_offset"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"global_prefix_sum: input columns collide with internal names {sorted(clash)}"
+        )
     if num_partitions is None:
         conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         num_partitions = int(conf) if str(conf).isdigit() else 32  # "auto" etc.

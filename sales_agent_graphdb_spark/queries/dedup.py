@@ -182,6 +182,13 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives (verify guarantees the subset property)."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()[0])
+    # The oracle above inlines 64-dim plane literals at registration; a
+    # silently different runtime dim would use a DIFFERENT hyperplane
+    # set and read as an engine bug. Fail loudly instead.
+    if dim != 64:
+        raise ValueError(
+            f"dedup_embedding_lsh: oracle is pinned to dim=64, data has dim={dim}"
+        )
     return ann.hyperplane_dedup_pairs(emb, dim=dim, threshold=0.3).orderBy(
         "id_a", "id_b"
     )

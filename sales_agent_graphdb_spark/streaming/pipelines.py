@@ -118,57 +118,9 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_GAP_S = 1800  # 30 min, the reference's session-ish constant
 
-_STATE_SCHEMA = "last_ts long, session_start long, n long, total double"
 _OUT_SCHEMA = (
     "user_id long, session_start timestamp, n_events long, total_value double"
 )
-
-
-def _make_session_fn(gap_s: int):
-    """Build the per-group stateful function as a self-contained
-    closure: cloudpickle serializes it by VALUE (a nested function
-    referencing only pandas and the captured gap), so executors that
-    don't have this package on their python path can still deserialize
-    it — the driver contract imports us from an arbitrary cwd."""
-    import pandas as _pd
-
-    def session_fn(key, pdf_iter, state):
-        """Flush completed sessions for one user; keep the open session
-        in state. Event-time sessionization with an inactivity gap —
-        the applyInPandasWithState form of F.session_window,
-        demonstrating arbitrary stateful logic (the built-in covers
-        this case; the pattern covers ones it can't)."""
-        (user_id,) = key
-        rows = _pd.concat(list(pdf_iter)).sort_values("ts_us")
-        if state.exists:
-            last_ts, start, n, total = state.get
-        else:
-            last_ts, start, n, total = None, None, 0, 0.0
-        out = []
-        for ts_us, value in zip(rows["ts_us"], rows["value"]):
-            ts_us = int(ts_us)
-            if last_ts is not None and ts_us - last_ts > gap_s * 1_000_000:
-                out.append((user_id, start, n, total))
-                start, n, total = ts_us, 1, float(value)
-            else:
-                start = ts_us if start is None else start
-                n += 1
-                total += float(value)
-            last_ts = ts_us
-        state.update((last_ts, start, n, total))
-        # A real stream would flush on timeout; the bounded driver
-        # flushes terminal state via the batch fallback below.
-        if out:
-            yield _pd.DataFrame(
-                {
-                    "user_id": [o[0] for o in out],
-                    "session_start": [_pd.Timestamp(o[1], unit="us") for o in out],
-                    "n_events": [o[2] for o in out],
-                    "total_value": [o[3] for o in out],
-                }
-            )
-
-    return session_fn
 
 
 def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,6 +135,7 @@ def stateful_sessions_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir).select(
         "user_id",
         (F.unix_micros(F.col("ts"))).alias("ts_us"),
+        "event_id",
         "value",
     )
     result = events.groupBy("user_id").applyInPandasWithState(
@@ -271,8 +224,10 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _make_session_fn_exact(gap_s: int):
-    """Variant of _make_session_fn that accumulates value in exact
-    decimal, so the flushed total matches SUM(CAST(value AS
+    """Per-group stateful sessionizer (a self-contained closure:
+    cloudpickle serializes it by VALUE, so executors need no package
+    import path). Accumulates value in exact decimal, so the flushed
+    total matches SUM(CAST(value AS
     DECIMAL(20,6))) bit-for-bit — required for the oracle-checked
     complete-sessions query. Each event is quantized to 6 dp with
     HALF_UP on the shortest repr, which is exactly Spark's
@@ -295,7 +250,9 @@ def _make_session_fn_exact(gap_s: int):
 
     def session_fn(key, pdf_iter, state):
         (user_id,) = key
-        rows = _pd.concat(list(pdf_iter)).sort_values("ts_us")
+        # (ts_us, event_id) — total order, so tied timestamps cannot
+        # reorder between runs (mirrors the oracle's window ordering).
+        rows = _pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
         if state.exists:
             last_ts, start, n, total_str = state.get
             total = _decimal.Decimal(total_str)
@@ -395,7 +352,7 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
         stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
     events = stream.select(
-        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "value"
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id", "value"
     )
     result = events.groupBy("user_id").applyInPandasWithState(
         _make_session_fn_exact(SESSION_GAP_S),

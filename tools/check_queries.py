@@ -1,29 +1,19 @@
 """Targeted driver-protocol check: run NAMED queries vs their DuckDB
-oracles with the exact comparison drive_entry.py uses. For fast
-iteration on individual queries without the full 134-query sweep.
+oracles with the exact comparison drive_entry.py uses (shared via
+tools/driver_protocol.py). For fast iteration on individual queries
+without the full registry sweep.
 
 Run: python tools/check_queries.py name1 name2 ...  [--sf /root/testdata/sf0.01]
 """
-import hashlib
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import duckdb
-from pyspark.sql import SparkSession
+from driver_protocol import make_duck, make_spark, vhash  # noqa: E402
 
-from sales_agent_graphdb_spark.registry import all_queries
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
-
-
-def vhash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
-    return hashlib.md5(str(canon).encode()).hexdigest()[:12]
+from sales_agent_graphdb_spark.registry import all_queries  # noqa: E402
 
 
 def main() -> None:
@@ -34,19 +24,8 @@ def main() -> None:
         sf = args[i + 1]
         args = args[:i] + args[i + 2:]
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-        )
+    spark = make_spark("check_queries")
+    con = make_duck(sf)
 
     specs = all_queries()
     fails = []

@@ -1,17 +1,12 @@
 """Driver simulation: what the spark-graft driver does to __spark_entry__."""
-import sys, json, hashlib
+import sys, json
 sys.path.insert(0, "/root/repo")
-import duckdb
-from pyspark.sql import SparkSession
+sys.path.insert(0, "/root/repo/tools")
+from driver_protocol import make_duck, make_spark, vhash
 
 import __spark_entry__ as E
 
-spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "8")
-         .config("spark.sql.session.timeZone", "UTC")
-         .config("spark.ui.enabled", "false")
-         .getOrCreate())
-spark.sparkContext.setLogLevel("ERROR")
+spark = make_spark("drive_entry")
 
 # 1. smoke: entry() at sf0.001
 df = E.entry(spark)
@@ -21,17 +16,10 @@ print("  first row:", rows[0])
 
 # 2. correctness: queries vs oracle at sf0.01 (driver protocol)
 SF = "/root/testdata/sf0.01"
-con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+con = make_duck(SF)
 
 qs, os_ = E.queries(), E.oracle_sql()
 print(f"queries={len(qs)} oracles={len(os_)}")
-def vhash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
-    return hashlib.md5(str(canon).encode()).hexdigest()[:12]
-
 fails = []
 for name, fn in sorted(qs.items()):
     sdf = fn(spark, SF)

@@ -1,0 +1,48 @@
+"""Shared driver-protocol pieces used by drive_entry.py (full sweep)
+and check_queries.py (targeted) — ONE definition of the comparison the
+spark-graft driver performs, so the two tools can never drift apart.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def vhash(rows, cols) -> str:
+    """Order-insensitive value hash over repr'd cells with columns
+    sorted by name — the driver's comparison; bit-exact doubles
+    required."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
+    return hashlib.md5(str(canon).encode()).hexdigest()[:12]
+
+
+def make_spark(app_name: str = "driver_protocol"):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def make_duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
