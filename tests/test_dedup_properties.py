@@ -196,3 +196,23 @@ def test_cluster_canonical_matches_exact_components(spark):
         assert clustered.get(i) == clustered.get(i + DUP_OFFSET), (
             f"planted exact pair ({i}, {i + DUP_OFFSET}) not co-clustered"
         )
+
+
+def test_containment_finds_planted_and_is_directional(spark):
+    """dedup_containment — every planted copy pairs with its source
+    (the near-dup copies CONTAIN the original: containment 1.0 in the
+    a→b direction, < 1.0 back for the suffix-perturbed ones), and the
+    stop-shingle cap never drops a planted pair."""
+    from sales_agent_graphdb_spark.queries.dedup import dedup_containment
+
+    rows = {(r.id_a, r.id_b): r for r in dedup_containment(spark, SF_SMALL).collect()}
+    planted = {(i, i + DUP_OFFSET) for i in range(60)}
+    missing = planted - set(rows)
+    assert not missing, f"planted pairs missing: {sorted(missing)[:5]}"
+    for i in range(40):  # suffix-perturbed copies: strict containment
+        r = rows[(i, i + DUP_OFFSET)]
+        assert r.containment_a_in_b == 1.0
+        assert r.containment_b_in_a < 1.0
+    for i in range(40, 60):  # exact copies: symmetric 1.0
+        r = rows[(i, i + DUP_OFFSET)]
+        assert r.containment_a_in_b == 1.0 and r.containment_b_in_a == 1.0
