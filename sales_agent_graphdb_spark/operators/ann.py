@@ -179,9 +179,15 @@ def kmeans_centroids(
     uses per iteration, and is scale-independent: it grows with k·dim,
     never with corpus size). Means are re-normalized to unit length so
     max-dot assignment == max-cosine (spherical k-means); empty cells
-    keep their previous centroid. Deterministic: fixed init
-    (first-n-by-id), fixed iteration count, exact float ops on the
-    driver-side matrix."""
+    keep their previous centroid. Determinism: init (first-n-by-id)
+    and iteration count are fixed, but the distributed ``F.avg`` merges
+    float partials in shuffle-arrival order, so centroids are stable
+    only to ulp-level across runs — vectors whose top-two centroid
+    dots tie within that ulp could flip cells between builds. The
+    materialized-index source stamp makes this moot within a build
+    (one index serves all queries), and the BIT-deterministic path for
+    oracle checking is the portable first-N-centroid variant
+    (write_ivf_index_portable), which does no averaging."""
     cents = _unit_rows(_ivf_centroids(embeddings, n_cells, id_col, vec_col))
     for _ in range(n_iter):
         assigned = ivf_assign(embeddings, cents, vec_col)
@@ -424,25 +430,9 @@ def duckdb_lsh_topk_sql(
     from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
 
     planes = _hyperplanes(n_tables, n_planes, dim)
-
-    def plane_lit(p) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
-
-    def dot_sql(vec: str, p) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({vec}, {plane_lit(p)}),"
-            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        )
-
-    def bucket_sql(vec: str, t: int) -> str:
-        terms = [
-            f"(CASE WHEN {dot_sql(vec, planes[t][j])} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(n_planes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
     match = " OR ".join(
-        f"{bucket_sql('e.embedding', t)} = {bucket_sql('q.qv', t)}"
+        f"{_bucket_sql('e.embedding', planes[t], n_planes)}"
+        f" = {_bucket_sql('q.qv', planes[t], n_planes)}"
         for t in range(n_tables)
     )
     cos = duckdb_cosine_sql("e.embedding", "q.qv")
@@ -453,6 +443,33 @@ def duckdb_lsh_topk_sql(
     WHERE {match}
     ORDER BY sim DESC, e.vec_id LIMIT {k}
     """
+
+
+def duckdb_fold_dot_sql(a: str, b: str) -> str:
+    """THE oracle dot: DuckDB fold-order dot product of two SQL list
+    expressions (list_sum over list order == Spark's aggregate fold).
+    Every DuckDB mirror in this module must use this one definition —
+    a divergent copy would silently break bit-exactness for its path."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _plane_lit_sql(plane) -> str:
+    """A hyperplane as a DuckDB double-list literal (repr = shortest
+    round-trip form, bit-exact)."""
+    return "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+
+
+def _bucket_sql(vec: str, table_planes, n_planes: int) -> str:
+    """Sign-bit bucket id of ``vec`` against one table's planes."""
+    terms = [
+        f"(CASE WHEN {duckdb_fold_dot_sql(vec, _plane_lit_sql(table_planes[j]))} > 0"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def _fold_dot(a, b) -> float:
@@ -615,12 +632,6 @@ def duckdb_ivf_topk_sql(
     break to the lowest cell id via ORDER BY (dot DESC, cid)."""
     from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
 
-    def dot_sql(a: str, b: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({a}, {b}),"
-            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        )
-
     cos = duckdb_cosine_sql("a.embedding", "q.qv")
     return f"""
     WITH cents AS (
@@ -629,11 +640,11 @@ def duckdb_ivf_topk_sql(
     q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
     probe AS (
       SELECT cid FROM cents, q
-      ORDER BY {dot_sql("cv", "qv")} DESC, cid LIMIT {n_probe}),
+      ORDER BY {duckdb_fold_dot_sql("cv", "qv")} DESC, cid LIMIT {n_probe}),
     assign AS (
       SELECT e.vec_id, e.embedding,
              (SELECT c.cid FROM cents c
-              ORDER BY {dot_sql("c.cv", "e.embedding")} DESC, c.cid LIMIT 1) AS cell
+              ORDER BY {duckdb_fold_dot_sql("c.cv", "e.embedding")} DESC, c.cid LIMIT 1) AS cell
       FROM embeddings e)
     SELECT a.vec_id, {cos} AS sim
     FROM assign a CROSS JOIN q
@@ -659,24 +670,9 @@ def duckdb_hyperplane_dedup_sql(
     from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
 
     planes = _hyperplanes(n_tables, n_planes, dim)
-
-    def plane_lit(p) -> str:
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
-
-    def dot_sql(vec: str, p) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({vec}, {plane_lit(p)}),"
-            f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-        )
-
-    def bucket_sql(vec: str, t: int) -> str:
-        terms = [
-            f"(CASE WHEN {dot_sql(vec, planes[t][j])} > 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(n_planes)
-        ]
-        return "(" + " + ".join(terms) + ")"
-
-    buckets = ", ".join(bucket_sql("embedding", t) for t in range(n_tables))
+    buckets = ", ".join(
+        _bucket_sql("embedding", planes[t], n_planes) for t in range(n_tables)
+    )
     cos = duckdb_cosine_sql("ea.embedding", "eb.embedding")
     return f"""
     WITH sig AS (

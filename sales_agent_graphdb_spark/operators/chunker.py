@@ -10,8 +10,12 @@ of (text, size, overlap) so a DuckDB generate_series oracle can verify
 it exactly.
 
 Invariants (property-tested): every character of the input is covered
-by ≥1 chunk; consecutive chunks overlap by exactly ``overlap`` chars
-(except a shorter final chunk); chunk_idx is dense from 0.
+by ≥1 chunk; consecutive chunks overlap by exactly ``overlap`` chars;
+chunk_idx is dense from 0; no chunk is fully contained in another (a
+start with fewer than ``overlap + 1`` remaining chars would duplicate
+the previous chunk's tail verbatim — inflating chunk counts and
+seeding duplicate embeddings downstream — so such starts are not
+emitted).
 """
 
 from __future__ import annotations
@@ -22,12 +26,21 @@ from pyspark.sql import functions as F
 
 def chunk_expr(text: Column, size: int = 1000, overlap: int = 200) -> Column:
     """array<struct<chunk_idx:int, chunk_text:string>> for one text
-    column. Start positions are 0, stride, 2·stride, … while they fall
-    inside the text (stride = size - overlap)."""
+    column. Start positions are 0, stride, 2·stride, … while more than
+    ``overlap`` chars remain past the start (stride = size - overlap) —
+    a start with ≤ overlap remaining chars would yield a chunk fully
+    contained in the previous one (pure duplicate text), so it is not
+    emitted; coverage still holds because those chars sit inside the
+    previous chunk."""
     if not 0 <= overlap < size:
         raise ValueError("need 0 <= overlap < size")
     stride = size - overlap
-    n_minus_1 = ((F.length(text) - 1) / stride).cast("int")  # floor for non-negative
+    # floor((len - overlap - 1)/stride), clamped at 0: the last start
+    # with > overlap chars remaining. Cast-truncation == floor for the
+    # non-negative case; greatest() clamps the negative short-text case.
+    n_minus_1 = F.greatest(
+        F.lit(0), ((F.length(text) - 1 - overlap) / stride).cast("int")
+    )
     idx = F.sequence(F.lit(0), n_minus_1)
     mk = lambda i: F.struct(  # noqa: E731
         i.cast("int").alias("chunk_idx"),
@@ -69,7 +82,8 @@ def duckdb_chunk_sql(size: int, overlap: int, table: str = "documents") -> str:
     return f"""
     WITH c AS (
       SELECT doc_id, text,
-             unnest(generate_series(0, (length(text) - 1) // {stride})) AS i
+             unnest(generate_series(0,
+               greatest(0, (length(text) - 1 - {overlap}) // {stride}))) AS i
       FROM {table} WHERE length(text) > 0)
     SELECT doc_id, CAST(i AS INT) AS chunk_idx,
            substr(text, CAST(i AS INT) * {stride} + 1, {size}) AS chunk_text

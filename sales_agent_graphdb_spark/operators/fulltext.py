@@ -95,6 +95,8 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     tables (bucketed by token); a query then joins k postings lists
     and never rescans the corpus.
     """
+    if not terms:
+        raise ValueError("bm25_rank: terms must be a non-empty list")
     toks = (
         docs.select(
             "doc_id",
@@ -142,10 +144,13 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
 
 def duckdb_bm25_sql(terms: list[str], k: int = 10) -> str:
     """DuckDB oracle for :func:`bm25_rank` — same token split, same
-    per-term score expression text, same fixed-order summation."""
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    per-term score expression text, same fixed-order summation. Terms
+    are quote-escaped before interpolation (a term like "o'brien" must
+    not break or inject into the oracle session)."""
+    esc = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in esc)
     per_term = " + ".join(
-        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)" for t in terms
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)" for t in esc
     )
     return f"""
     WITH toks AS (

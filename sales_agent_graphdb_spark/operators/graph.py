@@ -131,7 +131,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = verts.count()
-    out_deg = edges.groupBy(F.col(src).alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    # out_deg is probed twice per iteration (contrib join + dangling
+    # anti-join) across n_iter rounds — checkpoint it once, same move
+    # as connected_components' sym table.
+    out_deg = (
+        edges.groupBy(F.col(src).alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = verts.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contrib = (

@@ -102,27 +102,6 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 32) -> Column:
-    """array<bigint> of length n_hashes: min over shingles of
-    xxhash64(shingle, seed_i). Empty shingle sets get sentinel mins."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(shingles, lambda g: F.xxhash64(g, i))),
-    )
-
-
-def minhash_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
-    """array<struct<band:int, bucket:bigint>> — one bucket key per band
-    (hash of the band's signature slice)."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.cast("int").alias("band"),
-            F.xxhash64(F.slice(sig, b * rows_per_band + 1, rows_per_band)).alias("bucket"),
-        ),
-    )
-
-
 def _rot(c: Column, i: int) -> Column:
     """64-bit rotate-left by a constant (shift/xor only — safe under
     ANSI mode where multiplicative mixing could overflow)."""
@@ -528,6 +507,12 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs with hamming ≤ max_hamming, candidates
     via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits leave ≥1
     of 4 chunks identical)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_near_dup_pairs: 4-chunk banding only guarantees "
+            f"candidates for hamming <= 3, got max_hamming={max_hamming} "
+            "(pairs beyond 3 would be silently missed)"
+        )
     base = simhash_signatures(df, text_col, id_col)
     banded = base.select(
         "id",
@@ -724,6 +709,11 @@ def simhash_portable_pairs(
     60-bit md5 hash DuckDB reproduces). 60 signature bits in 4×15-bit
     chunks: ≤3 differing bits still leave ≥1 of 4 chunks identical, so
     the pigeonhole candidate guarantee is unchanged."""
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_portable_pairs: 4-chunk banding only guarantees "
+            f"candidates for hamming <= 3, got max_hamming={max_hamming}"
+        )
     n_bits, n_chunks, chunk_len = 60, 4, 15
     toks = _spread(df).select(
         F.col(id_col).alias("id"),

@@ -46,15 +46,25 @@ def multistage_match(df: DataFrame, query: str, name_col: str = "name") -> DataF
 
 
 def duckdb_stage_sql(name_expr: str, query: str) -> str:
-    """The identical stage cascade as DuckDB SQL (oracle parity)."""
+    """The identical stage cascade as DuckDB SQL (oracle parity).
+    LIKE metacharacters in the query are escaped (ESCAPE '\\') so the
+    oracle's substring test stays LITERAL, matching Spark's
+    Column.contains — a '%' or '_' in the query must not become a
+    wildcard on only one side."""
     q = query.strip().lower().replace("'", "''")
+
+    def _like(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+
+    like = _like(q)
     words = q.split()
-    w0 = words[0] if words else q
-    w1 = words[1] if len(words) > 1 else w0
+    w0 = _like(words[0]) if words else like
+    w1 = _like(words[1]) if len(words) > 1 else w0
     c = f"lower({name_expr})"
+    esc = "ESCAPE '\\'"
     return (
         f"CASE WHEN {c} = '{q}' THEN 1 "
-        f"WHEN {c} LIKE '%{q}%' THEN 2 "
-        f"WHEN {c} LIKE '%{w0}%' AND {c} LIKE '%{w1}%' THEN 3 "
-        f"WHEN {c} LIKE '%{w0}%' THEN 4 END"
+        f"WHEN {c} LIKE '%{like}%' {esc} THEN 2 "
+        f"WHEN {c} LIKE '%{w0}%' {esc} AND {c} LIKE '%{w1}%' {esc} THEN 3 "
+        f"WHEN {c} LIKE '%{w0}%' {esc} THEN 4 END"
     )

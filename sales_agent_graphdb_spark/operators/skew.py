@@ -38,6 +38,12 @@ def salted_join(
     salts."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    for side, name in ((fact, "fact"), (dim, "dim")):
+        if _SALT in side.columns:
+            raise ValueError(
+                f"salted_join: {name} already has a column named {_SALT!r}; "
+                "it would be clobbered and dropped — rename it first"
+            )
     keys = [on] if isinstance(on, str) else list(on)
     salt = (
         salt_expr
