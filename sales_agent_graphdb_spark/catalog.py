@@ -54,11 +54,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if df.schema["ts"].dataType.simpleString() == "bigint":
-            # integer division: ns values (~1.7e18) overflow double precision
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """THE events-ts normalization — long-encoded nanos floor-truncate
+    to µs (integer division: ns values ~1.7e18 overflow double
+    precision), native timestamps cast to session-TZ TimestampType.
+    Batch loader and BOTH streaming sources must share this one
+    definition: batch/stream hash parity rests on identical truncation
+    (review r03: it was copy-pasted in three files)."""
+    if df.schema[ts_col].dataType.simpleString() == "bigint":
+        return df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

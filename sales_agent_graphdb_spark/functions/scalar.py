@@ -31,7 +31,13 @@ def extract_price(c: Column | str) -> Column:
     """F2 — last number in a messy price string, commas stripped
     (reference product_scraper.py:51-69)."""
     c = F.col(c) if isinstance(c, str) else c
-    last = F.element_at(F.regexp_extract_all(c, F.lit(r"[0-9][0-9,]*(?:\.[0-9]+)?"), F.lit(0)), -1)
+    # try_element_at: a string with NO number yields an empty array, and
+    # plain element_at(-1) on it ERRORS under ANSI mode (the Spark 4.x
+    # default) — the messy-scraper contract is NULL, not a failed job.
+    last = F.try_element_at(
+        F.regexp_extract_all(c, F.lit(r"[0-9][0-9,]*(?:\.[0-9]+)?"), F.lit(0)),
+        F.lit(-1),
+    )
     return F.regexp_replace(last, ",", "").cast("double")
 
 
@@ -47,12 +53,6 @@ def normalize_alnum(c: Column | str) -> Column:
     """F8 — lowercase, strip non-alphanumerics (reference Chat.jsx:225-227)."""
     c = F.col(c) if isinstance(c, str) else c
     return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
-
-
-def token_count(c: Column | str) -> Column:
-    """Whitespace token count (text-analysis extension)."""
-    c = F.col(c) if isinstance(c, str) else c
-    return F.size(F.split(F.trim(c), r"\s+"))
 
 
 def is_email(c: Column | str) -> Column:

@@ -39,18 +39,40 @@ def fuzzy_search(
 ) -> DataFrame:
     """G6 — ids whose tokens are within `max_distance` edits of term,
     scored by min distance; top-k by (distance, id). The levenshtein
-    prefilter on length difference keeps the scan cheap."""
-    t = term.lower()
-    scored = (
-        index.filter(
-            (F.length("token") >= len(t) - max_distance)
-            & (F.length("token") <= len(t) + max_distance)
+    prefilter on length difference keeps the scan cheap.
+
+    A multi-word term (a quoted phrase like "hot rod") is matched
+    per word against the token-level index — every word must fuzzy-hit
+    some token of the doc, and the doc's distance is the sum of
+    per-word minima (Lucene-phrase-ish AND semantics). Matching the
+    whole phrase against single tokens would silently return zero hits
+    for products that literally bear the quoted name."""
+
+    def _word_scores(w: str, alias: str) -> DataFrame:
+        return (
+            index.filter(
+                (F.length("token") >= len(w) - max_distance)
+                & (F.length("token") <= len(w) + max_distance)
+            )
+            .withColumn("d", F.levenshtein(F.col("token"), F.lit(w)))
+            .filter(F.col("d") <= max_distance)
+            .groupBy("id")
+            .agg(F.min("d").alias(alias))
         )
-        .withColumn("distance", F.levenshtein(F.col("token"), F.lit(t)))
-        .filter(F.col("distance") <= max_distance)
-        .groupBy("id")
-        .agg(F.min("distance").alias("distance"))
-    )
+
+    words = [w for w in term.lower().split() if w]
+    if len(words) <= 1:
+        scored = _word_scores(words[0] if words else term.lower(), "distance")
+        return scored.orderBy("distance", "id").limit(k)
+    per_word: DataFrame | None = None
+    for i, w in enumerate(words):
+        sw = _word_scores(w, f"d{i}")
+        per_word = sw if per_word is None else per_word.join(sw, "id")
+    total = None
+    for i in range(len(words)):
+        c = F.col(f"d{i}")
+        total = c if total is None else total + c
+    scored = per_word.select("id", total.alias("distance"))
     return scored.orderBy("distance", "id").limit(k)
 
 

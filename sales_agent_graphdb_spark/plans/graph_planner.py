@@ -58,7 +58,14 @@ def plan_for(question: str) -> GraphPlan:
     """Classify a question into one of the three templates:
     quoted/'named'/'called' → fuzzy name; a surviving core noun →
     category browse; else broad scan."""
-    m = re.search(r"""['"]([^'"]+)['"]|named (\S+)|called (\S+)""", question)
+    # Same-quote pairs only, and single quotes must be word-delimited —
+    # a contraction apostrophe ("what's ... isn't") must not read as a
+    # quoted product name (review r03: the old ['\"]...['\"]  class
+    # paired the two apostrophes and produced a garbage fuzzy term).
+    m = re.search(
+        r""""([^"]+)"|(?:^|\s)'([^']+)'(?=\s|$|[?.!,;:])|named (\S+)|called (\S+)""",
+        question,
+    )
     if m:
         term = next(g for g in m.groups() if g)
         return GraphPlan("fuzzy_name", term.strip().lower())

@@ -61,4 +61,3 @@ def collocated_join(
 
 
 # Backwards-compat alias for the misspelled original name.
-cocolated_join = collocated_join

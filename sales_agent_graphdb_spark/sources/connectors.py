@@ -136,12 +136,19 @@ def write_scraper_json(posts: DataFrame, path: str, source_url: str) -> None:
 
 def read_scraper_json(spark: SparkSession, path: str) -> DataFrame:
     """S3 — JSON source with envelope unwrap (db_service.py:242-251,
-    397-416): ``data`` array exploded to one row per post. A bare-list
-    file (website_scraper.py:103-104) reads as ``data IS NULL`` rows
-    which are passed through unchanged — the same dual-shape handling
-    as db_service.py:413-416."""
-    raw = spark.read.json(path, schema=ENVELOPE_SCHEMA)
-    return (
-        raw.select(F.explode(F.col("data")).alias("post"))
+    397-416) and dual-shape handling (db_service.py:413-416): an
+    envelope file contributes explode(data); a bare-list file
+    (website_scraper.py:103-104) parses as top-level post rows with
+    ``data IS NULL`` under the combined schema and is unioned in as-is.
+    (A plain explode would silently DROP bare-list rows — explode
+    eliminates NULL arrays.)"""
+    combined = T.StructType(ENVELOPE_SCHEMA.fields + POST_SCHEMA.fields)
+    raw = spark.read.json(path, schema=combined)
+    post_cols = [f.name for f in POST_SCHEMA.fields]
+    enveloped = (
+        raw.filter(F.col("data").isNotNull())
+        .select(F.explode(F.col("data")).alias("post"))
         .select("post.*")
     )
+    bare = raw.filter(F.col("data").isNull()).select(*post_cols)
+    return enveloped.unionByName(bare)

@@ -63,9 +63,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(f"{sf_dir}/events.[p]arquet")  # glob => file-source basePath is the dir
     )
-    if schema["ts"].dataType.simpleString() == "bigint":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    from sales_agent_graphdb_spark.catalog import normalize_events_ts
+
+    return normalize_events_ts(raw)
 
 
 def _run_to_memory(stream: DataFrame, mode: str) -> DataFrame:
@@ -82,7 +82,13 @@ def _run_to_memory(stream: DataFrame, mode: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = stream.sparkSession.table(f"sink_{run_id}")
+    spark_ = stream.sparkSession
+    sink = spark_.table(f"sink_{run_id}")
+    # Materialize and DROP the memory-sink view: the sink pins the full
+    # result in driver memory for the session lifetime otherwise (one
+    # orphaned table per streaming run — tests/audits run dozens).
+    out = spark_.createDataFrame(sink.collect(), schema=sink.schema)
+    spark_.catalog.dropTempView(f"sink_{run_id}")
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -346,10 +352,7 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
     # would seed state at the far-future sentinel ts and absorb every
     # real event into the never-emitted sentinel session.)
     raw = spark.readStream.schema(schema).parquet(f"{src_dir}/*.parquet")
-    if ts_kind == "bigint":
-        stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    else:
-        stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _catalog.normalize_events_ts(raw)
 
     events = stream.select(
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id", "value"
@@ -399,7 +402,17 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = spark.read.parquet(src_dir).schema
 
+    # foreachBatch's contract is at-least-once per batch_id: on a retry
+    # after a completed overwrite but before the checkpoint commit, the
+    # same batch is re-delivered and would double-count. Record applied
+    # ids next to the table (a real lakehouse MERGE stores them in the
+    # table's txn log) and skip re-deliveries.
+    applied_dir = os.path.join(tbl_dir, "_applied_batches")
+
     def upsert(batch_df, batch_id):  # noqa: ANN001
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # idempotent replay: this batch is already in the table
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,6)")).alias("total_d"),
@@ -418,6 +431,8 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # detach from the table being overwritten
         )
         out.write.mode("overwrite").parquet(tbl_dir)
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
 
     stream = (
         spark.readStream.schema(batch_schema)
