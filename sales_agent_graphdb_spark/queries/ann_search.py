@@ -51,6 +51,18 @@ def _mark_index(path: str, sf_dir: str) -> None:
     (Path(path) / "_SRC_STAMP").write_text(_src_stamp(sf_dir))
 
 
+def _require_dim64(dim: int, query: str) -> None:
+    """The portable LSH oracles inline 64-dim hyperplane literals at
+    registration; a silently different runtime dim would use a
+    DIFFERENT plane set (or null-padded zip_with dots) and read as an
+    engine bug. Fail loudly instead — same guard as
+    dedup_embedding_lsh."""
+    if dim != 64:
+        raise ValueError(
+            f"{query}: oracle is pinned to dim=64, data has dim={dim}"
+        )
+
+
 @register("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-5 (8 tables × 4 planes) — candidates
@@ -157,6 +169,7 @@ def ann_lsh_pruned_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign-boundary dot cannot diverge from the oracle."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
+    _require_dim64(len(qv), "ann_lsh_pruned_portable")
     path = _index_path(sf_dir, "lsh")
     if not _index_fresh(path, sf_dir):
         ann.write_lsh_index(spark, emb, path, dim=len(qv))
@@ -178,6 +191,7 @@ def ann_lsh_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fold-order trick proven by the v1 oracle). The numpy-q-bucket
     variant stays the perf path."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
+    _require_dim64(len(_query_vec(spark, sf_dir)), "ann_lsh_topk_portable")
     return ann.hyperplane_lsh_topk_portable(emb, k=5)
 
 

@@ -48,20 +48,23 @@ def _word_ngrams(w: Column, n: int = _NGRAM_N) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# THE alnum word tokenizer — one Spark expression + one SQL mirror.
+# dedup.py and text.py import these; a tokenization tweak must happen
+# here ONCE or the six call sites' oracle/plan pairs silently diverge.
 _TOKENS_SQL = (
     "string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+')"
 )
 
 
+def alnum_tokens(c: Column) -> Column:
+    """Spark twin of _TOKENS_SQL: lowercase, non-alnum → space, trim,
+    split on whitespace."""
+    return F.split(F.trim(F.lower(F.regexp_replace(c, "[^a-zA-Z0-9 ]", " "))), r"\s+")
+
+
 def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.split(
-            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
-            r"\s+",
-        ).alias("w"),
-    )
+    return d.select("doc_id", alnum_tokens(F.col("text")).alias("w"))
 
 
 @register(
@@ -101,9 +104,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts eval grams and the check is one map-side pass over
     train grams."""
     toks = _tokenized(spark, sf_dir).withColumn("shard", _shard10(F.col("doc_id")))
-    flat = toks.select(
-        "doc_id", "shard", F.explode(_word_ngrams(F.col("w"))).alias("gram")
-    ).distinct()
+    # Checkpoint: BOTH join sides filter this frame — without it the
+    # tokenize→gram-explode→distinct pipeline evaluates twice per run
+    # (the dedup_containment / text_gopher_repetition move).
+    flat = (
+        toks.select(
+            "doc_id", "shard", F.explode(_word_ngrams(F.col("w"))).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     train = flat.filter(F.col("shard") != 0).select("doc_id", "gram")
     eval_set = flat.filter(F.col("shard") == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "gram"
@@ -171,13 +181,7 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one map-side-combinable groupBy on a low-cardinality key plus a
     broadcast of the one-row total."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    per_doc = d.select(
-        "source",
-        F.split(
-            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
-            r"\s+",
-        ).alias("w"),
-    )
+    per_doc = d.select("source", alnum_tokens(F.col("text")).alias("w"))
     per_source = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.col("w"))).alias("n_tokens"),

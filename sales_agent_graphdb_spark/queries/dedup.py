@@ -212,31 +212,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("new_id", "corpus_id")
 
 
-@register("dedup_cluster_canonical", oracle=None)
-def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTER canonicalization — the final step of a corpus
-    dedup pipeline, composed from two existing operators: MinHash-LSH
-    verified pairs (the similarity graph's edges) → connected
-    components (transitive closure, O(log d) pointer-doubling) →
-    per-cluster canonical = min doc_id, with cluster size. This is
-    what actually gets APPLIED to a 100 TB corpus: keep the canonical,
-    drop the rest — pairwise output alone can't express transitive
-    duplicate chains (A~B, B~C, A!~C must still collapse to one
-    cluster). Rows-only for the driver (xxhash64 seeds); pytest checks
-    the clustering against exact-Jaccard-pairs components at sf0.001.
-    Returns (canonical_doc_id, cluster_size, member_ids as sorted
-    JSON) for clusters with >= 2 members."""
+def _cluster_canonical(spark, sf_dir: str, pairs: "DataFrame") -> DataFrame:
+    """Shared clustering tail of both cluster-canonical queries: pairs →
+    edges → pointer-doubling connected components → per-cluster
+    canonical (min doc_id) + size + sorted member-id JSON, clusters of
+    >= 2. ONE definition so the portable twin certifies exactly the
+    pipeline the perf path runs."""
     from sales_agent_graphdb_spark.operators.graph import connected_components
 
-    corpus = dup_corpus(spark, sf_dir)
-    pairs = lsh.minhash_lsh_pairs(
-        corpus,
-        n_hashes=32,
-        n_bands=8,
-        shingle_k=5,
-        jaccard_threshold=0.5,
-        max_bucket_size=128,
-    )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comp = connected_components(edges)
     clusters = comp.groupBy("component").agg(
@@ -251,10 +234,38 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh_portable",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+@register("dedup_cluster_canonical", oracle=None)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the final step of a corpus
+    dedup pipeline, composed from two existing operators: MinHash-LSH
+    verified pairs (the similarity graph's edges) → connected
+    components (transitive closure, O(log d) pointer-doubling) →
+    per-cluster canonical = min doc_id, with cluster size. This is
+    what actually gets APPLIED to a 100 TB corpus: keep the canonical,
+    drop the rest — pairwise output alone can't express transitive
+    duplicate chains (A~B, B~C, A!~C must still collapse to one
+    cluster). Rows-only for the driver (xxhash64 seeds); pytest checks
+    the clustering against exact-Jaccard-pairs components at sf0.001.
+    Returns (canonical_doc_id, cluster_size, member_ids as sorted
+    JSON) for clusters with >= 2 members."""
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = lsh.minhash_lsh_pairs(
+        corpus,
+        n_hashes=32,
+        n_bands=8,
+        shingle_k=5,
+        jaccard_threshold=0.5,
+        max_bucket_size=128,
+    )
+    return _cluster_canonical(spark, sf_dir, pairs)
+
+
+# Shared CTE chain for the md5-portable minhash family (16 hashes, 4
+# bands, 5-char shingles) over the planted-duplicate corpus — the text
+# mirror of lsh._portable_banded + shingle_tokens, shared by all three
+# portable minhash queries (pairs / incremental / cluster-canonical).
+_PORTABLE_MINHASH_CTES = f"""
+    corpus AS ({_CORPUS_SQL}),
     norm AS (
       SELECT doc_id AS id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
       FROM corpus),
@@ -270,11 +281,18 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, seed // 4 AS band,
              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
       FROM minh GROUP BY id, seed // 4),
+    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id)
+"""
+
+
+@register(
+    "dedup_minhash_lsh_portable",
+    oracle=f"""
+    WITH {_PORTABLE_MINHASH_CTES},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id),
     inter AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS ninter
       FROM cand c
@@ -354,29 +372,6 @@ def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.simhash_portable_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
 
 
-# Shared CTE chain for the md5-portable minhash family (16 hashes, 4
-# bands, 5-char shingles) over the planted-duplicate corpus — the text
-# mirror of lsh._portable_banded + shingle_tokens, proven bit-exact by
-# dedup_minhash_lsh_portable in round 2.
-_PORTABLE_MINHASH_CTES = f"""
-    corpus AS ({_CORPUS_SQL}),
-    norm AS (
-      SELECT doc_id AS id, regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g') AS t
-      FROM corpus),
-    toks AS (
-      SELECT DISTINCT id, substr(t, u.p, 5) AS g
-      FROM norm, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(p)),
-    seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
-    minh AS (
-      SELECT id, seed,
-             MIN(CAST(('0x' || substr(md5(g || '#' || seed), 1, 15)) AS BIGINT)) AS mh
-      FROM toks CROSS JOIN seeds GROUP BY id, seed),
-    banded AS (
-      SELECT id, seed // 4 AS band,
-             md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS bucket
-      FROM minh GROUP BY id, seed // 4),
-    sizes AS (SELECT id, COUNT(*) AS n FROM toks GROUP BY id)
-"""
 
 
 @register(
@@ -474,24 +469,11 @@ def dedup_cluster_canonical_portable(
     the driver hash-checks edge discovery AND the transitive clustering
     AND the canonical/member aggregation, bit-for-bit including the
     sorted member-id JSON."""
-    from sales_agent_graphdb_spark.operators.graph import connected_components
-
     corpus = dup_corpus(spark, sf_dir)
     pairs = lsh.minhash_lsh_pairs_portable(
         corpus, n_hashes=16, n_bands=4, shingle_k=5, jaccard_threshold=0.5
     )
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    comp = connected_components(edges)
-    clusters = comp.groupBy("component").agg(
-        F.min("id").alias("canonical_doc_id"),
-        F.count(F.lit(1)).alias("cluster_size"),
-        F.to_json(F.sort_array(F.collect_list("id"))).alias("member_ids"),
-    )
-    return (
-        clusters.filter(F.col("cluster_size") >= 2)
-        .select("canonical_doc_id", "cluster_size", "member_ids")
-        .orderBy("canonical_doc_id")
-    )
+    return _cluster_canonical(spark, sf_dir, pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -506,8 +488,9 @@ _CONTAIN_MAX_DF = 50  # stop-shingle cap: shingles in more docs than
 # this are boilerplate; dropping them bounds the inverted-index join
 # fan-out (the same role as minhash_lsh_pairs' max_bucket_size).
 _CONTAIN_THRESHOLD = 0.9
-_CONTAIN_TOKENS_SQL = (
-    "string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g'))), '\\s+')"
+from sales_agent_graphdb_spark.queries.curation import (  # noqa: E402
+    _TOKENS_SQL as _CONTAIN_TOKENS_SQL,
+    alnum_tokens as _alnum_tokens,
 )
 
 
@@ -553,13 +536,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts come from a map-side-combinable groupBy on the pair key.
     Cost is O(Σ_gram df²) with df capped, never O(n²) over docs."""
     corpus = dup_corpus(spark, sf_dir)
-    toks = corpus.select(
-        "doc_id",
-        F.split(
-            F.trim(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9 ]", " "))),
-            r"\s+",
-        ).alias("t"),
-    )
+    toks = corpus.select("doc_id", _alnum_tokens(F.col("text")).alias("t"))
     from sales_agent_graphdb_spark.queries.curation import _word_ngrams
 
     # Checkpoint the shingle stream: FOUR consumers (the df count, both

@@ -102,15 +102,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-ratio heuristics (the
     C4/Gopher-style filter family) as pure column math."""
     d = catalog.load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
     en = LANG_STOPWORDS["en"]
-    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*en)))
-    n_tokens = F.size(toks)
+    # Materialize the token array in its OWN projection: four consumer
+    # columns below would otherwise each re-run the trim+regex split
+    # after CollapseProject (the text_boilerplate_ngrams trap).
+    base = d.select(
+        "doc_id",
+        F.length("text").alias("_len"),
+        _tokens(F.col("text")).alias("toks"),
+    )
+    n_tokens = F.size("toks")
+    stop_hits = F.size(F.filter(F.col("toks"), lambda w: w.isin(*en)))
     stop_ratio = stop_hits.cast("double") / n_tokens
-    return d.select(
+    return base.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (F.length("text").cast("double") / n_tokens).alias("avg_token_len"),
+        (F.col("_len").cast("double") / n_tokens).alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         (n_tokens.between(5, 1000) & (stop_ratio > 0.01)).alias("passes_quality"),
     ).orderBy("doc_id")
@@ -241,13 +248,9 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element_at inside the transform lambda (Catalyst's CollapseProject
     # keeps a non-cheap expr referenced more than once in its own
     # Project, but only if we alias it) — measured 22x slower inlined.
-    d = d.select(
-        "doc_id",
-        F.split(
-            F.trim(F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " "))),
-            r"\s+",
-        ).alias("w"),
-    )
+    from sales_agent_graphdb_spark.queries.curation import alnum_tokens
+
+    d = d.select("doc_id", alnum_tokens(F.col("text")).alias("w"))
     w = F.col("w")
     grams = F.when(
         F.size(w) >= 3,
@@ -364,16 +367,21 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     math: filter → groupBy → projection, two map-side-combinable
     shuffles, no UDF, no collect."""
     corpus = dup_corpus(spark, sf_dir)
-    toks = _tokens(F.col("text"))
-    n_tokens = F.size(toks)
+    # Token array in its own projection (see text_quality_score).
+    base = corpus.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")).alias("fp"),
+    )
+    n_tokens = F.size("toks")
     stop_ratio = (
-        F.size(F.filter(toks, lambda w: w.isin(*LANG_STOPWORDS["en"]))).cast("double")
+        F.size(F.filter(F.col("toks"), lambda w: w.isin(*LANG_STOPWORDS["en"]))).cast(
+            "double"
+        )
         / n_tokens
     )
-    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", ""))
-    kept = corpus.select(
-        "doc_id", n_tokens.alias("n_tokens"), stop_ratio.alias("stop_ratio"),
-        fp.alias("fp"),
+    kept = base.select(
+        "doc_id", n_tokens.alias("n_tokens"), stop_ratio.alias("stop_ratio"), "fp",
     ).filter(F.col("n_tokens").between(5, 1000) & (F.col("stop_ratio") > 0.01))
     deduped = kept.groupBy("fp").agg(
         F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens")
