@@ -74,3 +74,17 @@ def test_interval_join_batch_shape(spark):
     )
     plan = _plan(j)
     assert "NestedLoop" not in plan, plan
+
+
+def test_sorted_scan_pruning_pushdown(spark):
+    """s10 — the range predicate must reach the parquet scan of the
+    sorted layout (PushedFilters with the l_shipdate bounds) and the
+    scan must be column-pruned to the two referenced columns; that is
+    the mechanism row-group skipping rides on."""
+    from sales_agent_graphdb_spark.queries.sources_io import s10_sorted_scan_pruning
+
+    df = s10_sorted_scan_pruning(spark, SF_SMALL)
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert any("PushedFilters" in l and "GreaterThanOrEqual(l_shipdate" in l for l in scans), plan
+    assert any("ReadSchema" in l and "l_extendedprice" in l and "l_orderkey" not in l for l in scans), plan
