@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -62,15 +63,19 @@ WARM_FIRST = ["ann_lsh_pruned_topk", "ann_ivf_pruned_topk"]
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    m = re.search(r"sf([0-9]*\.?[0-9]+)/*$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
     spark = get_spark(app_name="bench")
 
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs]
     timings: dict[str, float] = {}
 
-    # Warm the JVM/codegen once on the smallest query so first-query
-    # timing isn't dominated by session startup.
+    # One untimed run of HEADLINE[0] warms the JVM/codegen so the first
+    # timed line isn't dominated by session startup. (Side effect kept
+    # for round-over-round comparability: HEADLINE[0]'s own timed line
+    # measures a warmed second run, while other non-WARM_FIRST queries
+    # include their first-touch file-listing/codegen cost.)
     specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in WARM_FIRST:
         if name in specs:

@@ -52,10 +52,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     normalize both to session-TZ TimestampType so downstream window /
     watermark / oracle code sees one type regardless of generation."""
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return normalize_events_ts(df)
+        path = f"{sf_dir}/{name}.parquet"
+        ensure_events_readable(spark, path)
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Paths already probed for the TIMESTAMP(NANOS) encoding this session.
+_NANOS_PROBED: set[str] = set()
+
+
+def ensure_events_readable(spark: SparkSession, path: str) -> None:
+    """Enable ``nanosAsLong`` ONLY if this events file actually needs it
+    (TIMESTAMP(NANOS) encoding). The flag is session-global; setting it
+    unconditionally would silently turn any OTHER table's future nanos
+    column into a bigint instead of the loud read-time error Spark
+    gives by default — so probe first, set only on demand."""
+    if path in _NANOS_PROBED:
+        return
+    try:
+        spark.read.parquet(path).schema
+    except Exception:  # AnalysisException: Illegal Parquet type TIMESTAMP(NANOS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _NANOS_PROBED.add(path)
 
 
 def normalize_events_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -128,12 +147,9 @@ def ref_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders table (models.py:44-55) with the OrderStatus enum mapping."""
     o = load_table(spark, sf_dir, "orders")
     status = F.col("o_orderstatus")
-    mapped = (
-        F.when(status == "O", "PENDING")
-        .when(status == "P", "PROCESSING")
-        .when(status == "F", "DELIVERED")
-        .otherwise("PENDING")
-    )
+    mapped = F.lit("PENDING")  # default for unknown codes
+    for code, enum in reversed(list(STATUS_MAP.items())):
+        mapped = F.when(status == code, enum).otherwise(mapped)
     return o.select(
         F.col("o_orderkey").alias("id"),
         F.col("o_custkey").alias("customer_id"),

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sales_agent_graphdb_spark import catalog
 from sales_agent_graphdb_spark.operators import ann
+from sales_agent_graphdb_spark.sources import stamp
 from sales_agent_graphdb_spark.queries.vector import _query_vec
 from sales_agent_graphdb_spark.registry import register
 
@@ -29,26 +30,20 @@ def _index_path(sf_dir: str, kind: str) -> str:
     return str(_INDEX_ROOT / os.path.basename(sf_dir.rstrip("/")) / kind)
 
 
-def _src_stamp(sf_dir: str) -> str:
-    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
-    return f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
+def _emb_src(sf_dir: str) -> str:
+    return f"{sf_dir.rstrip('/')}/embeddings.parquet"
 
 
 def _index_fresh(path: str, sf_dir: str) -> bool:
     """True iff the materialized index at ``path`` was built from the
-    CURRENT source parquet (mtime+size stamp). Ingest-once semantics:
-    repeated queries in a round reuse the index — the production
-    amortization the materialized path exists for — while any testdata
-    regeneration invalidates it automatically."""
-    marker = Path(path) / "_SRC_STAMP"
-    try:
-        return marker.read_text() == _src_stamp(sf_dir)
-    except OSError:
-        return False
+    CURRENT embeddings parquet (shared stamp protocol,
+    sources/stamp.py). Ingest-once semantics: repeated queries in a
+    round reuse the index; testdata regeneration invalidates it."""
+    return stamp.is_fresh(path, _emb_src(sf_dir))
 
 
 def _mark_index(path: str, sf_dir: str) -> None:
-    (Path(path) / "_SRC_STAMP").write_text(_src_stamp(sf_dir))
+    stamp.mark(path, _emb_src(sf_dir))
 
 
 def _require_dim64(dim: int, query: str) -> None:

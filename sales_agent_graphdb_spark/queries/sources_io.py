@@ -238,26 +238,19 @@ def s10_sorted_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the original table, so the hash certifies the rewrite+skip path
     loses no rows. Layout write is SF-stamped and reused (ingest-side
     cost, amortized over every query — the ANN-index pattern)."""
+    from sales_agent_graphdb_spark.sources import stamp
+
     li = catalog.load_table(spark, sf_dir, "lineitem")
     root = _scratch(sf_dir, "lineitem_by_shipdate")
-    stamp = os.path.join(root, "_SRC_STAMP")
     src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-    want = f"{os.path.getmtime(src)}:{os.path.getsize(src)}"
-    have = None
-    try:
-        with open(stamp) as fh:
-            have = fh.read()
-    except OSError:
-        pass
-    if have != want:
+    if not stamp.is_fresh(root, src):
         (
             li.repartitionByRange(8, F.col("l_shipdate"))
             .sortWithinPartitions("l_shipdate")
             .write.mode("overwrite")
             .parquet(root)
         )
-        with open(stamp, "w") as fh:
-            fh.write(want)
+        stamp.mark(root, src)
     back = spark.read.parquet(root)
     year = back.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))

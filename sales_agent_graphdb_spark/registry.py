@@ -53,10 +53,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 _PRIORITY: list[str] = [
     # TODO(round 4): fold CORRECTNESS_r03's green names into _VERIFIED,
     # clear this list of driver-confirmed names, and keep the unverified
-    # count within the driver's 50-slot budget (r03 shipped at 49/50).
+    # count within the driver's 50-slot budget (r03 shipped at 50/50).
     # Round 3: queries that gained an oracle or are newly registered.
     "j2_order_items_nested",  # nested form gains a DuckDB JSON oracle
-    "st_stream_stateful_sessions",  # gains the gap-and-islands oracle
+    # (st_stream_stateful_sessions also gained an oracle but stays in
+    # _SLOW_TAIL, not here: priority placement would defeat the
+    # slow-tail deferral a time-budgeted driver relies on.)
     "pct_approx_value",  # gains a DuckDB quantile-window bounds oracle
     "dedup_embedding_lsh",  # gains a DIRECT oracle (literal planes + fold dots)
     "dedup_incremental_minhash_portable",

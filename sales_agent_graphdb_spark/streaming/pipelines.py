@@ -36,10 +36,11 @@ SCRATCH = "/root/repo/.scratch/streaming"
 # generation; the streaming source pins whichever the file actually has
 # (streaming sources never infer), detected via a cheap batch read.
 def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_type = (
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
-    )
+    from sales_agent_graphdb_spark.catalog import ensure_events_readable
+
+    path = f"{sf_dir}/events.parquet"
+    ensure_events_readable(spark, path)
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
     return T.StructType(
         [
             T.StructField("event_id", T.LongType()),

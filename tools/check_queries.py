@@ -21,13 +21,21 @@ def main() -> None:
     sf = "/root/testdata/sf0.01"
     if "--sf" in args:
         i = args.index("--sf")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_queries.py name... [--sf DIR] (--sf needs a value)")
         sf = args[i + 1]
         args = args[:i] + args[i + 2:]
+    if not args:
+        sys.exit("usage: check_queries.py name... [--sf DIR] (no query names given)")
+
+    specs = all_queries()
+    unknown = [n for n in args if n not in specs]
+    if unknown:
+        sys.exit(f"unknown query names (before Spark startup): {unknown}")
 
     spark = make_spark("check_queries")
     con = make_duck(sf)
 
-    specs = all_queries()
     fails = []
     for name in args:
         spec = specs[name]

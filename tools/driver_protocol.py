@@ -7,10 +7,7 @@ from __future__ import annotations
 
 import hashlib
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from sales_agent_graphdb_spark.catalog import TABLES  # one definition
 
 
 def vhash(rows, cols) -> str:
