@@ -184,6 +184,18 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "event_type", "value").orderBy("event_id")
 
 
+def interval_join_cond():
+    """THE view→purchase attribution join condition — equi-key on
+    user_id plus the 1h time-range bound. Shared with
+    tests/test_plans.py so the plan-shape test exercises the REAL
+    condition: losing the equi-key here would degrade the state-store
+    sharding to a nested-loop shape, and the test must see that."""
+    return F.expr(
+        "v_user_id = b_user_id AND "
+        "view_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"
+    )
+
+
 def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchase events joined to the same
     user's view events from the preceding hour — the attribution join
@@ -216,14 +228,7 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("buy_ts", "2 hours")
     )
-    joined = views.join(
-        buys,
-        F.expr(
-            "v_user_id = b_user_id AND "
-            "view_ts BETWEEN buy_ts - INTERVAL 1 HOUR AND buy_ts"
-        ),
-        "inner",
-    )
+    joined = views.join(buys, interval_join_cond(), "inner")
     out = _run_to_memory(joined, "append")
     return out.select(
         F.col("v_user_id").alias("user_id"), "view_id", "purchase_id"

@@ -18,12 +18,11 @@ def spark():
 
 @pytest.fixture(scope="session")
 def duck():
+    # Bare connection; tests bind unqualified views per-SF through
+    # duck_with_views (idempotent CREATE OR REPLACE), matching the
+    # driver's protocol. (Prefixed sf0001_*/sf001_* views used to be
+    # pre-bound here but nothing referenced them.)
     con = duckdb.connect()
-    for sf, d in (("sf0001", SF_SMALL), ("sf001", SF_MEDIUM)):
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {sf}_{t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
-            )
     yield con
     con.close()
 

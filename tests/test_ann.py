@@ -46,7 +46,12 @@ def test_ivf_assign_covers_all_cells_probed(spark):
     cents = ann._ivf_centroids(emb, 8, "vec_id", "embedding")
     assigned = ann.ivf_assign(emb, cents)
     cells = {r.cell for r in assigned.select("cell").distinct().collect()}
-    assert cells <= set(range(8))
+    # Every cell must actually receive vectors (each centroid IS a
+    # corpus vector, which assigns to itself), no row may be dropped,
+    # and no cell id may fall outside range — a subset-only assert
+    # would pass an all-in-one-cell regression.
+    assert cells == set(range(8))
+    assert assigned.count() == emb.count()
 
 
 def test_kmeans_centroids_unit_norm_and_deterministic(spark):

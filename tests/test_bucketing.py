@@ -59,7 +59,10 @@ def test_bucketed_join_has_no_shuffle(no_broadcast):
         assert "Exchange hashpartitioning(o_orderkey" not in plan
         assert "SortMergeJoin" in plan, plan
         join_section = plan[plan.index("SortMergeJoin") :]
-        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, join_section
+        assert (
+            "Bucketed: true" in join_section
+            or "SelectedBucketsCount" in join_section
+        ), join_section
 
         # and the result is identical to the plain (shuffled) join
         expect = {

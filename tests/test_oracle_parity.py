@@ -45,8 +45,12 @@ def test_query_matches_oracle(name, spark, duck):
     scols = list(sdf.columns)
 
     if spec.oracle is None:
-        # rows-only check, mirroring the driver's weaker gate
-        assert len(srows) >= 0
+        # rows-only, mirroring the driver's weaker gate — but every
+        # oracle-less query in this registry (ANN top-k, planted-dup
+        # pair/cluster perf paths) must return SOMETHING at sf0.001; an
+        # empty result means the operator silently broke.
+        assert scols, f"{name}: no output columns"
+        assert srows, f"{name}: rows-only query returned no rows"
         return
 
     cur = duck_with_views(duck, SF_SMALL)

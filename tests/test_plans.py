@@ -51,27 +51,25 @@ def test_stratified_sample_is_pure_filter(spark):
 
 
 def test_interval_join_batch_shape(spark):
-    """The batch twin of st_stream_interval_join (same join condition)
-    keeps an equi-key on user_id — Spark must plan a hash/merge join on
-    user_id with the time-range as post-join predicate, never a pure
-    nested loop over events x events."""
+    """The batch twin of st_stream_interval_join built through the
+    PIPELINE'S OWN join condition (streaming/pipelines.py:
+    interval_join_cond) must keep an equi-key on user_id — Spark plans
+    a hash/merge join with the time-range as residual predicate, never
+    a nested loop. Sharing the condition means a regression that drops
+    the equi-key from the real stream fails HERE."""
     from pyspark.sql import functions as F
 
     from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.streaming.pipelines import interval_join_cond
 
     ev = catalog.load_table(spark, SF_SMALL, "events")
     v = ev.filter(F.col("event_type") == "view").select(
-        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("view_ts")
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+        F.col("user_id").alias("b_user_id"), F.col("ts").alias("buy_ts")
     )
-    j = v.join(
-        p,
-        (F.col("vu") == F.col("pu"))
-        & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("vts") <= F.col("pts")),
-    )
+    j = v.join(p, interval_join_cond(), "inner")
     plan = _plan(j)
     assert "NestedLoop" not in plan, plan
 

@@ -144,8 +144,20 @@ def test_global_prefix_sum_matches_single_window_and_distributes(spark):
     w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     single = {r.k: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert two_pass == single
-    ranged = df.repartitionByRange(8, F.col("k"))
-    assert ranged.rdd.getNumPartitions() > 1
+    # "Distributes" must be asserted on the OPERATOR's plan, not on a
+    # throwaway repartition of the input. The range exchange happens
+    # inside the localCheckpoint materialization (not visible
+    # downstream), so the observable invariant is the data-side window
+    # being PARTITIONED BY _pid — a regression to one global window
+    # would show an empty window partition spec instead.
+    plan = (
+        global_prefix_sum(df, "k", "v", "cum")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert "windowspecdefinition(k" not in plan, plan
 
 
 from hypothesis import HealthCheck, given, settings

@@ -50,11 +50,12 @@ def test_salted_left_join_keeps_unmatched(spark):
     )
     plain = fact.join(dim, "p_partkey", "left")
     salted = salted_join(fact, dim, "p_partkey", n_salts=4, how="left")
-    assert salted.count() == plain.count()
-    assert (
-        salted.filter(F.col("p_brand").isNull()).count()
-        == plain.filter(F.col("p_brand").isNull()).count()
+    # Full multiset compare (not just counts): a salting bug that
+    # matched WRONG dim rows would preserve row counts.
+    assert sorted(tuple(r) for r in salted.collect()) == sorted(
+        tuple(r) for r in plain.collect()
     )
+    assert salted.filter(F.col("p_brand").isNull()).count() > 0
 
 
 def test_salted_join_rejects_right_join(spark):
