@@ -17,9 +17,17 @@ identical result with no single-partition stage:
 
 The output is independent of where the range boundaries land (integer
 arithmetic, disjoint ranges), so the result is deterministic even
-though the boundaries are sampled. Cost: one range shuffle + one
-in-partition sort + an O(n_partitions) side plan — this is how a
-100 TB global cumulative sum actually runs.
+though the boundaries are sampled.
+
+Cost note: the checkpoint erases the range partitioning's clustering
+info, so the _pid-partitioned window re-shuffles by _pid — two
+balanced full-data exchanges total (range + hash) plus the
+O(n_partitions) side plan. That is still the right trade at 100 TB:
+the alternative is ONE exchange into a SINGLE partition (the
+w5_ntile_buckets degenerate shape), which serializes the entire
+dataset through one task. Eliminating the second exchange would take
+a mapInPandas/mapPartitions local pass; kept as the documented
+follow-up if the extra shuffle ever shows up in a profile.
 """
 
 from __future__ import annotations
