@@ -502,19 +502,40 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t", F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
         ).alias("word_chars"),
     )
-    bg = toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 2)).alias("g"))
-    bgc = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    # Bigram and trigram legs share ONE explode + ONE (doc_id, n, g)
+    # count shuffle (tagged by gram order n); the per-leg frames are
+    # then cheap filters of the combined counts — half the gram
+    # shuffle volume of separate legs.
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(_word_ngrams(F.col("t"), 2), lambda g: F.struct(F.lit(2).alias("n"), g.alias("g"))),
+                F.transform(_word_ngrams(F.col("t"), 3), lambda g: F.struct(F.lit(3).alias("n"), g.alias("g"))),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.n", "p.g")
+    gc = (
+        grams.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # two consumers below
+    )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("c"), F.desc(F.length("g")), F.asc("g")
     )
     topb = (
-        bgc.withColumn("rn", F.row_number().over(w))
+        gc.filter(F.col("n") == 2)
+        .withColumn("rn", F.row_number().over(w))
         .filter("rn = 1")
         .select("doc_id", "g", "c")
     )
-    tri = toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 3)).alias("g"))
-    tris = tri.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tri"), F.countDistinct("g").alias("n_tri_d")
+    tris = (
+        gc.filter(F.col("n") == 3)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tri"),
+            F.count(F.lit(1)).alias("n_tri_d"),
+        )
     )
     final = (
         base.join(topb, "doc_id", "left")
