@@ -653,6 +653,105 @@ def duckdb_ivf_topk_sql(
     """
 
 
+def semantic_cell_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space into cells, then
+    mark every vector that has an above-threshold cosine neighbor with
+    a SMALLER id inside its own cell as a semantic duplicate of the
+    smallest such neighbor. The clustering-based complement of
+    hyperplane_dedup_pairs: LSH catches near-identical vectors across
+    the whole space; SemDeDup prunes the pairwise comparison to
+    semantic neighborhoods, which is the form large training-data
+    pipelines run because the cells double as the storage partitioning.
+
+    Scale shape: assignment is one codegen'd projection (argmax
+    fold-dot over k centroid literals — ingest-time it is the written
+    ``cell`` partition column, see write_ivf_index); the pairwise
+    compare is an equi-join ON THE CELL KEY, so cost is O(Σ_cell
+    |cell|²), never O(n²), and k grows with the corpus to bound
+    |cell|. Centroids here are the deterministic first-N-by-id
+    (portable across engines — the same choice the IVF oracle family
+    proves bit-exact); the k-means centroids of kmeans_centroids are
+    the quality path when oracle portability is not required.
+
+    Returns (cell, drop_vec_id, keep_vec_id, cos_sim): one row per
+    dropped vector, keep = its smallest above-threshold cell-mate,
+    cos_sim = similarity of that kept pair."""
+    cents = _ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    assigned = ivf_assign(embeddings, cents, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cell"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    hits = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("b.cell").alias("cell"),
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # min over struct(id_a, cos_sim) compares id_a first (unique per
+    # group), so this picks the smallest keeper AND its similarity in
+    # one aggregate.
+    m = F.min(F.struct(F.col("id_a").alias("k"), F.col("cos_sim").alias("c")))
+    return (
+        hits.groupBy("cell", F.col("id_b").alias("drop_vec_id"))
+        .agg(m.alias("m"))
+        .select(
+            "cell",
+            "drop_vec_id",
+            F.col("m.k").alias("keep_vec_id"),
+            F.col("m.c").alias("cos_sim"),
+        )
+        .orderBy("drop_vec_id")
+    )
+
+
+def duckdb_semantic_cell_dedup_sql(
+    n_cells: int = 16, threshold: float = 0.3
+) -> str:
+    """Full SQL mirror of semantic_cell_dedup: same first-N-by-id
+    centroids, same argmax-fold-dot assignment (ties → lowest cell via
+    ORDER BY dot DESC, cid — the duckdb_ivf_topk_sql technique), same
+    within-cell cosine and smallest-keeper decision, all fold-order
+    arithmetic so the driver hash-checks the whole pipeline."""
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    cos = duckdb_cosine_sql("a.v", "b.v")
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    assign AS (
+      SELECT e.vec_id AS id, e.embedding AS v,
+             (SELECT c.cid FROM cents c
+              ORDER BY {duckdb_fold_dot_sql("c.cv", "e.embedding")} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e),
+    hits AS (
+      SELECT a.cell, a.id AS id_a, b.id AS id_b, {cos} AS cos_sim
+      FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+      WHERE {cos} >= {threshold})
+    SELECT cell, id_b AS drop_vec_id,
+           MIN(id_a) AS keep_vec_id,
+           arg_min(cos_sim, id_a) AS cos_sim
+    FROM hits
+    GROUP BY cell, id_b
+    ORDER BY drop_vec_id
+    """
+
+
 def duckdb_hyperplane_dedup_sql(
     threshold: float = 0.3,
     n_tables: int = 8,

@@ -98,7 +98,9 @@ _BM25_TERM_SCORE = (
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
-def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+def bm25_rank(
+    docs: DataFrame, terms: list[str], k: int = 10, ngrams: int = 1
+) -> DataFrame:
     """Okapi-BM25 top-k retrieval for a fixed bag of query ``terms``
     over ``docs(doc_id, text)``.
 
@@ -113,20 +115,37 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     term), not an aggregation fold, so summation order can never
     change the double result between engines.
 
+    ``ngrams > 1`` enables PHRASE terms: the posting stream carries
+    word n-grams up to that order (a term like "hash join" is a
+    2-gram posting), scored with the same BM25 formula — the standard
+    shingle-index phrase approximation (exact adjacency, no positions
+    needed). Document length stays the unigram count, so unigram
+    scores are unchanged by the wider index.
+
     At 100 TB: tokens/tf/dl are the materialized inverted-index
     tables (bucketed by token); a query then joins k postings lists
     and never rescans the corpus.
     """
     if not terms:
         raise ValueError("bm25_rank: terms must be a non-empty list")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), _TOKEN_SPLIT)).alias("token"),
+    need = max(len(t.split()) for t in terms)
+    if need > ngrams:
+        raise ValueError(
+            f"bm25_rank: terms contain a {need}-word phrase but ngrams={ngrams}"
         )
-        .filter(F.length("token") > 0)
+    arr = F.filter(
+        F.split(F.lower(F.col("text")), _TOKEN_SPLIT),
+        lambda x: F.length(x) > 0,
     )
+    toks = docs.select("doc_id", F.explode(arr).alias("token"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("dl"))
+    if ngrams > 1:
+        from sales_agent_graphdb_spark.queries.curation import _word_ngrams
+
+        gram_arr = arr
+        for n in range(2, ngrams + 1):
+            gram_arr = F.concat(gram_arr, _word_ngrams(arr, n))
+        toks = docs.select("doc_id", F.explode(gram_arr).alias("token"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -164,22 +183,36 @@ def bm25_rank(docs: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
     )
 
 
-def duckdb_bm25_sql(terms: list[str], k: int = 10) -> str:
+def duckdb_bm25_sql(terms: list[str], k: int = 10, ngrams: int = 1) -> str:
     """DuckDB oracle for :func:`bm25_rank` — same token split, same
-    per-term score expression text, same fixed-order summation. Terms
-    are quote-escaped before interpolation (a term like "o'brien" must
-    not break or inject into the oracle session)."""
+    per-term score expression text, same fixed-order summation, and
+    for ``ngrams > 1`` the same word-n-gram posting stream (dl stays
+    the unigram count). Terms are quote-escaped before interpolation
+    (a term like "o'brien" must not break or inject into the oracle
+    session)."""
     esc = [t.replace("'", "''") for t in terms]
     in_list = ", ".join(f"'{t}'" for t in esc)
     per_term = " + ".join(
         f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0)" for t in esc
     )
+    gram_legs = ["SELECT doc_id, unnest(arr) AS token FROM arrs"]
+    for n in range(2, ngrams + 1):
+        joined = " || ' ' || ".join(f"arr[i+{j}]" for j in range(n))
+        gram_legs.append(
+            f"SELECT doc_id, unnest(CASE WHEN len(arr) >= {n} THEN"
+            f" list_transform(generate_series(1, len(arr) - {n - 1}),"
+            f" i -> {joined}) ELSE [] END) AS token FROM arrs"
+        )
+    grams_sql = " UNION ALL ".join(gram_legs)
     return f"""
-    WITH toks AS (
-      SELECT doc_id, t.token
-      FROM documents, unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t(token)
-      WHERE length(t.token) > 0),
-    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM toks GROUP BY doc_id),
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'),
+                         x -> length(x) > 0) AS arr
+      FROM documents),
+    toks AS ({grams_sql}),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+           FROM arrs, unnest(arr) AS u(tok) GROUP BY doc_id),
     g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                  CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
     dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS dfreq

@@ -25,13 +25,16 @@ balanced full-data exchanges total (range + hash) plus the
 O(n_partitions) side plan. That is still the right trade at 100 TB:
 the alternative is ONE exchange into a SINGLE partition (the
 w5_ntile_buckets degenerate shape), which serializes the entire
-dataset through one task. Eliminating the second exchange would take
-a mapInPandas/mapPartitions local pass; kept as the documented
-follow-up if the extra shuffle ever shows up in a profile.
+dataset through one task. ``global_prefix_sum_single_exchange`` below
+eliminates the second exchange with an Arrow-batched mapInPandas
+local pass over the checkpointed range partitions.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -90,3 +93,94 @@ def global_prefix_sum(
         .drop("_pid", "_local", "_offset")
     )
     return out
+
+
+def global_prefix_sum_single_exchange(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running sum with ONE full-data exchange — the
+    single-shuffle form of :func:`global_prefix_sum` (whose second
+    _pid hash exchange this replaces with a narrow Arrow pass).
+
+    1. range-repartition by the order key and sortWithinPartitions
+       (the only full-data exchange), tag rows with the partition id,
+       and materialize ONCE (localCheckpoint) so both consumers see
+       the same physical partitions;
+    2. per-partition totals → exclusive prefix offsets: n_partitions
+       rows aggregated map-side and collected to the driver — an
+       O(n_partitions) reduction independent of data size (the same
+       shape kmeans_centroids uses);
+    3. one mapInPandas pass over the SAME checkpointed partitions adds
+       offset[pid] + a running carry across the partition's Arrow
+       batches — narrow, no shuffle, vectorized cumsum per batch.
+
+    Trade-off vs the two-pass form: the offsets become a driver
+    round-trip (forcing two jobs over the checkpointed data instead of
+    one self-joined plan) in exchange for halving shuffle volume — at
+    100 TB the second exchange is the dominant cost, the n_partitions
+    collect is noise. Integer/long value columns stay exact (pandas
+    int64 cumsum); the output schema appends ``out_col`` as long.
+    """
+    reserved = {"_pid", "_ptotal"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "global_prefix_sum_single_exchange: input columns collide "
+            f"with internal names {sorted(clash)}"
+        )
+    vtype = df.schema[value_col].dataType.simpleString()
+    if vtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            "global_prefix_sum_single_exchange: value column must be "
+            f"integral for an exact long cumsum, got {vtype} "
+            "(use global_prefix_sum for non-integral types)"
+        )
+    if num_partitions is None:
+        conf = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        num_partitions = int(conf) if str(conf).isdigit() else 32
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["_pid"]: r["_ptotal"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_ptotal"))
+        .collect()
+    }
+    # Exclusive prefix over the per-partition totals, driver-side:
+    # offsets[p] = Σ totals[q] for q < p (missing pids ⇒ empty ranges).
+    offsets: dict[int, int] = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p] or 0
+
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields]
+        + [f"`{out_col}` bigint"]
+    )
+    in_cols = [f.name for f in out_fields]
+
+    def add_offsets(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry = 0
+        base = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            out = pdf[in_cols].copy()
+            cs = pdf[value_col].astype("int64").cumsum()
+            out[out_col] = (cs + (base + carry)).astype("int64")
+            carry += int(pdf[value_col].sum())
+            yield out
+
+    return ranged.mapInPandas(add_offsets, schema=schema)

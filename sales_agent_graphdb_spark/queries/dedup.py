@@ -194,6 +194,27 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_cell",
+    oracle=ann.duckdb_semantic_cell_dedup_sql(n_cells=16, threshold=0.3),
+)
+def dedup_semantic_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-cell
+    clustering of the embedding space, within-cell cosine, drop every
+    vector with an above-threshold smaller-id cell-mate (keep = the
+    smallest). The clustering-based third member of the embedding-dedup
+    family next to the exact kernel (dedup_embedding_cosine) and the
+    hashing-based scale path (dedup_embedding_lsh); its pairwise join
+    is keyed ON THE CELL, so cost is O(Σ_cell |cell|²) and the cell is
+    the natural storage partition at 100 TB (shared with the IVF
+    index). HASH-CHECKED DIRECTLY: deterministic first-16 centroids +
+    fold-order dots make assignment, candidate set, and similarities
+    engine-portable arithmetic (operators/ann.py:semantic_cell_dedup).
+    """
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    return ann.semantic_cell_dedup(emb, n_cells=16, threshold=0.3)
+
+
 @register("dedup_incremental_minhash", oracle=None)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: the planted-duplicate batch (doc_id >=

@@ -262,3 +262,59 @@ def s10_sorted_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "s11_xml_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS min_orderdate
+    FROM orders WHERE o_orderkey <= 1000
+    GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — XML source + sink (Spark 4's built-in
+    native XML data source): orders subset → XML sink (one <order>
+    element per row under <orders>) → XML source with an EXPLICIT
+    schema (inference off: at 100 TB schema inference is a second full
+    scan, and the production contract is a declared schema) → the
+    exact-DECIMAL aggregate. The oracle runs over the ORIGINAL
+    parquet, so the hash passes only if long / double / timestamp /
+    string survive the XML write→parse cycle exactly. Completes the
+    interchange-format family next to CSV (s1/s2), JSON envelope
+    (s3/s4), parquet/ORC (s9) — XML is the remaining feed format real
+    catalog/ERP integrations ship."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1000
+    )
+    path = _scratch(sf_dir, "xml_orders")
+    (
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "orders")
+        .option("rowTag", "order")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(
+            "o_orderkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp"
+        )
+        .load(path)
+    )
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+            F.min("o_orderdate").cast("string").alias("min_orderdate"),
+        )
+        .orderBy("status")
+    )

@@ -409,6 +409,27 @@ from sales_agent_graphdb_spark.operators.fulltext import (  # noqa: E402
 _BM25_TERMS = ["vector", "stream"]
 
 
+_BM25_PHRASE_TERMS = ["vector", "table hash"]
+
+
+@register(
+    "text_bm25_phrase",
+    oracle=duckdb_bm25_sql(_BM25_PHRASE_TERMS, k=10, ngrams=2),
+)
+def text_bm25_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi-BM25 top-10 for a MIXED unigram + quoted-phrase query
+    ("table hash" must match adjacent words): the posting stream
+    carries word 2-grams next to unigrams (the shingle-index phrase
+    approximation — exact adjacency, no position lists), scored by the
+    same rational-idf BM25 and summed in fixed column order. Document
+    length stays the unigram count, so adding the phrase index never
+    changes unigram scores. Reference parity: the Lucene fulltext
+    index the reference queries supports quoted phrases
+    (neo4j_service.py:71); this is that capability over documents."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return bm25_rank(d.select("doc_id", "text"), _BM25_PHRASE_TERMS, k=10, ngrams=2)
+
+
 @register("text_bm25_search", oracle=duckdb_bm25_sql(_BM25_TERMS, k=10))
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi-BM25 top-10 over documents for a two-term query. Rational

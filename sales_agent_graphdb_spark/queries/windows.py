@@ -211,3 +211,42 @@ def w7_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     ).orderBy("doc_id")
+
+
+@register(
+    "w7b_running_sum_single_exchange",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_tokens
+    FROM t ORDER BY doc_id
+    """,
+)
+def w7b_running_sum_single_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 extension — the SINGLE-EXCHANGE global running sum:
+    w7_global_running_sum's two-pass decomposition with the second
+    (_pid hash) exchange replaced by an Arrow-batched mapInPandas pass
+    over the checkpointed range partitions (operators/prefix_sum.py:
+    global_prefix_sum_single_exchange). Identical integer result — the
+    same ordered-window oracle hash-certifies it — at half the shuffle
+    volume, the dominant cost at 100 TB. The per-partition offsets are
+    an O(n_partitions) driver reduction, scale-independent."""
+    from sales_agent_graphdb_spark.operators.prefix_sum import (
+        global_prefix_sum_single_exchange,
+    )
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("int").alias("n_tokens"),
+    )
+    out = global_prefix_sum_single_exchange(
+        t, "doc_id", "n_tokens", out_col="cum_tokens"
+    )
+    return out.select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
+    ).orderBy("doc_id")

@@ -125,15 +125,28 @@ _SLOW_TAIL: frozenset[str] = frozenset({
     "st_stream_dedup",
 })
 
+# Queries registered AFTER the round's 50-slot schedule was finalized
+# (r03 shipped with exactly 50 unverified names in the first 50 slots).
+# They run after the unverified block so they cannot displace a query
+# already queued for its first driver row this round; fold them into
+# the normal schedule when the round-4 budget is re-planned.
+_DEFER: frozenset[str] = frozenset({
+    "dedup_semantic_cell",
+    "w7b_running_sum_single_exchange",
+    "text_bm25_phrase",
+    "s11_xml_roundtrip",
+})
+
 
 def _driver_order(names: list[str]) -> list[str]:
     prio = [n for n in _PRIORITY if n in names]
     rest = [n for n in names if n not in prio]
     unverified = [n for n in rest if n not in _VERIFIED]
-    cheap = [n for n in unverified if n not in _SLOW_TAIL]
+    cheap = [n for n in unverified if n not in _SLOW_TAIL and n not in _DEFER]
     slow = [n for n in unverified if n in _SLOW_TAIL]
+    deferred = [n for n in unverified if n in _DEFER and n not in _SLOW_TAIL]
     verified = [n for n in rest if n in _VERIFIED]
-    return [*prio, *cheap, *slow, *verified]
+    return [*prio, *cheap, *slow, *deferred, *verified]
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -216,3 +216,51 @@ def test_containment_finds_planted_and_is_directional(spark):
     for i in range(40, 60):  # exact copies: symmetric 1.0
         r = rows[(i, i + DUP_OFFSET)]
         assert r.containment_a_in_b == 1.0 and r.containment_b_in_a == 1.0
+
+
+def test_semantic_cell_dedup_decisions_are_sound(spark):
+    """dedup_semantic_cell — every decision row is internally consistent
+    (keep < drop, cos >= threshold, keep is the SMALLEST qualifying
+    cell-mate) and the drop set is exactly the vectors that have some
+    smaller-id above-threshold neighbor WITHIN THEIR CELL — i.e. the
+    within-cell restriction of the exact all-pairs kernel."""
+    from sales_agent_graphdb_spark.operators import ann
+    from sales_agent_graphdb_spark import catalog
+
+    emb = catalog.load_table(spark, SF_SMALL, "embeddings")
+    out = {
+        r.drop_vec_id: r
+        for r in ann.semantic_cell_dedup(emb, n_cells=16, threshold=0.3).collect()
+    }
+    assert out, "threshold 0.3 must produce semantic duplicates at sf0.001"
+    # ground truth: within-cell exact pairs over the same deterministic
+    # centroids/assignment
+    cents = ann._ivf_centroids(emb, 16, "vec_id", "embedding")
+    assigned = ann.ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"), "cell"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    from sales_agent_graphdb_spark.operators.similarity import cosine
+
+    truth = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.cell").alias("cell"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    )
+    best = {}  # drop -> (min keeper, its cos, cell)
+    for r in truth:
+        cur = best.get(r.id_b)
+        if cur is None or r.id_a < cur[0]:
+            best[r.id_b] = (r.id_a, r.c, r.cell)
+    assert set(out) == set(best)
+    for drop, r in out.items():
+        keep, cos, cell = best[drop]
+        assert r.keep_vec_id == keep and r.keep_vec_id < drop
+        assert r.cos_sim == cos and r.cos_sim >= 0.3
+        assert r.cell == cell
