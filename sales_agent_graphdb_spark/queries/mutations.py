@@ -254,3 +254,87 @@ def m2_csv_upsert_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") % 2000000) == F.col("src_id"),
     ).select("id", "name", F.lit(0.01).alias("price"), F.lit("imported").alias("provenance"))
     return merge_create_only(existing, batch, "id").orderBy("id")
+
+
+@register(
+    "m6_scd2_history",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+             CAST(c_acctbal AS DOUBLE) AS acctbal,
+             '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer),
+    upd AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 30 = 0 THEN c_mktsegment
+                  ELSE 'MOVED' END AS mktsegment,
+             CASE WHEN c_custkey % 30 = 0 THEN CAST(c_acctbal AS DOUBLE)
+                  ELSE CAST(c_acctbal AS DOUBLE) + 100.0 END AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS custkey, 'NEW' AS mktsegment,
+             0.0 AS acctbal
+      FROM customer WHERE c_custkey % 50 = 0),
+    changed AS (
+      SELECT u.custkey FROM upd u JOIN cur c USING (custkey)
+      WHERE c.mktsegment IS DISTINCT FROM u.mktsegment
+         OR c.acctbal IS DISTINCT FROM u.acctbal),
+    inserts AS (
+      SELECT u.custkey, u.mktsegment, u.acctbal FROM upd u
+      WHERE u.custkey NOT IN (SELECT custkey FROM cur))
+    SELECT custkey, mktsegment, acctbal, valid_from,
+           CASE WHEN custkey IN (SELECT custkey FROM changed)
+                THEN '2025-06-01' ELSE NULL END AS valid_to
+    FROM cur
+    UNION ALL
+    SELECT custkey, mktsegment, acctbal, '2025-06-01' AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to
+    FROM (SELECT u.custkey, u.mktsegment, u.acctbal FROM upd u
+          WHERE u.custkey IN (SELECT custkey FROM changed)
+          UNION ALL SELECT * FROM inserts) t
+    ORDER BY custkey, valid_from
+    """,
+)
+def m6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 extension — Kimball SCD Type 2 dimension maintenance, the
+    keep-history third member of the MERGE family (G1 create-only, G2
+    overwrite, and now versioned history): one deterministic update
+    batch against the customer dimension exercises all three SCD2
+    branches — attribute change (every 10th key moves segment, +100
+    balance: old version closed at the effective date, new open version
+    appended), NO-OP (every 30th key re-sends identical values: no new
+    version — the null-safe change predicate must detect equality), and
+    brand-new keys (every 50th key + 1e6: plain insert). The oracle
+    states the exact end-state history; one key-join + three
+    codegen'd union legs, bucketable by the business key at 100 TB
+    (operators/scd.py:scd2_apply)."""
+    from sales_agent_graphdb_spark.operators.scd import scd2_apply
+
+    c = catalog.load_table(spark, sf_dir, "customer")
+    history = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    tenth = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 30 == 0, F.col("c_mktsegment"))
+        .otherwise(F.lit("MOVED"))
+        .alias("mktsegment"),
+        F.when(
+            F.col("c_custkey") % 30 == 0, F.col("c_acctbal").cast("double")
+        )
+        .otherwise(F.col("c_acctbal").cast("double") + F.lit(100.0))
+        .alias("acctbal"),
+    )
+    fresh = c.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("custkey"),
+        F.lit("NEW").alias("mktsegment"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    updates = tenth.unionByName(fresh)
+    return scd2_apply(
+        history, updates, "custkey", ["mktsegment", "acctbal"], "2025-06-01"
+    ).orderBy("custkey", "valid_from")

@@ -318,3 +318,79 @@ def s11_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "s12_zorder_pruning",
+    oracle="""
+    WITH b AS (
+      SELECT MAX(l_partkey) // 5 AS p_lo, (MAX(l_partkey) * 3) // 10 AS p_hi,
+             MAX(l_suppkey) // 5 AS s_lo, (MAX(l_suppkey) * 3) // 10 AS s_hi
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem, b
+    WHERE l_partkey >= b.p_lo AND l_partkey < b.p_hi
+      AND l_suppkey >= b.s_lo AND l_suppkey < b.s_hi
+    """,
+)
+def s12_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 extension — Z-ORDER LAYOUT for MULTI-column data skipping:
+    s10 clusters by one column; here lineitem is rewritten sorted by
+    the Morton interleave of (l_partkey, l_suppkey)
+    (operators/zorder.py — a codegen'd bit-interleave projection, the
+    technique behind Delta's OPTIMIZE ZORDER BY), so each row group
+    covers a small BOX in (partkey, suppkey) space and parquet min/max
+    stats skip row groups for filters on EITHER key or both — a 1-D
+    partkey sort would leave suppkey shuffled through every row group.
+    The read-back applies a 2-D box filter (both predicates pushed to
+    the scan) and the oracle runs the same exact-DECIMAL agg on the
+    ORIGINAL table, certifying the rewrite+skip path loses no rows.
+    Layout write is SF-stamped and reused (ingest-side, amortized —
+    the ANN-index pattern); tests/test_plans.py probes PushedFilters
+    and the footer-stat box-coverage property on both dimensions."""
+    from sales_agent_graphdb_spark.operators.zorder import zvalue_scaled
+    from sales_agent_graphdb_spark.sources import stamp
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    root = _scratch(sf_dir, "lineitem_zorder")
+    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    # The two maxes are a footer-stat point read, not a scan; they feed
+    # both the per-dimension z normalization and the SF-relative box.
+    mx = li.agg(
+        F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
+    ).head()
+    _Z_RECIPE = "zorder-scaled8-v1"  # bump when the layout formula changes
+    if not stamp.is_fresh(root, src, version=_Z_RECIPE):
+        (
+            li.withColumn(
+                "_z",
+                zvalue_scaled(
+                    F.col("l_partkey"), F.col("l_suppkey"), mx.mp, mx.ms
+                ),
+            )
+            .repartitionByRange(8, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        stamp.mark(root, src, version=_Z_RECIPE)
+    back = spark.read.parquet(root)
+    # SF-relative box (20%-30% of each key range, integer arithmetic
+    # identical to the oracle's) so the check is non-vacuous at every
+    # scale.
+    p_lo, p_hi = mx.mp // 5, (mx.mp * 3) // 10
+    s_lo, s_hi = mx.ms // 5, (mx.ms * 3) // 10
+    box = back.filter(
+        (F.col("l_partkey") >= p_lo)
+        & (F.col("l_partkey") < p_hi)
+        & (F.col("l_suppkey") >= s_lo)
+        & (F.col("l_suppkey") < s_hi)
+    )
+    return box.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

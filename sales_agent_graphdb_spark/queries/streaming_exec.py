@@ -158,3 +158,38 @@ def st_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     equal the one-shot batch aggregate. See
     streaming/pipelines.py:foreachbatch_upsert_stream."""
     return pipelines.foreachbatch_upsert_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_user_profile",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    top AS (
+      SELECT user_id, event_type AS top_type FROM per
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id ORDER BY c DESC, event_type) = 1),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      FROM events GROUP BY user_id)
+    SELECT a.user_id, a.n_events, a.total_value, a.n_types, t.top_type
+    FROM agg a JOIN top t USING (user_id)
+    ORDER BY a.user_id
+    """,
+)
+def st_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — streaming per-user lifetime profile ("customer 360"):
+    a custom stateful operator maintains per user the event count, the
+    exact-decimal value total, and per-event-type counts (modal type,
+    ties → lexicographically smallest), flushed by the per-user
+    end-of-stream sentinel so the drained result equals the batch
+    GROUP BY exactly — which the oracle hash-checks. Spark 4's
+    transformWithState v2 twin (ValueState + real MapState, TTL-capable
+    handles) is implemented alongside, import-gated on the protobuf
+    wheel this runtime lacks — see streaming/pipelines.py:
+    user_profile_transform_with_state."""
+    return pipelines.user_profile_stream(spark, sf_dir)

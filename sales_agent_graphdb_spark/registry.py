@@ -135,6 +135,9 @@ _DEFER: frozenset[str] = frozenset({
     "w7b_running_sum_single_exchange",
     "text_bm25_phrase",
     "s11_xml_roundtrip",
+    "st_stream_user_profile",
+    "m6_scd2_history",
+    "s12_zorder_pruning",
 })
 
 

@@ -298,21 +298,24 @@ def _make_session_fn_exact(gap_s: int):
 _STATE_SCHEMA_EXACT = "last_ts long, session_start long, n long, total string"
 
 
-def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL sessions from the stateful operator — open sessions are
-    closed by injecting one end-of-stream sentinel event per user
-    (event-time 2 gaps past the global max), the standard
-    drain-a-bounded-run move for stateful streaming: the sentinel
-    exceeds every user's inactivity gap, so each final real session
-    flushes, while the sentinel's own singleton session stays in
-    state unemitted. The streamed result then equals the batch
-    gap-and-islands sessionization EXACTLY, and the driver
-    hash-checks it against the same DuckDB oracle as
-    st_session_window. Source = a scratch dir holding the original
-    events parquet plus the tiny sentinel file (testdata itself is
-    read-only)."""
+def _sentinel_source(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, DataFrame]:
+    """Scratch streaming source = the events parquet (symlinked;
+    testdata is read-only) plus one end-of-stream sentinel event per
+    user at event-time 2*SESSION_GAP_S past the global max — the
+    drain-a-bounded-run move every sentinel-flushed stateful query
+    shares. Returns (scratch dir to rm after the run, normalized
+    stream).
+
+    No maxFilesPerTrigger: both files land in ONE microbatch, so the
+    state fn's in-batch event-time sort fully determines order. (With
+    per-file batches, correctness would rest on the file source's
+    mtime ordering putting the sentinel last — a sentinel-first batch
+    would seed state at the far-future sentinel ts and absorb every
+    real event into a never-emitted sentinel session.)"""
     run_id = uuid.uuid4().hex[:12]
-    src_dir = os.path.join(SCRATCH, f"sessions_src_{run_id}")
+    src_dir = os.path.join(SCRATCH, f"sentinel_src_{run_id}")
     os.makedirs(src_dir, exist_ok=True)
     os.symlink(
         os.path.realpath(f"{sf_dir}/events.parquet"),
@@ -351,14 +354,24 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
         os.path.join(src_dir, "sentinel.parquet")
     )
 
-    # No maxFilesPerTrigger here: both files land in ONE microbatch, so
-    # the state fn's in-batch event-time sort fully determines order.
-    # (With per-file batches, correctness would rest on the file source's
-    # mtime ordering putting the sentinel last — a sentinel-first batch
-    # would seed state at the far-future sentinel ts and absorb every
-    # real event into the never-emitted sentinel session.)
     raw = spark.readStream.schema(schema).parquet(f"{src_dir}/*.parquet")
-    stream = _catalog.normalize_events_ts(raw)
+    return src_dir, _catalog.normalize_events_ts(raw)
+
+
+def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL sessions from the stateful operator — open sessions are
+    closed by injecting one end-of-stream sentinel event per user
+    (event-time 2 gaps past the global max), the standard
+    drain-a-bounded-run move for stateful streaming: the sentinel
+    exceeds every user's inactivity gap, so each final real session
+    flushes, while the sentinel's own singleton session stays in
+    state unemitted. The streamed result then equals the batch
+    gap-and-islands sessionization EXACTLY, and the driver
+    hash-checks it against the same DuckDB oracle as
+    st_session_window. Source = a scratch dir holding the original
+    events parquet plus the tiny sentinel file (testdata itself is
+    read-only)."""
+    src_dir, stream = _sentinel_source(spark, sf_dir)
 
     events = stream.select(
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), "event_id", "value"
@@ -467,3 +480,233 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(tbl_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return final
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-user profile — the "customer 360" materialization: one
+# stateful pass maintains, per user, the lifetime event count, the
+# exact-decimal value total, and the per-event-type counts (modal type).
+# Sentinel-flushed so a bounded drain emits exactly the batch answer.
+# ---------------------------------------------------------------------------
+
+_PROFILE_OUT_SCHEMA = (
+    "user_id long, n_events long, total_value double, "
+    "n_types long, top_type string"
+)
+# per-type counts ride in the fixed-shape state struct as a JSON object
+# (the v1 API takes a flat struct; the v2 twin below uses real MapState).
+_PROFILE_STATE_SCHEMA = "n long, total string, type_counts string"
+
+
+def _make_profile_fn():
+    """Per-user profile accumulator (closure ⇒ cloudpickle serializes
+    by value, same rationale as _make_session_fn_exact, whose exact
+    decimal quantization it reuses verbatim: each event is quantized
+    to 6 dp HALF_UP — Spark's double→DECIMAL(20,6) cast — so the total
+    matches SUM(CAST(value AS DECIMAL(20,6))) bit-for-bit). The
+    sentinel row sorts last (far-future event time); on seeing it the
+    user's profile row flushes and state clears."""
+    import decimal as _decimal
+    import json as _json
+
+    import pandas as _pd
+
+    _Q6 = _decimal.Decimal("0.000001")
+
+    def _dec6(value) -> _decimal.Decimal:
+        return _decimal.Decimal(str(value)).quantize(
+            _Q6, rounding=_decimal.ROUND_HALF_UP
+        )
+
+    def profile_fn(key, pdf_iter, state):
+        (user_id,) = key
+        rows = _pd.concat(list(pdf_iter)).sort_values(["ts_us", "event_id"])
+        if state.exists:
+            n, total_str, counts_json = state.get
+            total = _decimal.Decimal(total_str)
+            counts = _json.loads(counts_json)
+        else:
+            n, total, counts = 0, _decimal.Decimal(0), {}
+        flush = False
+        for et, value in zip(rows["event_type"], rows["value"]):
+            if et == "__sentinel__":
+                flush = True
+                continue
+            n += 1
+            total += _dec6(value)
+            counts[et] = counts.get(et, 0) + 1
+        if flush:
+            top = (
+                sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                if counts
+                else None
+            )
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [float(total)],
+                    "n_types": [len(counts)],
+                    "top_type": [top],
+                }
+            )
+        else:
+            state.update((n, str(total), _json.dumps(counts, sort_keys=True)))
+
+    return profile_fn
+
+
+def user_profile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profile (n_events, exact-decimal total, modal
+    event type) maintained by a custom stateful operator and flushed by
+    the per-user sentinel — the streaming materialization of a
+    "customer 360" table. Hash-checked against the plain batch GROUP BY
+    oracle. State is O(users)·O(types) and sharded by user hash across
+    the state store at scale."""
+    src_dir, stream = _sentinel_source(spark, sf_dir)
+    events = stream.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    result = events.groupBy("user_id").applyInPandasWithState(
+        _make_profile_fn(),
+        outputStructType=_PROFILE_OUT_SCHEMA,
+        stateStructType=_PROFILE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "append")
+    shutil.rmtree(src_dir, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+def _protobuf_available() -> bool:
+    """transformWithStateInPandas needs the protobuf wheel (its state
+    API speaks protobuf to the JVM); absent in this runtime image."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profile_transform_with_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME per-user profile via Spark 4's transformWithState v2
+    API (transformWithStateInPandas + StatefulProcessor): the running
+    (n, exact-decimal total) pair lives in a ValueState and the
+    per-type counts in a real MapState — the composite-state shape the
+    v1 flat-struct API had to emulate with a JSON column — and the
+    handles accept ttlDurationMs for processing-time state eviction
+    (not used here: TTL is wall-clock-dependent, which would break the
+    deterministic oracle). Requires the RocksDB state store provider
+    and the protobuf wheel; the runtime image ships the JVM side but
+    not protobuf, so this twin raises cleanly when unavailable
+    (import-gated like sources/multimodal.py:decode_media) — the
+    registered, oracle-checked form is user_profile_stream. Covered by
+    tests/test_streaming.py: gating asserted always, parity with the
+    v1 result asserted when protobuf exists."""
+    if not _protobuf_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package, "
+            "not present in this runtime; use user_profile_stream "
+            "(applyInPandasWithState) for the identical result"
+        )
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _ProfileProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._agg = handle.getValueState("agg", "n long, total string")
+            self._types = handle.getMapState("types", "t string", "c long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            import decimal as _decimal
+
+            import pandas as _pd
+
+            _q6 = _decimal.Decimal("0.000001")
+            (user_id,) = key
+            pdf = _pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+            if self._agg.exists():
+                n, total_str = self._agg.get()
+                total = _decimal.Decimal(total_str)
+            else:
+                n, total = 0, _decimal.Decimal(0)
+            flush = False
+            for et, value in zip(pdf["event_type"], pdf["value"]):
+                if et == "__sentinel__":
+                    flush = True
+                    continue
+                n += 1
+                total += _decimal.Decimal(str(value)).quantize(
+                    _q6, rounding=_decimal.ROUND_HALF_UP
+                )
+                prev = (
+                    self._types.getValue((et,))[0]
+                    if self._types.containsKey((et,))
+                    else 0
+                )
+                self._types.updateValue((et,), (prev + 1,))
+            if flush:
+                counts = [(k[0], v[0]) for k, v in self._types.iterator()]
+                top = (
+                    sorted(counts, key=lambda kv: (-kv[1], kv[0]))[0][0]
+                    if counts
+                    else None
+                )
+                self._agg.clear()
+                self._types.clear()
+                yield _pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "n_events": [n],
+                        "total_value": [float(total)],
+                        "n_types": [len(counts)],
+                        "top_type": [top],
+                    }
+                )
+            else:
+                self._agg.update((n, str(total)))
+
+        def close(self) -> None:
+            pass
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src_dir, stream = _sentinel_source(spark, sf_dir)
+    try:
+        events = stream.select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        result = events.groupBy("user_id").transformWithStateInPandas(
+            _ProfileProcessor(),
+            outputStructType=_PROFILE_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        out = _run_to_memory(result, "append")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    return out.orderBy("user_id")

@@ -38,3 +38,74 @@ def test_merge_overwrite_idempotent(spark):
     assert all(
         r.price == -1.0 for r in once.filter(F.col("id") < 50).collect()
     )
+
+
+def test_scd2_apply_branches_and_chaining(spark):
+    """scd2_apply — one batch exercises change / no-op / insert; a
+    second batch chains: versions close at the new effective date,
+    exactly one open row per live key, closed history never touched."""
+    from sales_agent_graphdb_spark.operators.scd import scd2_apply
+
+    hist = spark.createDataFrame(
+        [
+            (1, "a", 1.0, "2023-01-01", "2024-01-01"),  # closed history
+            (1, "a2", 1.5, "2024-01-01", None),
+            (2, "b", 2.0, "2024-01-01", None),
+        ],
+        "k long, seg string, bal double, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "a3", 9.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, seg string, bal double",
+    )
+    out1 = scd2_apply(hist, upd, "k", ["seg", "bal"], "2025-06-01")
+    rows = {(r.k, r.seg, r.bal, r.valid_from, r.valid_to) for r in out1.collect()}
+    assert rows == {
+        (1, "a", 1.0, "2023-01-01", "2024-01-01"),   # untouched closed row
+        (1, "a2", 1.5, "2024-01-01", "2025-06-01"),  # closed by the change
+        (1, "a3", 9.0, "2025-06-01", None),          # new version
+        (2, "b", 2.0, "2024-01-01", None),           # no-op: same interval
+        (3, "c", 3.0, "2025-06-01", None),           # insert
+    }
+    # second batch: change k=3, no-op k=1
+    upd2 = spark.createDataFrame(
+        [(3, "c2", 4.0), (1, "a3", 9.0)], "k long, seg string, bal double"
+    )
+    out2 = scd2_apply(out1, upd2, "k", ["seg", "bal"], "2026-01-01")
+    rows2 = {(r.k, r.seg, r.bal, r.valid_from, r.valid_to) for r in out2.collect()}
+    assert (3, "c", 3.0, "2025-06-01", "2026-01-01") in rows2
+    assert (3, "c2", 4.0, "2026-01-01", None) in rows2
+    assert (1, "a3", 9.0, "2025-06-01", None) in rows2  # no-op kept open
+    # exactly one open row per key, always
+    from collections import Counter
+
+    opens = Counter(k for (k, _, _, _, vt) in rows2 if vt is None)
+    assert opens == {1: 1, 2: 1, 3: 1}
+
+
+def test_scd2_null_safe_change_detection(spark):
+    """scd2_apply — NULL attribute transitions count as changes in both
+    directions (null→value and value→null), and null==null is a no-op;
+    empty attr_cols fails loudly."""
+    import pytest as _pytest
+
+    from sales_agent_graphdb_spark.operators.scd import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, None, "2024-01-01", None), (2, "x", "2024-01-01", None),
+         (3, None, "2024-01-01", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    upd = spark.createDataFrame(
+        [(1, "now-set"), (2, None), (3, None)], "k long, seg string"
+    )
+    out = scd2_apply(hist, upd, "k", ["seg"], "2025-01-01")
+    rows = {(r.k, r.seg, r.valid_from, r.valid_to) for r in out.collect()}
+    assert (1, None, "2024-01-01", "2025-01-01") in rows
+    assert (1, "now-set", "2025-01-01", None) in rows
+    assert (2, "x", "2024-01-01", "2025-01-01") in rows
+    assert (2, None, "2025-01-01", None) in rows
+    assert (3, None, "2024-01-01", None) in rows  # null==null: no-op
+    assert len([r for r in rows if r[0] == 3]) == 1
+    with _pytest.raises(ValueError, match="attr_cols"):
+        scd2_apply(hist, upd, "k", [], "2025-01-01")

@@ -77,3 +77,51 @@ def test_stream_dedup_exactly_once(spark):
     )
     assert got == want
     assert len(got) == len({g[0] for g in got})  # ids unique
+
+
+def test_user_profile_stream_matches_batch(spark):
+    """st_stream_user_profile — the stateful profile equals the batch
+    GROUP BY (count / exact-decimal total / distinct types / modal type
+    with lexicographic tie-break) for every user."""
+    streamed = {tuple(r) for r in pipelines.user_profile_stream(spark, SF).collect()}
+    e = catalog.load_table(spark, SF, "events")
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    top = (
+        per.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    batch = {
+        tuple(r)
+        for r in agg.join(top, "user_id")
+        .select("user_id", "n_events", "total_value", "n_types", "top_type")
+        .collect()
+    }
+    assert streamed == batch
+
+
+def test_transform_with_state_twin_gated_or_parity(spark):
+    """user_profile_transform_with_state — when the protobuf wheel is
+    absent the v2-API twin must fail loudly with the documented
+    NotImplementedError (never a silent wrong answer); when present it
+    must produce exactly the v1 operator's rows."""
+    import pytest as _pytest
+
+    if not pipelines._protobuf_available():
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            pipelines.user_profile_transform_with_state(spark, SF)
+        return
+    v2 = {
+        tuple(r)
+        for r in pipelines.user_profile_transform_with_state(spark, SF).collect()
+    }
+    v1 = {tuple(r) for r in pipelines.user_profile_stream(spark, SF).collect()}
+    assert v2 == v1
