@@ -166,3 +166,93 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts on an undirected graph. Returns
+    (id, n_triangles) for vertices in >= 1 triangle.
+
+    The classic two-join scale shape (node-iterator with canonical
+    orientation): canonicalize each undirected edge to (lo, hi) and
+    dedup; wedges = edges(a,b) ⋈ edges(b,c) on the middle vertex with
+    a < b < c, so every candidate triangle is generated EXACTLY once;
+    closing join probes the (a,c) edge. Two equi-join shuffles, no
+    wedge double-counting, and the canonical a<b<c orientation is also
+    what bounds the wedge fan-out by min-degree at 100 TB (each wedge
+    is rooted at its middle vertex; skew-salting applies if a hub
+    vertex dominates). Each closed triangle (a,b,c) is then credited
+    to all three vertices via one explode."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    close = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = wedges.join(close, ["a", "c"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 10,
+) -> DataFrame:
+    """Unweighted shortest-path distances from ``source`` over the
+    undirected graph: frontier-expansion BFS as a driver loop of
+    DataFrame steps (one join + one anti-join per level, localCheckpoint
+    to cut lineage — the connected_components loop pattern). Returns
+    (id, distance) for every vertex within ``max_depth`` hops.
+
+    Scale shape: each level shuffles only the CURRENT frontier against
+    the edge list (|frontier|·avg-degree), and the visited set grows
+    monotonically — the standard iterative BFS on 100 TB graphs, where
+    per-level cost tracks the expanding wavefront, not the whole
+    graph. Converges early when a frontier empties."""
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(source, 0)], ["id", "distance"]
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("id")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.a == frontier.id)
+            .select(F.col("b").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("distance", F.lit(depth))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("id")
+    return visited

@@ -243,3 +243,95 @@ def graph_brand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ordered AS (
+      SELECT c_custkey AS k,
+             lead(c_custkey, 1) OVER w AS n1,
+             lead(c_custkey, 2) OVER w AS n2
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+    edges AS (
+      SELECT k AS lo, n1 AS hi FROM ordered WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT k AS lo, n2 AS hi FROM ordered WHERE n2 IS NOT NULL),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.lo = e1.hi
+      JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS id FROM tri)
+    GROUP BY id ORDER BY id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics extension — per-vertex TRIANGLE COUNTS, the
+    clustering/community primitive (the product-category graph is
+    bipartite and triangle-free, so the query derives a deterministic
+    customer proximity graph: each customer linked to the next 1 and
+    next 2 custkeys within its nation — per-nation chains whose
+    consecutive triples form triangles). Two equi-join shuffles with
+    canonical a<b<c orientation so each triangle is generated exactly
+    once (operators/graph.py:triangle_count); the oracle mirrors the
+    same windowed edge derivation and closes wedges with the same two
+    joins."""
+    from pyspark.sql import Window as W
+
+    c = catalog.load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    nbr = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"),
+    )
+    edges = (
+        nbr.filter(F.col("n1").isNotNull())
+        .select(F.col("k").alias("src"), F.col("n1").alias("dst"))
+        .unionByName(
+            nbr.filter(F.col("n2").isNotNull()).select(
+                F.col("k").alias("src"), F.col("n2").alias("dst")
+            )
+        )
+    )
+    return graph.triangle_count(edges).orderBy("id")
+
+
+@register(
+    "graph_shortest_paths",
+    oracle="""
+    WITH bd AS (
+      SELECT DISTINCT p_brand AS id,
+             CAST(substr(p_brand, 7) AS INT) - 1 AS d
+      FROM part
+      WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5'))
+    SELECT id, CAST(d AS INT) AS distance FROM bd
+    UNION ALL
+    SELECT CAST(p.p_partkey AS VARCHAR) AS id, CAST(b.d + 1 AS INT) AS distance
+    FROM part p JOIN bd b ON p.p_brand = b.id
+    ORDER BY distance, id
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics extension — unweighted SHORTEST-PATH DISTANCES
+    (single-source BFS) from Brand#1 over the product-category graph +
+    brand bridges: frontier-expansion driver loop, one join + one
+    anti-join per level over the CURRENT wavefront only
+    (operators/graph.py:bfs_distances — the iterative pattern CC/PR
+    share). With the bridge path Brand#1→…→Brand#5, distances are
+    brand k-1 hops and its products k hops; unreachable brands are
+    absent. The oracle states that closed form (the recursive-CTE walk
+    would enumerate exponentially many bounded paths through the star
+    cycles — closed form is the honest mirror, the technique the
+    PageRank oracle established)."""
+    e = _edges(spark, sf_dir)
+    bridges = spark.createDataFrame(_BRIDGE, ["src", "dst"])
+    dist = graph.bfs_distances(
+        e.unionByName(bridges), source="Brand#1", max_depth=8
+    )
+    return dist.select(
+        "id", F.col("distance").cast("int").alias("distance")
+    ).orderBy("distance", "id")

@@ -250,3 +250,46 @@ def w7b_running_sum_single_exchange(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "doc_id", "n_tokens", F.col("cum_tokens").cast("bigint").alias("cum_tokens")
     ).orderBy("doc_id")
+
+
+@register(
+    "w8_time_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+)
+def w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 extension — TIME-RANGE window frame (RANGE BETWEEN INTERVAL,
+    not ROWS): per-user trailing 1-hour event count and exact-DECIMAL
+    value sum — the rolling-window feature a fraud/ops pipeline
+    computes per event. Expressed as rangeBetween over unix_micros(ts)
+    (Spark's numeric range frame == an interval frame on the epoch),
+    mirrored by DuckDB's RANGE over epoch_us: identical frames
+    including timestamp-tie peers, which RANGE includes symmetrically
+    on both engines — so the result is deterministic even under tied
+    event times, where a ROWS frame would not be. Partitioned by
+    user_id: the scale-safe window shape."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -138,6 +138,9 @@ _DEFER: frozenset[str] = frozenset({
     "st_stream_user_profile",
     "m6_scd2_history",
     "s12_zorder_pruning",
+    "graph_triangle_count",
+    "graph_shortest_paths",
+    "w8_time_range_frame",
 })
 
 

@@ -61,3 +61,42 @@ def test_degrees_total_equals_edges(spark):
         F.sum("out_degree").alias("o"), F.sum("in_degree").alias("i")
     ).collect()[0]
     assert sums.o == n_edges and sums.i == n_edges
+
+
+def test_triangle_count_known_topologies(spark):
+    """triangle_count — K4 (every vertex in C(3,2)=3 triangles), a
+    square + diagonal (two triangles sharing the diagonal), and a
+    triangle-free star (empty result). Edge direction, duplicates, and
+    self-loops must not affect counts."""
+    def tc(pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.id: r.n_triangles for r in graph.triangle_count(e).collect()}
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert tc(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # reversed/duplicated edges and a self-loop collapse to the same graph
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (0, 1)]
+    assert tc(noisy) == {0: 3, 1: 3, 2: 3, 3: 3}
+    square_diag = [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)]
+    assert tc(square_diag) == {0: 2, 1: 1, 2: 2, 3: 1}
+    star = [(0, i) for i in range(1, 6)]
+    assert tc(star) == {}
+
+
+def test_bfs_distances_levels_and_early_stop(spark):
+    """bfs_distances — exact levels on a known graph (path + branch),
+    unreachable vertices absent, max_depth honored, and the loop stops
+    early on an exhausted frontier."""
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (7, 8)], "src long, dst long"
+    )
+    got = {r.id: r.distance for r in graph.bfs_distances(e, source=0).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}  # 7, 8 unreachable
+    capped = {
+        r.id: r.distance
+        for r in graph.bfs_distances(e, source=0, max_depth=2).collect()
+    }
+    assert capped == {0: 0, 1: 1, 2: 2, 4: 2}
+    # undirected traversal: reverse source reaches the same component
+    back = {r.id: r.distance for r in graph.bfs_distances(e, source=3).collect()}
+    assert back == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
