@@ -47,10 +47,16 @@ HEADLINE = [
     "ann_ivf_pruned_topk",
     "text_quality_score",
     "text_bm25_search",
+    "text_bm25_phrase",
     "text_boilerplate_ngrams",
     "text_gopher_repetition",
     "dedup_containment",
     "mm_media_features",
+    # New operator families (continuation session): graph analytics
+    # beyond CC, the SCD2 merge, and the time-range window frame.
+    "graph_triangle_count",
+    "m6_scd2_history",
+    "w8_time_range_frame",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

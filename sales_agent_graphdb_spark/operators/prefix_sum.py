@@ -178,9 +178,14 @@ def global_prefix_sum_single_exchange(
             if base is None:
                 base = offsets.get(int(pdf["_pid"].iloc[0]), 0)
             out = pdf[in_cols].copy()
-            cs = pdf[value_col].astype("int64").cumsum()
-            out[out_col] = (cs + (base + carry)).astype("int64")
-            carry += int(pdf[value_col].sum())
+            # NULL values contribute 0 — SUM OVER's null-skipping, with
+            # one divergence: an all-null PREFIX yields 0 here where the
+            # window form yields NULL (out_col is declared non-null
+            # bigint; callers needing the NULL-prefix nicety should use
+            # global_prefix_sum).
+            vals = pdf[value_col].fillna(0).astype("int64")
+            out[out_col] = (vals.cumsum() + (base + carry)).astype("int64")
+            carry += int(vals.sum())
             yield out
 
     return ranged.mapInPandas(add_offsets, schema=schema)

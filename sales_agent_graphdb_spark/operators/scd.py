@@ -54,6 +54,12 @@ def scd2_apply(
       (valid_from = effective, valid_to NULL).
 
     Closed historical rows are never touched. Returns the new history.
+
+    Assumes ``updates`` carries AT MOST ONE row per key (the standard
+    staged-batch contract — dedupe upstream, e.g. a4_dedup_last_wins,
+    if a feed can repeat keys): duplicate update keys would append one
+    open version each. Always checking would cost a full groupBy of
+    the batch per merge, so the contract is documented, not policed.
     """
     cur = history.filter(F.col("valid_to").isNull()).alias("cur")
     closed_hist = history.filter(F.col("valid_to").isNotNull())

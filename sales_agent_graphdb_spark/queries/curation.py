@@ -171,15 +171,11 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_source CROSS JOIN tot ORDER BY source
     """,
 )
-def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Domain-mix weighting: per-source token counts and the sampling
-    weight that re-balances the corpus to a uniform target mix
-    (weight = target_share / actual_share) — the DoReMi/Pile-style
-    domain-reweighting input computed as one aggregation. Counts are
-    exact BIGINTs; the two shares are each a single double division of
-    exact integers, so the oracle matches bit-for-bit. At 100 TB this
-    is one map-side-combinable groupBy on a low-cardinality key plus a
-    broadcast of the one-row total."""
+def _source_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE definition of the per-source weight frame (source, n_docs,
+    n_tokens, token_share, mix_weight) — corpus_mix_weights reports it,
+    sample_weighted_hash applies it; a drift between the two would make
+    the applied sample disagree with the reported weights."""
     d = catalog.load_table(spark, sf_dir, "documents")
     per_doc = d.select("source", alnum_tokens(F.col("text")).alias("w"))
     per_source = per_doc.groupBy("source").agg(
@@ -191,17 +187,25 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("n_sources"),
     )
     share = F.col("n_tokens").cast("double") / F.col("total_tokens")
-    return (
-        per_source.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            share.alias("token_share"),
-            ((F.lit(1.0) / F.col("n_sources")) / share).alias("mix_weight"),
-        )
-        .orderBy("source")
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        ((F.lit(1.0) / F.col("n_sources")) / share).alias("mix_weight"),
     )
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix weighting: per-source token counts and the sampling
+    weight that re-balances the corpus to a uniform target mix
+    (weight = target_share / actual_share) — the DoReMi/Pile-style
+    domain-reweighting input computed as one aggregation. Counts are
+    exact BIGINTs; the two shares are each a single double division of
+    exact integers, so the oracle matches bit-for-bit. At 100 TB this
+    is one map-side-combinable groupBy on a low-cardinality key plus a
+    broadcast of the one-row total."""
+    return _source_token_stats(spark, sf_dir).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
@@ -262,3 +266,68 @@ def corpus_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= _PACK_BUDGET).alias("in_budget"),
     ).orderBy("source", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted hash sampling — APPLY the corpus_mix_weights ratios: accept
+# each document with per-source probability via a deterministic hash
+# threshold. The missing middle step between computing mix weights and
+# the packed epoch.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_BASE = 0.3  # base acceptance rate scaled by each source's weight
+
+
+@register(
+    "sample_weighted_hash",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, source, len({_TOKENS_SQL}) AS n_tokens FROM documents),
+    per_source AS (
+      SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+                   CAST(COUNT(*) AS DOUBLE) AS n_sources FROM per_source),
+    w AS (
+      SELECT source,
+             least(1.0, ((1.0 / n_sources)
+                         / (CAST(n_tokens AS DOUBLE) / total_tokens))
+                        * {_WSAMPLE_BASE}) AS p
+      FROM per_source CROSS JOIN tot)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w ON d.source = w.source
+    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#ws'), 1, 13))
+               AS BIGINT) AS DOUBLE) < w.p * 4503599627370496.0
+    ORDER BY d.doc_id
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted deterministic sampling — the APPLY step of
+    corpus_mix_weights (DoReMi/Pile-style domain reweighting): each
+    document is accepted iff hash52(doc_id) < p_source · 2^52, where
+    p_source = min(1, uniform-target mix weight × base rate). The
+    52-bit md5 slice is exact as a double (< 2^53) and the threshold
+    is the same two-division product on both engines, so acceptance is
+    bit-deterministic — reproducible across runs, engines, and
+    partitionings, and upsampling a source never changes which of its
+    documents are kept (hash order is fixed; raising p only widens the
+    prefix). One low-cardinality agg + a broadcast join + a map-side
+    filter: no shuffle of the corpus at 100 TB."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    weights = _source_token_stats(spark, sf_dir).select(
+        "source",
+        F.least(
+            F.lit(1.0), F.col("mix_weight") * F.lit(_WSAMPLE_BASE)
+        ).alias("p"),
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.join(F.broadcast(weights), "source")
+        .filter(h52.cast("double") < F.col("p") * F.lit(4503599627370496.0))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )

@@ -338,3 +338,66 @@ def m6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         history, updates, "custkey", ["mktsegment", "acctbal"], "2025-06-01"
     ).orderBy("custkey", "valid_from")
+
+
+@register(
+    "m7_table_diff",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000 AS o_orderkey, 1.0 AS o_totalprice,
+             'N' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 101 = 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           a.o_totalprice AS o_totalprice_old,
+           b.o_totalprice AS o_totalprice_new,
+           a.o_orderstatus AS o_orderstatus_old,
+           b.o_orderstatus AS o_orderstatus_new
+    FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+       OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+    ORDER BY o_orderkey
+    """,
+)
+def m7_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 extension — snapshot RECONCILIATION (table diff): classify
+    every order key across two snapshots as added / removed / changed
+    with old/new values — the validation primitive behind CDC backfill
+    checks and migration sign-off (the reference's CSV-upsert flow,
+    db_service.py's bulk import, has no way to AUDIT what an import
+    did; this is that audit). Snapshot B is a deterministic mutation of
+    orders (every 97th key deleted, every 13th repriced +10, every
+    101st re-inserted at key+1e7) so all three classes are exercised
+    and the oracle states the exact diff. One full-outer key join,
+    change-volume-sized output (operators/merge.py:table_diff)."""
+    from sales_agent_graphdb_spark.operators.merge import table_diff
+
+    o = catalog.load_table(spark, sf_dir, "orders")
+    a = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    kept = a.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    inserted = a.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    b = kept.unionByName(inserted)
+    return table_diff(
+        a, b, "o_orderkey", ["o_totalprice", "o_orderstatus"]
+    ).orderBy("o_orderkey")

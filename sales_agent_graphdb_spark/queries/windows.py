@@ -178,9 +178,10 @@ def w6_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w7_global_running_sum",
-    oracle="""
+# ONE oracle for both global-running-sum decompositions (w7 two-pass,
+# w7b single-exchange): the plain ordered-window form. A drift between
+# the two would let the variants silently certify different results.
+_W7_ORACLE = """
     WITH t AS (
       SELECT doc_id,
              CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
@@ -189,8 +190,10 @@ def w6_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS cum_tokens
     FROM t ORDER BY doc_id
-    """,
-)
+    """
+
+
+@register("w7_global_running_sum", oracle=_W7_ORACLE)
 def w7_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 extension — GLOBAL running sum with NO single-partition
     window: the two-pass range-partitioned prefix sum
@@ -213,19 +216,7 @@ def w7_global_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register(
-    "w7b_running_sum_single_exchange",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
-      FROM documents)
-    SELECT doc_id, n_tokens,
-           CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS cum_tokens
-    FROM t ORDER BY doc_id
-    """,
-)
+@register("w7b_running_sum_single_exchange", oracle=_W7_ORACLE)
 def w7b_running_sum_single_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5 extension — the SINGLE-EXCHANGE global running sum:
     w7_global_running_sum's two-pass decomposition with the second

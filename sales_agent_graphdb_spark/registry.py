@@ -141,6 +141,8 @@ _DEFER: frozenset[str] = frozenset({
     "graph_triangle_count",
     "graph_shortest_paths",
     "w8_time_range_frame",
+    "sample_weighted_hash",
+    "m7_table_diff",
 })
 
 

@@ -109,3 +109,28 @@ def test_scd2_null_safe_change_detection(spark):
     assert len([r for r in rows if r[0] == 3]) == 1
     with _pytest.raises(ValueError, match="attr_cols"):
         scd2_apply(hist, upd, "k", [], "2025-01-01")
+
+
+def test_table_diff_classification_and_null_safety(spark):
+    """table_diff — added/removed/changed classification with null-safe
+    column compares (null→value and value→null are changes, null==null
+    is unchanged); unchanged keys absent; empty compare_cols rejected."""
+    import pytest as _pytest
+
+    from sales_agent_graphdb_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, None, 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 1.0), (3, "now", 3.0), (4, None, 4.0), (5, "new", 5.0)],
+        "k long, s string, v double",
+    )
+    rows = {r.k: r for r in table_diff(a, b, "k", ["s", "v"]).collect()}
+    assert set(rows) == {2, 3, 5}  # 1 and 4 unchanged (4: null==null)
+    assert rows[2].change == "removed" and rows[2].s_new is None
+    assert rows[3].change == "changed" and (rows[3].s_old, rows[3].s_new) == (None, "now")
+    assert rows[5].change == "added" and rows[5].v_new == 5.0
+    with _pytest.raises(ValueError, match="compare_cols"):
+        table_diff(a, b, "k", [])
