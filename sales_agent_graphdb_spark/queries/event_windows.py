@@ -275,3 +275,46 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "rollup_hierarchy",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+)
+def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension — HIERARCHICAL time rollup (the TimescaleDB
+    continuous-aggregate / OLAP cube-refresh pattern): the daily grain
+    is computed FROM THE HOURLY AGGREGATE, never from raw — at 100 TB
+    the hourly table is ~1/1000th of the events and each coarser grain
+    reuses the finer materialization, so a day re-rollup touches 24
+    rows per key instead of a day of raw data. Totals stay DECIMAL
+    through the chain (sum-of-partial-sums is exact integer
+    arithmetic, so regrouping cannot change the result), which is what
+    the direct-from-raw oracle certifies: a bit-exact match proves the
+    two-level rollup loses nothing."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)")).alias("total_dec"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day_t"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_dec").cast("double").alias("total_value"),
+    )
+    return daily.select(
+        F.date_format("day_t", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("day", "event_type")

@@ -193,3 +193,26 @@ def st_stream_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     wheel this runtime lacks — see streaming/pipelines.py:
     user_profile_transform_with_state."""
     return pipelines.user_profile_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY segment, e.event_type
+    ORDER BY segment, e.event_type
+    """,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — stream-STATIC dimension enrichment (fact stream ×
+    broadcast dim table, the third join shape next to the
+    stream-stream interval join and the batch lookup joins): events
+    enriched with the customer's market segment per microbatch, rolled
+    up per segment × event type; hash-matches the identical batch
+    join+agg SQL. No join state — the static side broadcasts — so
+    state cost is only the low-cardinality aggregate. See
+    streaming/pipelines.py:stream_static_enrich."""
+    return pipelines.stream_static_enrich(spark, sf_dir)

@@ -52,8 +52,10 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # round's budget allows.
 _PRIORITY: list[str] = [
     # TODO(round 4): fold CORRECTNESS_r03's green names into _VERIFIED,
-    # clear this list of driver-confirmed names, and keep the unverified
-    # count within the driver's 50-slot budget (r03 shipped at 50/50).
+    # clear this list of driver-confirmed names, FOLD _DEFER's new-query
+    # names into the normal unverified schedule (they were parked behind
+    # the r03 50-slot budget), and keep the unverified count within the
+    # driver's 50-slot budget (r03 shipped at 50/50 + 13 deferred).
     # Round 3: queries that gained an oracle or are newly registered.
     "j2_order_items_nested",  # nested form gains a DuckDB JSON oracle
     # (st_stream_stateful_sessions also gained an oracle but stays in
@@ -143,6 +145,8 @@ _DEFER: frozenset[str] = frozenset({
     "w8_time_range_frame",
     "sample_weighted_hash",
     "m7_table_diff",
+    "st_stream_static_enrich",
+    "rollup_hierarchy",
 })
 
 

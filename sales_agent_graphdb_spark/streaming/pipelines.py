@@ -710,3 +710,35 @@ def user_profile_transform_with_state(
                 "spark.sql.streaming.stateStore.providerClass", prev_provider
             )
     return out.orderBy("user_id")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join + aggregation: the events stream
+    joined to the customer dimension (a plain batch DataFrame — no
+    watermark, no state: the static side is re-read per microbatch and
+    BROADCAST, the standard fact-stream × dim-table shape), then
+    revenue rolled up per market segment × event type. Complete output
+    mode emits the full aggregate on drain, which must equal the batch
+    join+agg exactly. At 100 TB/day the dim side stays broadcast (or
+    becomes a slowly-refreshed Delta snapshot) and the stream never
+    shuffles for the join — only for the low-cardinality agg."""
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    events = stream_events(spark, sf_dir)
+    dim = _catalog.load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = events.join(F.broadcast(dim), "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(20,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("c_mktsegment").alias("segment"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("segment", "event_type")

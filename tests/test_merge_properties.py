@@ -134,3 +134,64 @@ def test_table_diff_classification_and_null_safety(spark):
     assert rows[5].change == "added" and rows[5].v_new == 5.0
     with _pytest.raises(ValueError, match="compare_cols"):
         table_diff(a, b, "k", [])
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=6),          # key
+                st.sampled_from(["a", "b", "c", None]),          # seg
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],                            # one row per key
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_scd2_apply_matches_reference_model(spark, batches):
+    """scd2_apply — for ANY sequence of update batches (unique keys per
+    batch, the documented contract), the chained history equals a
+    driver-side reference model: per key, versions carry consecutive
+    effective dates, exactly the changed transitions appear, and the
+    single open row holds the latest value."""
+    from sales_agent_graphdb_spark.operators.scd import scd2_apply
+
+    hist = spark.createDataFrame(
+        [(1, "init", "d0", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    )
+    model = {1: [("init", "d0", None)]}  # key -> [(seg, from, to)]
+    for i, batch in enumerate(batches, start=1):
+        eff = f"d{i}"
+        upd = spark.createDataFrame(batch, "k long, seg string")
+        hist = scd2_apply(hist, upd, "k", ["seg"], eff)
+        for k, seg in batch:
+            versions = model.setdefault(k, [])
+            if not versions:
+                versions.append((seg, eff, None))
+                continue
+            cur_seg, cur_from, _ = versions[-1]
+            if cur_seg != seg:  # null-safe: None == None is a no-op
+                versions[-1] = (cur_seg, cur_from, eff)
+                versions.append((seg, eff, None))
+    got = {
+        (r.k, r.seg, r.valid_from, r.valid_to) for r in hist.collect()
+    }
+    want = {
+        (k, seg, vf, vt)
+        for k, versions in model.items()
+        for (seg, vf, vt) in versions
+    }
+    assert got == want
