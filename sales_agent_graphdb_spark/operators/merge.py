@@ -62,11 +62,14 @@ def table_diff(
     would cross-product inside the join rather than error."""
     if not compare_cols:
         raise ValueError("table_diff: compare_cols must be non-empty")
-    aa = a.select(key, *compare_cols).alias("a")
-    bb = b.select(key, *compare_cols).alias("b")
+    # Presence markers, NOT key-null checks: the null-safe join matches a
+    # NULL key on both sides, where testing a.key.isNotNull() would
+    # misread the matched row as absent-from-a ('added').
+    aa = a.select(key, *compare_cols, F.lit(True).alias("_in_a")).alias("a")
+    bb = b.select(key, *compare_cols, F.lit(True).alias("_in_b")).alias("b")
     joined = aa.join(bb, F.col(f"a.{key}").eqNullSafe(F.col(f"b.{key}")), "full_outer")
-    in_a = F.col(f"a.{key}").isNotNull()
-    in_b = F.col(f"b.{key}").isNotNull()
+    in_a = F.col("a._in_a").isNotNull()
+    in_b = F.col("b._in_b").isNotNull()
     same = None
     for c in compare_cols:
         eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))

@@ -45,8 +45,12 @@ def zvalue_scaled(
     a: Column, b: Column, a_max: int, b_max: int, bits: int = 8
 ) -> Column:
     """Morton interleave with per-dimension NORMALIZATION: each value is
-    first scaled to the common ``bits``-wide range via
-    ``v * 2^bits // (max + 1)`` (pure long arithmetic). Required
+    first scaled to the common ``bits``-wide range as
+    ``floor(v * 2^bits / (max + 1))`` — double division then floor,
+    which equals the integer quotient while ``v * 2^bits`` stays
+    inside 2^53 (any key below ~2^45 at the default bits=8); beyond
+    that the rounded quotient can only blur a cluster boundary, never
+    correctness, because the z-value is purely a sort key. Required
     whenever the dimensions have different magnitudes — interleaving
     raw bits of a 15-bit key with a 4-bit key leaves the wide key's
     high bits dominating the sort order and the narrow dimension

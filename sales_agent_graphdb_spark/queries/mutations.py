@@ -259,7 +259,9 @@ def m2_csv_upsert_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m6_scd2_history",
     oracle="""
-    WITH cur AS (
+    WITH off AS (
+      SELECT ((MAX(c_custkey) // 1000000) + 1) * 1000000 AS o FROM customer),
+    cur AS (
       SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
              CAST(c_acctbal AS DOUBLE) AS acctbal,
              '2024-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
@@ -272,9 +274,9 @@ def m2_csv_upsert_preserve(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE CAST(c_acctbal AS DOUBLE) + 100.0 END AS acctbal
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
-      SELECT c_custkey + 1000000 AS custkey, 'NEW' AS mktsegment,
+      SELECT c_custkey + off.o AS custkey, 'NEW' AS mktsegment,
              0.0 AS acctbal
-      FROM customer WHERE c_custkey % 50 = 0),
+      FROM customer, off WHERE c_custkey % 50 = 0),
     changed AS (
       SELECT u.custkey FROM upd u JOIN cur c USING (custkey)
       WHERE c.mktsegment IS DISTINCT FROM u.mktsegment
@@ -304,13 +306,16 @@ def m6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance: old version closed at the effective date, new open version
     appended), NO-OP (every 30th key re-sends identical values: no new
     version — the null-safe change predicate must detect equality), and
-    brand-new keys (every 50th key + 1e6: plain insert). The oracle
-    states the exact end-state history; one key-join + three
+    brand-new keys (every 50th key, offset past the key range: plain
+    insert — the offset is SF-RELATIVE, next-million above MAX(key),
+    so dense custkeys can never collide with it at any scale). The
+    oracle states the exact end-state history; one key-join + three
     codegen'd union legs, bucketable by the business key at 100 TB
     (operators/scd.py:scd2_apply)."""
     from sales_agent_graphdb_spark.operators.scd import scd2_apply
 
     c = catalog.load_table(spark, sf_dir, "customer")
+    off = ((c.agg(F.max("c_custkey")).head()[0] // 1_000_000) + 1) * 1_000_000
     history = c.select(
         F.col("c_custkey").alias("custkey"),
         F.col("c_mktsegment").alias("mktsegment"),
@@ -330,7 +335,7 @@ def m6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal"),
     )
     fresh = c.filter(F.col("c_custkey") % 50 == 0).select(
-        (F.col("c_custkey") + 1_000_000).alias("custkey"),
+        (F.col("c_custkey") + F.lit(off)).alias("custkey"),
         F.lit("NEW").alias("mktsegment"),
         F.lit(0.0).alias("acctbal"),
     )
@@ -343,16 +348,18 @@ def m6_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m7_table_diff",
     oracle="""
-    WITH b AS (
+    WITH off AS (
+      SELECT ((MAX(o_orderkey) // 10000000) + 1) * 10000000 AS o FROM orders),
+    b AS (
       SELECT o_orderkey,
              CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0
                   ELSE o_totalprice END AS o_totalprice,
              o_orderstatus
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000 AS o_orderkey, 1.0 AS o_totalprice,
+      SELECT o_orderkey + off.o AS o_orderkey, 1.0 AS o_totalprice,
              'N' AS o_orderstatus
-      FROM orders WHERE o_orderkey % 101 = 0)
+      FROM orders, off WHERE o_orderkey % 101 = 0)
     SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
            CASE WHEN a.o_orderkey IS NULL THEN 'added'
                 WHEN b.o_orderkey IS NULL THEN 'removed'
@@ -376,12 +383,15 @@ def m7_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     db_service.py's bulk import, has no way to AUDIT what an import
     did; this is that audit). Snapshot B is a deterministic mutation of
     orders (every 97th key deleted, every 13th repriced +10, every
-    101st re-inserted at key+1e7) so all three classes are exercised
-    and the oracle states the exact diff. One full-outer key join,
+    101st re-inserted at an SF-RELATIVE offset — next 10M above
+    MAX(key), so dense orderkeys can never collide with the synthetic
+    inserts at any scale) so all three classes are exercised and the
+    oracle states the exact diff. One full-outer key join,
     change-volume-sized output (operators/merge.py:table_diff)."""
     from sales_agent_graphdb_spark.operators.merge import table_diff
 
     o = catalog.load_table(spark, sf_dir, "orders")
+    off = ((o.agg(F.max("o_orderkey")).head()[0] // 10_000_000) + 1) * 10_000_000
     a = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
     kept = a.filter(F.col("o_orderkey") % 97 != 0).select(
         "o_orderkey",
@@ -393,7 +403,7 @@ def m7_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
     )
     inserted = a.filter(F.col("o_orderkey") % 101 == 0).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        (F.col("o_orderkey") + F.lit(off)).alias("o_orderkey"),
         F.lit(1.0).alias("o_totalprice"),
         F.lit("N").alias("o_orderstatus"),
     )

@@ -55,7 +55,8 @@ _PRIORITY: list[str] = [
     # clear this list of driver-confirmed names, FOLD _DEFER's new-query
     # names into the normal unverified schedule (they were parked behind
     # the r03 50-slot budget), and keep the unverified count within the
-    # driver's 50-slot budget (r03 shipped at 50/50 + 13 deferred).
+    # driver's 50-slot budget (r03 shipped at 50/50 + the _DEFER list —
+    # count it from the set, don't trust a stale number here).
     # Round 3: queries that gained an oracle or are newly registered.
     "j2_order_items_nested",  # nested form gains a DuckDB JSON oracle
     # (st_stream_stateful_sessions also gained an oracle but stays in

@@ -331,8 +331,8 @@ def _sentinel_source(
 
     ev = _catalog.load_table(spark, sf_dir, "events")
     sent = (
-        ev.groupBy("user_id")
-        .agg(F.max("ts").alias("mx"))
+        ev.select("user_id")
+        .distinct()
         .crossJoin(ev.agg(F.max("ts").alias("gmx")))
         .select(
             F.lit(-1).cast("long").alias("event_id"),
@@ -680,13 +680,18 @@ def user_profile_transform_with_state(
     prev_provider = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
     )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    src_dir, stream = _sentinel_source(spark, sf_dir)
+    src_dir = None
+    # Everything after reading prev_provider sits inside the try: a
+    # failure in the conf set, the sentinel-source build, or the run
+    # must not leak the RocksDB override (or the scratch dir) into the
+    # rest of the session.
     try:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        src_dir, stream = _sentinel_source(spark, sf_dir)
         events = stream.select(
             "user_id",
             F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -702,7 +707,8 @@ def user_profile_transform_with_state(
         )
         out = _run_to_memory(result, "append")
     finally:
-        shutil.rmtree(src_dir, ignore_errors=True)
+        if src_dir is not None:
+            shutil.rmtree(src_dir, ignore_errors=True)
         if prev_provider is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:

@@ -195,3 +195,19 @@ def test_scd2_apply_matches_reference_model(spark, batches):
         for (seg, vf, vt) in versions
     }
     assert got == want
+
+
+def test_table_diff_null_key_rows(spark):
+    """table_diff — a NULL business key matched by the null-safe join is
+    classified like any other key (unchanged dropped, changed labeled
+    'changed'), never misread as 'added'."""
+    from sales_agent_graphdb_spark.operators.merge import table_diff
+
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k long, s string")
+    b_same = spark.createDataFrame([(None, "x"), (1, "y")], "k long, s string")
+    assert table_diff(a, b_same, "k", ["s"]).count() == 0
+    b_chg = spark.createDataFrame([(None, "z"), (1, "y")], "k long, s string")
+    rows = table_diff(a, b_chg, "k", ["s"]).collect()
+    assert len(rows) == 1
+    assert rows[0].k is None and rows[0].change == "changed"
+    assert (rows[0].s_old, rows[0].s_new) == ("x", "z")
