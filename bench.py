@@ -57,6 +57,9 @@ HEADLINE = [
     "graph_triangle_count",
     "m6_scd2_history",
     "w8_time_range_frame",
+    # Profiling / sketch family (continuation session).
+    "text_tfidf_keywords",
+    "agg_countmin_portable",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -13,6 +13,7 @@ from sales_agent_graphdb_spark.queries import (  # noqa: F401
     multimodal_q,
     mutations,
     plans_nl,
+    profiling,
     relational,
     scale_joins,
     scalar_fns,

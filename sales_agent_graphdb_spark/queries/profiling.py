@@ -1,0 +1,413 @@
+"""Corpus/table profiling and sketch operators: the data-quality,
+sampling, keyword-extraction and frequency-sketch primitives a
+training-data pipeline runs before and after every ingest.
+
+Reference parity: the reference has no profiling surface (its quality
+checks live in ad-hoc service code, e.g. scraper validation in
+scraper_service.py); these are the brief's "operations a large-scale
+training-data pipeline would need", same footing as curation.py.
+
+All metrics are exact integer/deterministic-double arithmetic so each
+query hash-checks against its DuckDB oracle. Hash-derived bucketing
+uses md5 (engine-portable), the curation.py convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.queries.curation import alnum_tokens, _TOKENS_SQL
+from sales_agent_graphdb_spark.registry import register
+
+
+def _md5_mod(c: Column, m: int) -> Column:
+    """bigint(md5(c) first 15 hex) % m — the curation._shard10 hash
+    generalized to any modulus. Engine-portable (DuckDB mirror:
+    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % m)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % m
+
+
+def _md5_mod_sql(expr: str, m: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {m}"
+
+
+# ---------------------------------------------------------------------------
+# Data-quality report: one-pass column profiling + rule violations
+# ---------------------------------------------------------------------------
+
+# (metric, DuckDB aggregate) — one wide agg row, unpivoted to long form.
+# The Spark side mirrors each aggregate 1:1 below.
+_DQ_METRICS_SQL = [
+    ("row_count", "COUNT(*)"),
+    ("null:o_custkey", "COUNT(*) FILTER (o_custkey IS NULL)"),
+    ("null:o_orderdate", "COUNT(*) FILTER (o_orderdate IS NULL)"),
+    ("null:o_orderstatus", "COUNT(*) FILTER (o_orderstatus IS NULL)"),
+    ("null:o_totalprice", "COUNT(*) FILTER (o_totalprice IS NULL)"),
+    ("distinct:o_custkey", "COUNT(DISTINCT o_custkey)"),
+    ("distinct:o_orderpriority", "COUNT(DISTINCT o_orderpriority)"),
+    ("distinct:o_orderstatus", "COUNT(DISTINCT o_orderstatus)"),
+    ("rule:nonpositive_totalprice", "COUNT(*) FILTER (o_totalprice <= 0)"),
+    (
+        "rule:unknown_status",
+        "COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'P', 'F'))",
+    ),
+]
+
+
+@register(
+    "data_quality_report",
+    oracle="WITH w AS (SELECT "
+    + ", ".join(
+        f'CAST({agg} AS BIGINT) AS "{name}"' for name, agg in _DQ_METRICS_SQL
+    )
+    + " FROM orders) "
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS metric, \"{name}\" AS value FROM w"
+        for name, _ in _DQ_METRICS_SQL
+    )
+    + " ORDER BY metric",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality profile of the orders table in
+    ONE scan: per-column null counts, exact distinct counts for the
+    low-cardinality columns, and constraint-violation counts (the
+    checks a pipeline gates an ingest batch on).
+
+    Spark-first shape: a single wide aggregate — every metric is
+    map-side combinable (the multi-column COUNT DISTINCT expands the
+    input k ways before the partial agg, the standard Catalyst Expand
+    plan; distinct profiling is restricted to the three bounded-
+    cardinality columns so the expansion factor is a constant 4, and
+    unbounded-cardinality columns would use approx_count_distinct
+    instead) — then an unpivot of the one-row result. At 100 TB this
+    is one pass over the fact table producing a handful of rows."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    nn = lambda c: F.sum(F.col(c).isNull().cast("bigint"))  # noqa: E731
+    aggs = {
+        "row_count": F.count(F.lit(1)),
+        "null:o_custkey": nn("o_custkey"),
+        "null:o_orderdate": nn("o_orderdate"),
+        "null:o_orderstatus": nn("o_orderstatus"),
+        "null:o_totalprice": nn("o_totalprice"),
+        "distinct:o_custkey": F.countDistinct("o_custkey"),
+        "distinct:o_orderpriority": F.countDistinct("o_orderpriority"),
+        "distinct:o_orderstatus": F.countDistinct("o_orderstatus"),
+        "rule:nonpositive_totalprice": F.sum(
+            (F.col("o_totalprice") <= 0).cast("bigint")
+        ),
+        "rule:unknown_status": F.sum(
+            (~F.col("o_orderstatus").isin("O", "P", "F")).cast("bigint"),
+        ),
+    }
+    assert [n for n, _ in _DQ_METRICS_SQL] == list(aggs)  # oracle drift guard
+    wide = o.agg(
+        *[F.coalesce(a, F.lit(0)).cast("bigint").alias(n) for n, a in aggs.items()]
+    )
+    return wide.unpivot([], list(aggs), "metric", "value").orderBy("metric")
+
+
+# ---------------------------------------------------------------------------
+# Per-group fixed-k deterministic sample
+# ---------------------------------------------------------------------------
+
+_GROUP_K = 5
+
+
+@register(
+    "sample_group_topk",
+    oracle=f"""
+    SELECT source, doc_id, rk FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {_GROUP_K} ORDER BY source, rk
+    """,
+)
+def sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample: at most k=5 documents per
+    source, chosen by md5(doc_id) rank — the "grab a handful of
+    examples from every domain" inspection query. Unlike reservoir
+    sampling the pick is deterministic across runs/engines/
+    partitionings, and stable under corpus growth (a new doc displaces
+    at most one pick per group).
+
+    Spark-first shape: ROW_NUMBER over (source) with the rank filter —
+    Catalyst rewrites it to WindowGroupLimit, so each input partition
+    keeps at most k rows per group BEFORE the shuffle (probed in
+    tests/test_profiling.py). At 100 TB the shuffle carries
+    O(groups x k x partitions) rows, not the corpus."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "source", "doc_id", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= _GROUP_K)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf AS DOUBLE)
+               * (CAST(n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE))
+               AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, score, rk FROM (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM scored)
+    WHERE rk <= {_TFIDF_K} ORDER BY doc_id, rk
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF.
+    The idf factor is the RATIONAL form (N+1)/(df+1) — same ordering
+    intent as log-idf but a single exact double division, so scores are
+    bit-identical across engines (the text_bm25_search rational-idf
+    technique; a log() would differ in ulps between libm builds).
+
+    Spark-first shape: one tokenize+explode pass -> (doc,term) counts
+    (map-side combinable) -> join the vocabulary-sized document-
+    frequency frame on term -> per-doc top-k via ROW_NUMBER + rank
+    filter (WindowGroupLimit: <= k rows per doc survive per partition
+    pre-shuffle). The df frame is vocabulary-sized, broadcastable at
+    any corpus scale with a bounded vocabulary."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(alnum_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: tf feeds BOTH the df aggregation and the scored
+    # join (the decontaminate_ngram_overlap multi-consumer move).
+    tf = tf.localCheckpoint(eager=False)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))  # one-row frame
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * (
+                    (F.col("n_docs") + 1).cast("double")
+                    / (F.col("df") + 1).cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.select(
+            "doc_id", "term", "score", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= _TFIDF_K)
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch (heavy hitters with bounded-memory state)
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_TOPK = 10
+
+
+def _cms_bucket(i: int, key: Column) -> Column:
+    """Row i's CMS bucket for key: md5('{i}:' || key) % width."""
+    return _md5_mod(F.concat(F.lit(f"{i}:"), key.cast("string")), _CMS_WIDTH)
+
+
+def _cms_bucket_sql(i: int, key_expr: str) -> str:
+    return _md5_mod_sql(f"'{i}:' || CAST({key_expr} AS VARCHAR)", _CMS_WIDTH)
+
+
+@register(
+    "agg_countmin_portable",
+    oracle=f"""
+    WITH keys AS (SELECT l_partkey AS k FROM lineitem),
+    hashed AS (
+      SELECT i, {_md5_mod_sql("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)", _CMS_WIDTH)} AS b
+      FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
+    cells AS (
+      SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY i, b),
+    top AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM keys
+      GROUP BY k ORDER BY true_cnt DESC, k LIMIT {_CMS_TOPK}),
+    probes AS (
+      SELECT k, true_cnt, i,
+             {_md5_mod_sql("CAST(i AS VARCHAR) || ':' || CAST(k AS VARCHAR)", _CMS_WIDTH)} AS b
+      FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
+    est AS (
+      SELECT p.k, p.true_cnt, MIN(c.c) AS cms_est
+      FROM probes p JOIN cells c USING (i, b) GROUP BY p.k, p.true_cnt)
+    SELECT k AS part_key, true_cnt, cms_est, cms_est - true_cnt AS overcount
+    FROM est ORDER BY true_cnt DESC, part_key
+    """,
+)
+def agg_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over lineitem part keys, built IN-PLAN as a
+    DataFrame aggregate: depth=4 md5 hash rows x
+    width=512 counters, then the sketch estimate
+    (min over rows of the key's counter) probed for the 10
+    highest-true-count keys next to their exact counts. Because the
+    hash family is md5 (engine-portable, unlike Spark's internal
+    xxhash-based count_min_sketch() binary blob), the DuckDB oracle
+    rebuilds the identical sketch and the ESTIMATES hash-check
+    bit-for-bit — CMS guarantee est >= true is pinned for every key in
+    tests/test_profiling.py.
+
+    Spark-first shape: explode each fact row into its 4
+    (row, bucket) cells and groupBy-count — partial aggregation
+    collapses each map task's output to <= depth x width rows, so the
+    shuffle carries O(sketch size) per partition regardless of input
+    size: exactly the bounded-memory property that makes CMS the
+    100 TB heavy-hitter primitive when exact per-key counts blow the
+    agg-state budget."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    hashed = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(i, F.col("k")).alias("b")
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("x")
+    ).select("x.i", "x.b")
+    cells = hashed.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        li.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "k")
+        .limit(_CMS_TOPK)
+    )
+    probes = top.select(
+        "k",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(i, F.col("k")).alias("b")
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("x"),
+    ).select("k", "true_cnt", "x.i", "x.b")
+    est = (
+        F.broadcast(probes)  # topk x depth rows
+        .join(cells, ["i", "b"])
+        .groupBy("k", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        F.col("k").alias("part_key"),
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    ).orderBy(F.col("true_cnt").desc(), "part_key")
+
+
+# ---------------------------------------------------------------------------
+# Exact per-label embedding centroids (vector aggregation)
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64  # oracle subscripts are generated for exactly this dim
+_CENTROID_SCALE = 100_000_000  # 1e8: float32 -> 8-dp fixed point
+
+
+@register(
+    "vec_centroid_per_label",
+    oracle=f"""
+    WITH flat AS (
+      SELECT label, u.i - 1 AS dim,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * {_CENTROID_SCALE}.0)
+                  AS BIGINT) AS q
+      FROM embeddings
+      CROSS JOIN (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i) u),
+    agg AS (
+      SELECT label, dim, SUM(q) AS sq, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      FROM flat GROUP BY label, dim)
+    SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+           CAST(sq AS DOUBLE) / CAST(n_vecs AS DOUBLE) / {_CENTROID_SCALE}.0
+             AS centroid,
+           n_vecs
+    FROM agg ORDER BY label, dim
+    """,
+)
+def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (label, dim) -> mean component —
+    the vector-aggregation building block of k-means/IVF (here as a
+    first-class oracled query: class prototypes / cluster summaries).
+
+    Floating-point sums are partition-order dependent, so each float32
+    component is quantized to 8-dp fixed point (floor(v * 1e8) — floor,
+    not a decimal cast, because engines disagree on decimal rounding
+    modes at the half ulp) and summed as exact BIGINTs: the centroid is
+    then order-independent and hash-checks against DuckDB. float32 max
+    |v| ~ O(1) here, so q fits bigint with 10^10 headroom.
+
+    Spark-first shape: posexplode -> groupBy(label, dim) — partial
+    aggregation collapses map output to labels x dim cells, so the
+    shuffle is sketch-sized, never corpus-sized. The explode factor
+    (x64) stays JVM-side inside whole-stage codegen."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    if dim != _EMB_DIM:
+        raise ValueError(
+            f"vec_centroid_per_label: oracle generated for dim={_EMB_DIM}, "
+            f"data has dim={dim}"
+        )
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("v").cast("double") * _CENTROID_SCALE).cast("bigint").alias("q"),
+    )
+    agg = flat.groupBy("label", "dim").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n_vecs")
+    )
+    return agg.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("dim").cast("bigint").alias("dim"),
+        (
+            F.col("sq").cast("double") / F.col("n_vecs").cast("double") / _CENTROID_SCALE
+        ).alias("centroid"),
+        "n_vecs",
+    ).orderBy("label", "dim")

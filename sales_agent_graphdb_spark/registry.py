@@ -148,6 +148,11 @@ _DEFER: frozenset[str] = frozenset({
     "m7_table_diff",
     "st_stream_static_enrich",
     "rollup_hierarchy",
+    "data_quality_report",
+    "sample_group_topk",
+    "text_tfidf_keywords",
+    "agg_countmin_portable",
+    "vec_centroid_per_label",
 })
 
 
