@@ -123,6 +123,70 @@ def join_bucketed_collocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RF_BUCKETS = 4096  # prefilter signature buckets (load factor ~2% here)
+
+
+@register(
+    "join_runtime_prefilter",
+    oracle="""
+    SELECT p.p_size AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY size ORDER BY size
+    """,
+)
+def join_runtime_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter join: revenue by part size for one brand's parts,
+    with the fact side PRE-FILTERED by a broadcast hash-bucket
+    signature of the filtered dim keys (md5(key) % 4096 distinct
+    buckets — a k=1 Bloom filter: no false negatives, FP rate = the
+    signature's load factor) before the real join runs as a
+    SortMergeJoin. The oracle is the PLAIN join SQL: the prefilter
+    must be invisible in the result.
+
+    This is the regime where Spark's own runtime bloom filters /
+    DPP live: the join side is too big to broadcast (hence the merge
+    hint standing in for the 100 TB fact-fact shape), but the FILTERED
+    dim's key signature is tiny — so ~98% of fact rows drop in the
+    map stage and never reach the join shuffle.
+    tests/test_skew.py asserts the plan shape (broadcast semi-join
+    below the SortMergeJoin) and the row reduction."""
+    from sales_agent_graphdb_spark.queries.profiling import _md5_mod
+
+    part = catalog.load_table(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey", "p_size"
+    )
+    buckets = sel.select(
+        _md5_mod(F.col("p_partkey").cast("string"), _RF_BUCKETS).alias("bk")
+    ).distinct()
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pre = li.join(
+        F.broadcast(buckets),
+        _md5_mod(F.col("l_partkey").cast("string"), _RF_BUCKETS) == F.col("bk"),
+        "leftsemi",
+    )
+    joined = pre.join(sel.hint("merge"), pre.l_partkey == sel.p_partkey)
+    return (
+        joined.groupBy(F.col("p_size").alias("size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("size")
+    )
+
+
 @register(
     "incremental_agg_maintenance",
     oracle="""

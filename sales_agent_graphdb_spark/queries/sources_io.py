@@ -410,3 +410,46 @@ def s12_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "s8_api_source_ingest",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_products,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part GROUP BY brand ORDER BY brand
+    """,
+)
+def s8_api_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — external API ingest as a PLUGGABLE SOURCE (reference
+    scraper_service.py: HTTP fetch → parse → insert, driver-side).
+    Spark-first form: a Python DataSource V2 format (`product_api`,
+    sources/api_source.py) whose reader maps API pagination to
+    InputPartitions — pages are fetched in parallel ON EXECUTORS and
+    parsed into Arrow RecordBatches with an explicit schema, entering
+    the plan as a normal scan (no driver loop, no landing table). The
+    endpoint is simulated by paged JSON-lines files derived from the
+    part table (no network in this container; a real deployment swaps
+    the page-open for the HTTP GET). The oracle is the plain part-table
+    aggregate: the page write → paginated parallel read cycle must
+    preserve every row and every double bit (JSON shortest-repr
+    roundtrip)."""
+    from sales_agent_graphdb_spark.sources.api_source import (
+        ensure_api_pages,
+        register_api_source,
+    )
+
+    endpoint = ensure_api_pages(spark, sf_dir)
+    register_api_source(spark)
+    api = spark.read.format("product_api").option("endpoint", endpoint).load()
+    return (
+        api.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("brand")
+    )

@@ -109,6 +109,28 @@ def st_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_stream_interval_join_outer",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+)
+def st_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — stream-stream LEFT OUTER interval join: null rows are
+    watermark-driven (a view is provably unmatched only once the
+    watermark passes its eviction bound), flushed deterministically by
+    a far-future sentinel on both sides so the drained result equals
+    the complete batch LEFT JOIN the oracle states. Completes the
+    streaming join family: inner interval + stream-static + left
+    outer. See streaming/pipelines.py:interval_join_outer_stream."""
+    return pipelines.interval_join_outer_stream(spark, sf_dir)
+
+
+@register(
     "st_stream_sessions_complete",
     oracle="""
     WITH ordered AS (

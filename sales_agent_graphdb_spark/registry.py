@@ -153,6 +153,9 @@ _DEFER: frozenset[str] = frozenset({
     "text_tfidf_keywords",
     "agg_countmin_portable",
     "vec_centroid_per_label",
+    "join_runtime_prefilter",
+    "st_stream_interval_join_outer",
+    "s8_api_source_ingest",
 })
 
 

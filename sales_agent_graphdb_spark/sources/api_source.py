@@ -1,0 +1,107 @@
+"""S8 — external API source as a first-class pluggable Spark source.
+
+The reference ingests products from an external HTTP API in service
+code (reference scraper_service.py: fetch → parse → insert). The
+Spark-first re-expression is the Python DataSource V2 API (Spark 4):
+a custom ``product_api`` format whose reader paginates the endpoint —
+one InputPartition per page, so pages are fetched IN PARALLEL across
+executors and land directly in the scan, with no driver-side loop and
+no intermediate landing table.
+
+The "API" here is simulated by paged JSON-lines files derived from the
+testdata part table (this container has no network); a real deployment
+replaces ``_read_page``'s file open with the HTTP GET for that page —
+partitioning, schema, Arrow batching, and the query on top are
+unchanged. Pages are Arrow ``RecordBatch`` objects parsed with an
+explicit schema (the vectorized DataSource path), never row-at-a-time
+Python tuples.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.json as pa_json
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from sales_agent_graphdb_spark.sources import stamp
+
+_SCHEMA_DDL = "p_partkey bigint, p_name string, p_brand string, p_retailprice double"
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("p_partkey", pa.int64()),
+        ("p_name", pa.string()),
+        ("p_brand", pa.string()),
+        ("p_retailprice", pa.float64()),
+    ]
+)
+_N_PAGES = 8
+_VERSION = "v1"  # layout recipe tag (stamp protocol)
+
+
+class ProductApiReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self._endpoint = options["endpoint"]
+
+    def partitions(self):
+        # One partition per page file = the API's pagination, mapped to
+        # scan parallelism. Sorted for a deterministic partition list.
+        pages = sorted(glob.glob(os.path.join(self._endpoint, "page=*", "*.json")))
+        if not pages:
+            raise FileNotFoundError(f"product_api: no pages under {self._endpoint}")
+        return [InputPartition(p) for p in pages]
+
+    def read(self, partition):
+        # Arrow-batched: parse the page with the EXPLICIT schema (no
+        # inference drift) and yield RecordBatches — the vectorized
+        # DataSource path. A real API swaps the file open for an HTTP
+        # GET; everything else stays.
+        table = pa_json.read_json(
+            partition.value,
+            parse_options=pa_json.ParseOptions(explicit_schema=_ARROW_SCHEMA),
+        )
+        yield from table.to_batches()
+
+
+class ProductApiDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "product_api"
+
+    def schema(self) -> str:
+        return _SCHEMA_DDL
+
+    def reader(self, schema) -> ProductApiReader:
+        return ProductApiReader(self.options)
+
+
+def register_api_source(spark: SparkSession) -> None:
+    """Idempotent registration of the ``product_api`` format."""
+    spark.dataSource.register(ProductApiDataSource)
+
+
+def ensure_api_pages(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the simulated endpoint: the part table written as
+    8 JSON-lines pages (page = p_partkey % 8), source-stamped so a
+    testdata regeneration rebuilds them. Returns the endpoint dir."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    endpoint = f"/root/repo/.scratch/api_pages/{tag}"
+    src = f"{sf_dir}/part.parquet"
+    if stamp.is_fresh(endpoint, src, _VERSION):
+        return endpoint
+    part = spark.read.parquet(src).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    (
+        part.withColumn("page", F.col("p_partkey") % _N_PAGES)
+        .repartition(1)  # one file per page dir: page count == file count
+        .write.partitionBy("page")
+        .mode("overwrite")
+        .json(endpoint)
+    )
+    stamp.mark(endpoint, src, _VERSION)
+    return endpoint

@@ -235,6 +235,58 @@ def interval_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "view_id", "purchase_id")
 
 
+def interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view event, with
+    its attributed purchase (next hour, same user) or NULL if none —
+    the attribution join that also has to account for the views that
+    converted to nothing. Unlike the inner form, the null rows are
+    WATERMARK-DRIVEN: Spark can only declare a view unmatched once the
+    watermark passes view_ts + 1h (the range bound) — before that a
+    matching purchase could still arrive — so each null row emits at
+    state eviction in a later microbatch.
+
+    Bounded-run determinism: the sentinel (10h past the global max on
+    BOTH sides — it must survive each side's event-type filter or it
+    cannot advance that side's watermark) pushes the final watermark
+    past every view's eviction bound, so ALL unmatched views flush
+    their null rows in the drain's no-data batch and the streamed
+    result equals the complete batch LEFT JOIN, which the oracle
+    states. At 100 TB/day the state store shards by user_id and holds
+    only the watermark horizon on each side."""
+    src_dir, stream = _sentinel_source(spark, sf_dir, sentinel_gap_s=36000)
+    try:
+        views = (
+            stream.filter(F.col("event_type").isin("view", "__sentinel__"))
+            .select(
+                F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+                F.col("event_type").alias("v_type"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        buys = (
+            stream.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+            .select(
+                F.col("user_id").alias("b_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("buy_ts"),
+            )
+            .withWatermark("buy_ts", "2 hours")
+        )
+        joined = views.join(buys, interval_join_cond(), "leftOuter")
+        out = _run_to_memory(joined, "append")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    # Sentinel view rows pair with the same user's sentinel purchase
+    # (equal ts satisfies the range) — dropped here either way.
+    return (
+        out.filter(F.col("v_type") != "__sentinel__")
+        .select(F.col("v_user_id").alias("user_id"), "view_id", "purchase_id")
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
 def _make_session_fn_exact(gap_s: int):
     """Per-group stateful sessionizer (a self-contained closure:
     cloudpickle serializes it by VALUE, so executors need no package
@@ -299,14 +351,17 @@ _STATE_SCHEMA_EXACT = "last_ts long, session_start long, n long, total string"
 
 
 def _sentinel_source(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, sentinel_gap_s: int = 2 * SESSION_GAP_S
 ) -> tuple[str, DataFrame]:
     """Scratch streaming source = the events parquet (symlinked;
     testdata is read-only) plus one end-of-stream sentinel event per
-    user at event-time 2*SESSION_GAP_S past the global max — the
-    drain-a-bounded-run move every sentinel-flushed stateful query
-    shares. Returns (scratch dir to rm after the run, normalized
-    stream).
+    user at event-time ``sentinel_gap_s`` (default 2*SESSION_GAP_S)
+    past the global max — the drain-a-bounded-run move every
+    sentinel-flushed stateful query shares. The outer interval join
+    passes a larger gap: its null-side flush needs the watermark to
+    clear every view's eviction bound (view_ts + 1h + 2h delay), not
+    just the session gap. Returns (scratch dir to rm after the run,
+    normalized stream).
 
     No maxFilesPerTrigger: both files land in ONE microbatch, so the
     state fn's in-batch event-time sort fully determines order. (With
@@ -336,7 +391,7 @@ def _sentinel_source(
         .crossJoin(ev.agg(F.max("ts").alias("gmx")))
         .select(
             F.lit(-1).cast("long").alias("event_id"),
-            (F.col("gmx") + F.expr(f"INTERVAL {2 * SESSION_GAP_S} SECONDS")).alias(
+            (F.col("gmx") + F.expr(f"INTERVAL {sentinel_gap_s} SECONDS")).alias(
                 "ts_t"
             ),
             F.col("user_id"),

@@ -63,3 +63,37 @@ def test_salted_join_rejects_right_join(spark):
     dim = catalog.load_table(spark, SF_SMALL, "part")
     with pytest.raises(ValueError):
         salted_join(fact, dim, "l_partkey", how="right")
+
+
+def test_runtime_prefilter_plan_and_reduction(spark):
+    """join_runtime_prefilter: the broadcast bucket-signature semi-join
+    sits below a SortMergeJoin, and it actually drops most fact rows
+    (no-false-negative guarantee is carried by the oracle equality in
+    test_oracle_parity; here we pin the mechanism)."""
+    from sales_agent_graphdb_spark.queries.profiling import _md5_mod
+    from sales_agent_graphdb_spark.queries.scale_joins import (
+        _RF_BUCKETS,
+        join_runtime_prefilter,
+    )
+
+    df = join_runtime_prefilter(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan  # the real join (merge hint honored)
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan  # prefilter
+
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    part = catalog.load_table(spark, SF_SMALL, "part")
+    buckets = (
+        part.filter(F.col("p_brand") == "Brand#13")
+        .select(_md5_mod(F.col("p_partkey").cast("string"), _RF_BUCKETS).alias("bk"))
+        .distinct()
+    )
+    total = li.count()
+    kept = li.join(
+        F.broadcast(buckets),
+        _md5_mod(F.col("l_partkey").cast("string"), _RF_BUCKETS) == F.col("bk"),
+        "leftsemi",
+    ).count()
+    # The signature is ~2% loaded; require at least a 5x reduction so a
+    # silently degenerate prefilter (everything passes) fails loudly.
+    assert kept * 5 < total, (kept, total)
