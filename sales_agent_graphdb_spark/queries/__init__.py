@@ -7,6 +7,7 @@ from sales_agent_graphdb_spark.queries import (  # noqa: F401
     curation,
     dedup,
     event_windows,
+    features,
     graphq,
     ingestion,
     joins,

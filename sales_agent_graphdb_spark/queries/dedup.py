@@ -609,3 +609,82 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "split_leakage_safe",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    keyed AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS cluster_key,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 2
+                  THEN 'val' ELSE 'train' END AS naive_split
+      FROM corpus),
+    clusters AS (
+      SELECT cluster_key,
+             CASE WHEN CAST(('0x' || substr(md5(cluster_key), 1, 15)) AS BIGINT) % 10 < 2
+                  THEN 'val' ELSE 'train' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT naive_split) AS BIGINT) AS n_naive_splits
+      FROM keyed GROUP BY cluster_key)
+    SELECT split,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN n_naive_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clusters_naive_would_leak
+    FROM clusters GROUP BY split ORDER BY split
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split — split assignment hashed on the
+    CANONICAL CONTENT KEY (md5 of normalized text, the
+    dedup_exact_hash cluster key), never on doc_id: exact duplicates
+    land in the same split by construction, so eval rows can never be
+    training-set copies. The per-split report also counts, per split,
+    how many of its clusters a NAIVE doc_id-hash split would have
+    straddled across train and val — the measured leak the
+    content-keyed split closes (non-zero here because the planted
+    duplicate corpus shares content across different doc_ids).
+
+    Scale: one shuffle on the 32-char cluster key (the dedup_exact_hash
+    shuffle), then a 2-row reduce; split membership is a pure hash
+    function, reproducible across runs, engines, and partitionings.
+    The same keying generalizes to near-dup clusters by substituting
+    dedup_cluster_canonical's component id for the md5 key."""
+    corpus = dup_corpus(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+
+    def shard10_str(c):
+        return (
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % 10
+        )
+
+    keyed = corpus.select(
+        "doc_id",
+        F.md5(norm).alias("cluster_key"),
+        F.when(shard10_str(F.col("doc_id").cast("string")) < 2, "val")
+        .otherwise("train")
+        .alias("naive_split"),
+    )
+    clusters = keyed.groupBy("cluster_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("naive_split").alias("n_naive_splits"),
+    ).select(
+        F.when(shard10_str(F.col("cluster_key")) < 2, "val")
+        .otherwise("train")
+        .alias("split"),
+        "n_docs",
+        "n_naive_splits",
+    )
+    return (
+        clusters.groupBy("split")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum((F.col("n_naive_splits") > 1).cast("long")).alias(
+                "n_clusters_naive_would_leak"
+            ),
+        )
+        .orderBy("split")
+    )

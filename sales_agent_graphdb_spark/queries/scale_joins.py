@@ -231,3 +231,69 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged.orderBy("priority")
+
+
+@register(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH probes AS (
+      SELECT p_partkey + 1000000 AS probe_id,
+             substr(p_name, 1, length(p_name) - 1) AS probe_name
+      FROM part WHERE p_partkey % 3 = 0 AND length(p_name) > 1),
+    base AS (
+      SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS block
+      FROM part),
+    cand AS (
+      SELECT pr.probe_id, pr.probe_name, b.p_partkey, b.p_name
+      FROM probes pr JOIN base b
+        ON split_part(pr.probe_name, ' ', 1) = b.block
+       AND abs(length(pr.probe_name) - length(b.p_name)) <= 2)
+    SELECT probe_id, probe_name, p_partkey, p_name,
+           CAST(levenshtein(probe_name, p_name) AS INTEGER) AS dist
+    FROM cand WHERE levenshtein(probe_name, p_name) <= 2
+    ORDER BY probe_id, p_partkey
+    """,
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: match dirty probe names (each a
+    part name with its last character dropped — a deterministic stand-
+    in for scraped/typo'd records) back to the catalog at edit
+    distance <= 2, via the canonical BLOCK-then-VERIFY shape: an
+    equi-join on a blocking key (first name token; in production a
+    phonetic or sorted-neighborhood key) plus a length band generates
+    candidates, and the exact Levenshtein verify runs ONLY on
+    candidates — Σ_block |probes_b|·|base_b| work, never the |probes|·
+    |base| cartesian an unblocked theta-join would cost at 100 TB.
+    Both engines implement identical unit-cost Levenshtein, and the
+    blocking predicate is part of the operator's declared semantics
+    (the oracle mirrors it), so the result is bit-exact."""
+    p = catalog.load_table(spark, sf_dir, "part")
+    probes = (
+        p.filter((F.col("p_partkey") % 3 == 0) & (F.length("p_name") > 1))
+        .select(
+            (F.col("p_partkey") + 1_000_000).alias("probe_id"),
+            F.expr("substring(p_name, 1, length(p_name) - 1)").alias("probe_name"),
+        )
+    )
+    base = p.select(
+        "p_partkey", "p_name", F.substring_index("p_name", " ", 1).alias("block")
+    )
+    cand = probes.join(
+        base,
+        (F.substring_index("probe_name", " ", 1) == F.col("block"))
+        & (
+            F.abs(F.length("probe_name") - F.length("p_name")) <= 2
+        ),
+    )
+    dist = F.levenshtein("probe_name", "p_name")
+    return (
+        cand.filter(dist <= 2)
+        .select(
+            "probe_id",
+            "probe_name",
+            "p_partkey",
+            "p_name",
+            dist.cast("int").alias("dist"),
+        )
+        .orderBy("probe_id", "p_partkey")
+    )

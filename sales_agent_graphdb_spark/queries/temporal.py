@@ -240,3 +240,96 @@ def pct_approx_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "ts_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type, hour),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS min_h,
+             date_trunc('hour', MAX(ts)) AS max_h
+      FROM events),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.min_h, b.max_h, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b),
+    joined AS (
+      SELECT s.event_type, s.hour,
+             COALESCE(h.n_events, 0) AS n_events,
+             (h.n_events IS NULL) AS filled,
+             last_value(h.total_value IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.hour
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total_value_locf
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour = h.hour)
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           n_events, filled, total_value_locf
+    FROM joined ORDER BY event_type, hour
+    """,
+)
+def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill + last-observation-carried-forward — the
+    TimescaleDB ``time_bucket_gapfill``/``locf`` pattern (absent from
+    the reference, SURVEY §2.5 extension surface; a metrics/training
+    pipeline needs dense per-key series for feature windows and chart
+    serving). The hour spine is GENERATED distributed — one
+    ``sequence(min_h, max_h, 1 hour)`` explode per key from a one-row
+    bounds broadcast, never a driver loop — then left-joined against
+    the hourly aggregate and densified: missing hours get n_events=0,
+    a ``filled`` marker, and carry the last seen hourly total forward
+    via ``last(..., ignorenulls=True)`` over a (key, hour) window.
+
+    Scale: the heavy input collapses to the hourly aggregate first
+    (map-side partial), so the spine join and LOCF window run on
+    aggregate-sized data, sharded by key — hours-per-key state only.
+    Hourly totals are exact DECIMAL sums cast to double once, so LOCF
+    carries bit-identical values on both engines. Hours before a key's
+    first observation stay NULL (nothing to carry) on both engines.
+    """
+    e = catalog.load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("min_h"),
+        F.date_trunc("hour", F.max("ts")).alias("max_h"),
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("min_h"), F.col("max_h"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        j.select(
+            "event_type",
+            F.col("hour"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("n_events").isNull().alias("filled"),
+            F.last("total_value", ignorenulls=True).over(w).alias("total_value_locf"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_events",
+            "filled",
+            "total_value_locf",
+        )
+        .orderBy("event_type", "hour")
+    )

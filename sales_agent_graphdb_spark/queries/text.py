@@ -589,3 +589,57 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("top_bigram_frac") < 0.2)
         & (F.col("dup_trigram_frac") < 0.5),
     ).orderBy("doc_id")
+
+
+from sales_agent_graphdb_spark.queries.curation import (  # noqa: E402
+    _TOKENS_SQL,
+    alnum_tokens,
+)
+
+
+@register(
+    "text_vocab_build",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents),
+    stats AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_total,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df_docs
+      FROM toks WHERE term <> '' GROUP BY term),
+    vocab AS (
+      SELECT term, tf_total, df_docs,
+             row_number() OVER (ORDER BY tf_total DESC, term) AS token_id
+      FROM stats WHERE df_docs >= 5)
+    SELECT CAST(token_id AS BIGINT) AS token_id, term, tf_total, df_docs
+    FROM vocab ORDER BY token_id
+    """,
+)
+def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary build — the first step of every text
+    training pipeline: corpus-wide term frequencies + document
+    frequencies, a min-df floor (df >= 5), and DENSE ids assigned by
+    (tf DESC, term) rank so id assignment is deterministic across runs
+    and engines. The corpus-sized work is one exploded
+    map-side-combinable count per term (COUNT + COUNT DISTINCT doc via
+    Spark's two-phase distinct agg); only the VOCAB-sized survivor
+    frame enters the global ranking window — bounded by vocabulary
+    size (~1e5-1e6 rows at any corpus scale), never by corpus size, so
+    the single-partition window is safe at 100 TB. Uses THE shared
+    alnum tokenizer (curation.py) so vocab ids line up with every
+    other text operator's tokens."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(alnum_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf_total"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    vocab = stats.filter(F.col("df_docs") >= 5)
+    w = Window.orderBy(F.col("tf_total").desc(), "term")
+    return vocab.select(
+        F.row_number().over(w).cast("long").alias("token_id"),
+        "term",
+        "tf_total",
+        "df_docs",
+    ).orderBy("token_id")

@@ -156,6 +156,12 @@ _DEFER: frozenset[str] = frozenset({
     "join_runtime_prefilter",
     "st_stream_interval_join_outer",
     "s8_api_source_ingest",
+    "ts_gap_fill_locf",
+    "feature_winsorize",
+    "feature_correlation",
+    "text_vocab_build",
+    "split_leakage_safe",
+    "join_fuzzy_blocked",
 })
 
 

@@ -1,0 +1,143 @@
+"""Semantics tests for the r03 feature-engineering / curation additions
+beyond the oracle parity gate: winsorize invariants, correlation vs a
+numpy reference, gap-fill density/LOCF, vocabulary ranking, leakage-safe
+split invariants, and fuzzy-join planted recall.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sales_agent_graphdb_spark import catalog
+from sales_agent_graphdb_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+
+
+def test_winsorize_invariants(spark):
+    rows = {r["l_returnflag"]: r for r in QUERIES["feature_winsorize"].fn(spark, SF_SMALL).collect()}
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    raw = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_extendedprice").alias("mean_raw"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert rows.keys() == raw.keys()
+    for flag, r in rows.items():
+        # Cuts are real data values inside the group's range, ordered.
+        assert raw[flag]["mn"] <= r["lo_cut"] < r["hi_cut"] <= raw[flag]["mx"]
+        # ~1% clipped each side (position-pick makes the bound exact).
+        n = r["n_rows"]
+        assert r["n_clipped_low"] <= math.ceil(n * 0.01)
+        assert r["n_clipped_high"] <= n - math.ceil(n * 0.99) + 1
+        assert r["n_clipped_low"] + r["n_clipped_high"] > 0
+        # Winsorized mean sits inside the clip interval.
+        assert r["lo_cut"] <= r["mean_winsorized"] <= r["hi_cut"]
+
+
+def test_correlation_matches_numpy(spark):
+    out = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in QUERIES["feature_correlation"].fn(spark, SF_SMALL).collect()
+    }
+    li = (
+        catalog.load_table(spark, SF_SMALL, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .collect()
+    )
+    cols = {c: np.array([r[c] for r in li]) for c in ("l_quantity", "l_extendedprice", "l_discount")}
+    for (x, y), got in out.items():
+        assert -1.0 <= got <= 1.0
+        ref = np.corrcoef(cols[x], cols[y])[0, 1]
+        assert abs(got - ref) < 1e-5, (x, y, got, ref)
+
+
+def test_gap_fill_dense_and_locf(spark):
+    df = QUERIES["ts_gap_fill_locf"].fn(spark, SF_SMALL)
+    rows = df.collect()
+    e = catalog.load_table(spark, SF_SMALL, "events")
+    types = {r[0] for r in e.select("event_type").distinct().collect()}
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    ).collect()[0]
+    n_hours = int((b["mx"] - b["mn"]).total_seconds() // 3600) + 1
+    # Dense spine: every (type, hour) cell exactly once.
+    assert len(rows) == len(types) * n_hours
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in per_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        seen_value = False
+        for r in rs:
+            if r["filled"]:
+                assert r["n_events"] == 0
+                # LOCF: once a value has been seen it can never go NULL.
+                if seen_value:
+                    assert r["total_value_locf"] is not None
+            else:
+                assert r["n_events"] > 0
+                seen_value = True
+
+
+def test_vocab_ids_dense_and_ranked(spark):
+    rows = QUERIES["text_vocab_build"].fn(spark, SF_SMALL).collect()
+    assert rows, "empty vocabulary"
+    ids = [r["token_id"] for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    tfs = [r["tf_total"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+    assert all(r["df_docs"] >= 5 for r in rows)
+
+
+def test_split_leakage_safe_no_straddle(spark):
+    from sales_agent_graphdb_spark.queries.dedup import dup_corpus
+
+    rows = {r["split"]: r for r in QUERIES["split_leakage_safe"].fn(spark, SF_SMALL).collect()}
+    assert set(rows) == {"train", "val"}
+    # The planted dup corpus guarantees the naive split WOULD leak.
+    assert sum(r["n_clusters_naive_would_leak"] for r in rows.values()) > 0
+
+    # Independently recompute: no content cluster straddles splits.
+    corpus = dup_corpus(spark, SF_SMALL)
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    key = F.md5(norm)
+    shard = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % 10
+    split = F.when(shard < 2, "val").otherwise("train")
+    straddle = (
+        corpus.select(key.alias("k"), split.alias("s"))
+        .groupBy("k")
+        .agg(F.countDistinct("s").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddle == 0
+    # Totals line up with the corpus.
+    assert sum(r["n_docs"] for r in rows.values()) == corpus.count()
+
+
+def test_fuzzy_join_planted_recall(spark):
+    rows = QUERIES["join_fuzzy_blocked"].fn(spark, SF_SMALL).collect()
+    p = catalog.load_table(spark, SF_SMALL, "part").collect()
+    names = {r["p_partkey"]: r["p_name"] for r in p}
+    planted = {
+        k + 1_000_000: k for k in names if k % 3 == 0 and len(names[k]) > 1
+    }
+    matched = {}
+    for r in rows:
+        assert 0 <= r["dist"] <= 2
+        matched.setdefault(r["probe_id"], set()).add(r["p_partkey"])
+    # Every probe finds its own origin part (distance 1: one deletion).
+    for probe_id, origin in planted.items():
+        assert origin in matched.get(probe_id, set()), (probe_id, origin)
