@@ -60,6 +60,11 @@ HEADLINE = [
     # Profiling / sketch family (continuation session).
     "text_tfidf_keywords",
     "agg_countmin_portable",
+    # Feature-prep / time-series / entity-resolution family
+    # (continuation session 2).
+    "ts_gap_fill_locf",
+    "feature_correlation",
+    "join_fuzzy_blocked",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -333,3 +333,109 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "join_scd2_asof",
+    oracle=f"""
+    WITH hist AS (
+      SELECT c_custkey AS user_id, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01 00:00:00' AS vts
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'MOVED', TIMESTAMP '2024-01-15 00:00:00'
+      FROM customer WHERE c_custkey % 5 = 0),
+    u AS (
+      SELECT user_id, vts AS ts, 0 AS side, seg,
+             CAST(NULL AS BIGINT) AS event_id,
+             CAST(NULL AS VARCHAR) AS event_type,
+             CAST(NULL AS DOUBLE) AS value
+      FROM hist
+      UNION ALL
+      SELECT user_id, ts, 1 AS side, CAST(NULL AS VARCHAR) AS seg,
+             event_id, event_type, value
+      FROM events),
+    w AS (
+      SELECT side, event_type, value,
+             last_value(seg IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS seg_at
+      FROM u)
+    SELECT seg_at AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM w WHERE side = 1
+    GROUP BY seg_at, event_type ORDER BY segment, event_type
+    """,
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-dimension (SCD2 as-of) join — the warehousing staple
+    the plain equi-join gets WRONG: each fact row must join the
+    dimension version valid AT EVENT TIME, not the current one. The
+    dimension history here is a deterministic two-version build (every
+    customer's segment at 2024-01-01; every 5th customer re-segmented
+    'MOVED' effective 2024-01-15), so mid-January events split between
+    versions and the check is non-vacuous.
+
+    Expressed in the union-tag-window AS-OF form (asof_join_last_
+    purchase): dimension versions enter the event stream as side-0
+    rows at their effective timestamps, and ``last(seg, ignorenulls)``
+    over the (key, time)-ordered window carries the in-force version
+    onto every fact row — ONE shuffle on the key, O(1) carried state,
+    no per-pair BETWEEN range join (which explodes on hot keys and
+    cannot prune at 100 TB). A version effective exactly at the event
+    timestamp applies (side 0 sorts first). Output rolls up to
+    segment-at-event-time × event_type with exact-DECIMAL totals."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    e = catalog.load_table(spark, sf_dir, "events")
+    hist = c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").alias("user_id"),
+            F.lit("MOVED").alias("seg"),
+            F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+    side0 = hist.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "seg",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    side1 = e.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("string").alias("seg"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    u = side0.unionByName(side1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    tagged = u.select(
+        "side",
+        "event_type",
+        "value",
+        F.last("seg", ignorenulls=True).over(w).alias("seg_at"),
+    )
+    return (
+        tagged.filter(F.col("side") == 1)
+        .groupBy(F.col("seg_at").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .orderBy("segment", "event_type")
+    )

@@ -162,6 +162,8 @@ _DEFER: frozenset[str] = frozenset({
     "text_vocab_build",
     "split_leakage_safe",
     "join_fuzzy_blocked",
+    "agg_hll_rollup",
+    "join_scd2_asof",
 })
 
 

@@ -19,11 +19,11 @@ Python tuples.
 
 from __future__ import annotations
 
-import glob
+
 import os
 
 import pyarrow as pa
-import pyarrow.json as pa_json
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -43,40 +43,67 @@ _N_PAGES = 8
 _VERSION = "v1"  # layout recipe tag (stamp protocol)
 
 
-class ProductApiReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self._endpoint = options["endpoint"]
+def _build_product_api_classes():
+    """Build the DataSource/Reader classes INSIDE a function scope so
+    cloudpickle serializes them BY VALUE (their qualname is not
+    importable), with all heavy imports local to the methods. The
+    DataSource class is pickled to every Python worker that executes a
+    scan; a module-level class would be pickled by reference and fail
+    with ModuleNotFoundError whenever the driver process cwd doesn't
+    make this package importable on workers (observed when the driver
+    contract runs from /tmp). Same self-contained-closure rule as every
+    other Python-boundary operator in this repo (SCALE.md)."""
+    arrow_schema = _ARROW_SCHEMA  # closed over; pa.Schema pickles by value
+    schema_ddl = _SCHEMA_DDL
 
-    def partitions(self):
-        # One partition per page file = the API's pagination, mapped to
-        # scan parallelism. Sorted for a deterministic partition list.
-        pages = sorted(glob.glob(os.path.join(self._endpoint, "page=*", "*.json")))
-        if not pages:
-            raise FileNotFoundError(f"product_api: no pages under {self._endpoint}")
-        return [InputPartition(p) for p in pages]
+    class ProductApiReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self._endpoint = options["endpoint"]
 
-    def read(self, partition):
-        # Arrow-batched: parse the page with the EXPLICIT schema (no
-        # inference drift) and yield RecordBatches — the vectorized
-        # DataSource path. A real API swaps the file open for an HTTP
-        # GET; everything else stays.
-        table = pa_json.read_json(
-            partition.value,
-            parse_options=pa_json.ParseOptions(explicit_schema=_ARROW_SCHEMA),
-        )
-        yield from table.to_batches()
+        def partitions(self):
+            # One partition per page file = the API's pagination,
+            # mapped to scan parallelism. Sorted for a deterministic
+            # partition list.
+            import glob as _glob
+            import os as _os
+
+            pages = sorted(
+                _glob.glob(_os.path.join(self._endpoint, "page=*", "*.json"))
+            )
+            if not pages:
+                raise FileNotFoundError(
+                    f"product_api: no pages under {self._endpoint}"
+                )
+            return [InputPartition(p) for p in pages]
+
+        def read(self, partition):
+            # Arrow-batched: parse the page with the EXPLICIT schema
+            # (no inference drift) and yield RecordBatches — the
+            # vectorized DataSource path. A real API swaps the file
+            # open for an HTTP GET; everything else stays.
+            import pyarrow.json as _pa_json
+
+            table = _pa_json.read_json(
+                partition.value,
+                parse_options=_pa_json.ParseOptions(explicit_schema=arrow_schema),
+            )
+            yield from table.to_batches()
+
+    class ProductApiDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "product_api"
+
+        def schema(self) -> str:
+            return schema_ddl
+
+        def reader(self, schema) -> ProductApiReader:
+            return ProductApiReader(self.options)
+
+    return ProductApiDataSource, ProductApiReader
 
 
-class ProductApiDataSource(DataSource):
-    @classmethod
-    def name(cls) -> str:
-        return "product_api"
-
-    def schema(self) -> str:
-        return _SCHEMA_DDL
-
-    def reader(self, schema) -> ProductApiReader:
-        return ProductApiReader(self.options)
+ProductApiDataSource, ProductApiReader = _build_product_api_classes()
 
 
 def register_api_source(spark: SparkSession) -> None:

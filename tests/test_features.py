@@ -132,12 +132,60 @@ def test_fuzzy_join_planted_recall(spark):
     p = catalog.load_table(spark, SF_SMALL, "part").collect()
     names = {r["p_partkey"]: r["p_name"] for r in p}
     planted = {
-        k + 1_000_000: k for k in names if k % 3 == 0 and len(names[k]) > 1
+        k + 1_000_000: names[k] for k in names if k % 3 == 0 and len(names[k]) > 1
     }
     matched = {}
     for r in rows:
         assert 0 <= r["dist"] <= 2
-        matched.setdefault(r["probe_id"], set()).add(r["p_partkey"])
-    # Every probe finds its own origin part (distance 1: one deletion).
-    for probe_id, origin in planted.items():
-        assert origin in matched.get(probe_id, set()), (probe_id, origin)
+        matched.setdefault(r["probe_id"], set()).add(r["p_name"])
+    # Every probe resolves to its origin ENTITY (distance 1: one
+    # deletion); the match side is the distinct-name catalog.
+    for probe_id, origin_name in planted.items():
+        assert origin_name in matched.get(probe_id, set()), (probe_id, origin_name)
+    # One row per (probe, entity) — never per duplicate catalog row.
+    entity_count = len({n for n in names.values()})
+    for probe_id, ents in matched.items():
+        assert len(ents) <= entity_count
+
+
+def test_hll_rollup_verdicts_and_exact(spark):
+    rows = QUERIES["agg_hll_rollup"].fn(spark, SF_SMALL).collect()
+    by_day = {r["day"]: r for r in rows}
+    assert "ALL" in by_day
+    assert all(r["est_ok"] for r in rows), "HLL estimate out of bounds"
+    e = catalog.load_table(spark, SF_SMALL, "events")
+    exact_all = e.select("user_id").distinct().count()
+    assert by_day["ALL"]["n_exact"] == exact_all
+    # Daily exacts each bounded by the global distinct; union covers it.
+    daily = [r for r in rows if r["day"] != "ALL"]
+    assert all(r["n_exact"] <= exact_all for r in daily)
+    assert sum(r["n_exact"] for r in daily) >= exact_all
+
+
+def test_scd2_asof_matches_closed_form(spark):
+    rows = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in QUERIES["join_scd2_asof"].fn(spark, SF_SMALL).collect()
+    }
+    # With exactly two versions the as-of result has a closed form:
+    # MOVED iff user%5==0 and ts >= the effective date.
+    e = catalog.load_table(spark, SF_SMALL, "events")
+    c = catalog.load_table(spark, SF_SMALL, "customer")
+    j = e.join(c, e.user_id == c.c_custkey)
+    seg = F.when(
+        (F.col("user_id") % 5 == 0)
+        & (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")),
+        "MOVED",
+    ).otherwise(F.col("c_mktsegment"))
+    ref = {
+        (r["segment"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in j.groupBy(seg.alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert rows == ref
