@@ -238,3 +238,29 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     state cost is only the low-cardinality aggregate. See
     streaming/pipelines.py:stream_static_enrich."""
     return pipelines.stream_static_enrich(spark, sf_dir)
+
+
+@register(
+    "st_stream_sliding_exec",
+    oracle="""
+    WITH g AS (SELECT unnest([0, 1]) AS k),
+    w AS (
+      SELECT e.event_type, e.value,
+             to_timestamp((floor(epoch(e.ts))::BIGINT // 1800 - g.k) * 1800) AS window_start
+      FROM events e, g
+      WHERE floor(epoch(e.ts))::BIGINT // 1800 - g.k >= 0)
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM w
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — watermarked SLIDING windows (1 h length / 30 min slide)
+    executed as an actual streaming query (file source, expanded
+    per-window state, availableNow drain) — completes the streaming
+    window-exec matrix next to tumbling/session/dedup/interval-join.
+    Hash-checked against the same epoch-grid oracle as the batch
+    st_sliding_window, so batch/stream parity is the verified claim."""
+    return pipelines.sliding_counts_stream(spark, sf_dir)

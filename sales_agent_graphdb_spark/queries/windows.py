@@ -284,3 +284,94 @@ def w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "anomaly_rolling_zscore",
+    oracle="""
+    WITH corpus AS (
+      SELECT user_id, event_id, ts, value FROM events
+      UNION ALL
+      SELECT user_id, -event_id - 1 AS event_id,
+             ts + INTERVAL 1 MICROSECOND AS ts, value + 500.0 AS value
+      FROM events WHERE event_id % 211 = 0),
+    m AS (
+      SELECT user_id, event_id, value,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+                  OVER w AS DOUBLE) AS s2
+      FROM corpus
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 259200000000 PRECEDING AND 1 PRECEDING)),
+    scored AS (
+      SELECT user_id, event_id, value, n,
+             ROUND((value - s1 / n)
+                   / sqrt((s2 - (s1 * s1) / n) / (n - 1) + 1e-12), 6) AS z
+      FROM m WHERE n >= 5)
+    SELECT user_id, event_id, value, n AS n_baseline, z
+    FROM scored WHERE abs(z) > 3.0
+    ORDER BY user_id, event_id
+    """,
+)
+def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling self-baseline anomaly detection — the fraud/ops staple:
+    each event is z-scored against ITS OWN USER's trailing-72-hour
+    value distribution (strictly BEFORE the event: the frame ends at
+    1 µs preceding, so an outlier never dilutes its own baseline) and
+    flagged when |z| > 3 with at least 5 baseline events.
+
+    The raw synthetic values are uniform (max reachable |z| ≈ 1.7), so
+    the corpus plants deterministic spikes — every 211th event gets a
+    +500-value copy 1 µs later under a NEGATIVE id (collision-free at
+    any SF) — and exactly those must be flagged, making the check
+    non-vacuous; the perturbation is mirrored in the oracle (the
+    dedup-suite convention).
+
+    Scale shape: one window partitioned by user_id (the w8 time-range
+    frame — rangeBetween over unix_micros mirrors DuckDB RANGE over
+    epoch_us, tie-peers handled identically). Moments are exact
+    DECIMAL window sums; mean/σ/z evaluate in doubles over an
+    identical expression tree with a 6-dp round (the
+    feature_zscore_stats technique; +1e-12 keeps a constant-valued
+    baseline's σ=0 from dividing by zero on both engines)."""
+    raw = catalog.load_table(spark, sf_dir, "events")
+    spikes = raw.filter(F.col("event_id") % 211 == 0).select(
+        "user_id",
+        (-F.col("event_id") - 1).alias("event_id"),
+        (F.col("ts") + F.expr("interval 1 microsecond")).alias("ts"),
+        (F.col("value") + F.lit(500.0)).alias("value"),
+    )
+    e = raw.select("user_id", "event_id", "ts", "value").unionByName(spikes)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-259_200_000_000, -1)
+    )
+    d6 = F.col("value").cast("decimal(19,6)")
+    m = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double").alias("s1"),
+        F.sum(d6 * d6).over(w).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = F.round(
+        (F.col("value") - s1 / n)
+        / F.sqrt((s2 - (s1 * s1) / n) / (n - F.lit(1)) + F.lit(1e-12)),
+        6,
+    )
+    return (
+        m.filter(n >= 5)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            n.alias("n_baseline"),
+            z.alias("z"),
+        )
+        .filter(F.abs(F.col("z")) > 3.0)
+        .orderBy("user_id", "event_id")
+    )

@@ -164,6 +164,8 @@ _DEFER: frozenset[str] = frozenset({
     "join_fuzzy_blocked",
     "agg_hll_rollup",
     "join_scd2_asof",
+    "st_stream_sliding_exec",
+    "anomaly_rolling_zscore",
 })
 
 

@@ -118,6 +118,34 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING windows (1-hour length, 30-minute slide) per
+    event_type executed as a real streaming query — the streaming twin
+    of queries/event_windows.st_sliding_window. Each event feeds 2
+    overlapping window states (Spark expands the row per window);
+    state per key is bounded by length/slide windows past the
+    watermark. Complete mode emits every window on drain, matching the
+    batch grid oracle exactly."""
+    events = stream_events(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator: per-user session aggregation via
 # applyInPandasWithState (SURVEY.md §2.12 "custom stateful operators").

@@ -189,3 +189,19 @@ def test_scd2_asof_matches_closed_form(spark):
         .collect()
     }
     assert rows == ref
+
+
+def test_anomaly_planted_spikes_flagged(spark):
+    rows = QUERIES["anomaly_rolling_zscore"].fn(spark, SF_SMALL).collect()
+    flagged = {r["event_id"] for r in rows}
+    assert flagged, "no anomalies flagged"
+    # Planted spikes (negative ids) with an established baseline must
+    # all be caught; their z must be extreme and positive.
+    spikes = [r for r in rows if r["event_id"] < 0]
+    assert spikes, "no planted spike was flagged"
+    for r in spikes:
+        assert r["n_baseline"] >= 5
+        assert r["z"] > 3.0
+    # Every flagged row respects the threshold and baseline minimum.
+    for r in rows:
+        assert abs(r["z"]) > 3.0 and r["n_baseline"] >= 5
