@@ -18,14 +18,25 @@ from pyspark.sql import functions as F
 from sales_agent_graphdb_spark import catalog
 from sales_agent_graphdb_spark.registry import register
 
+# THE md5-prefix modular hash — bigint(first 15 hex chars of md5) % m.
+# Engine-portable (DuckDB mirror: CAST(('0x' || substr(md5(x), 1, 15))
+# AS BIGINT) % m). profiling.py and dedup.py import this single
+# definition; a hash tweak must happen here ONCE or the split/sample/
+# sketch operators' Spark and oracle sides silently diverge (same rule
+# as the shared tokenizer below).
+def md5_mod(c: Column, m: int) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % m
+
+
+def md5_mod_sql(expr: str, m: int) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {m}"
+
+
 # Deterministic content-independent shard in [0, 10): md5 of the doc id
 # string. Used for the train/eval split (decontamination) and the
 # per-stratum sample. Stable under corpus growth and re-ingestion.
 def _shard10(doc_id: Column) -> Column:
-    return (
-        F.conv(F.substring(F.md5(doc_id.cast("string")), 1, 15), 16, 10).cast("bigint")
-        % 10
-    )
+    return md5_mod(doc_id.cast("string"), 10)
 
 
 _SHARD10_SQL = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10"

@@ -654,11 +654,11 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_cluster_canonical's component id for the md5 key."""
     corpus = dup_corpus(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "")
+    from sales_agent_graphdb_spark.queries.curation import md5_mod
 
     def shard10_str(c):
-        return (
-            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % 10
-        )
+        # THE shared md5-prefix hash (curation.md5_mod) on a string key.
+        return md5_mod(c, 10)
 
     keyed = corpus.select(
         "doc_id",

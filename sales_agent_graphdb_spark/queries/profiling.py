@@ -22,15 +22,13 @@ from sales_agent_graphdb_spark.queries.curation import alnum_tokens, _TOKENS_SQL
 from sales_agent_graphdb_spark.registry import register
 
 
-def _md5_mod(c: Column, m: int) -> Column:
-    """bigint(md5(c) first 15 hex) % m — the curation._shard10 hash
-    generalized to any modulus. Engine-portable (DuckDB mirror:
-    CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % m)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint") % m
-
-
-def _md5_mod_sql(expr: str, m: int) -> str:
-    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {m}"
+# THE md5-prefix modular hash lives in curation.py (single definition
+# shared with the split/sample operators); re-exported here under the
+# names this module's oracles were written against.
+from sales_agent_graphdb_spark.queries.curation import (  # noqa: E402
+    md5_mod as _md5_mod,
+    md5_mod_sql as _md5_mod_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -256,10 +254,12 @@ def _cms_bucket(i: int, key: Column) -> Column:
     return F.shiftright(h, 9 * i) % _CMS_WIDTH
 
 
-def _cms_bucket_sql(i: int, key_expr: str) -> str:
+def _cms_bucket_sql(i_expr: str, key_expr: str) -> str:
+    """SQL twin of _cms_bucket; ``i_expr`` may be a column reference
+    (the oracle's VALUES-joined depth index) or a literal."""
     return (
         f"(CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) "
-        f">> (9 * {i})) % {_CMS_WIDTH}"
+        f">> (9 * {i_expr})) % {_CMS_WIDTH}"
     )
 
 
@@ -268,7 +268,7 @@ def _cms_bucket_sql(i: int, key_expr: str) -> str:
     oracle=f"""
     WITH keys AS (SELECT l_partkey AS k FROM lineitem),
     hashed AS (
-      SELECT i, (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) >> (9 * i)) % {_CMS_WIDTH} AS b
+      SELECT i, {_cms_bucket_sql('i', 'k')} AS b
       FROM keys CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
     cells AS (
       SELECT i, b, CAST(COUNT(*) AS BIGINT) AS c FROM hashed GROUP BY i, b),
@@ -277,7 +277,7 @@ def _cms_bucket_sql(i: int, key_expr: str) -> str:
       GROUP BY k ORDER BY true_cnt DESC, k LIMIT {_CMS_TOPK}),
     probes AS (
       SELECT k, true_cnt, i,
-             (CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) >> (9 * i)) % {_CMS_WIDTH} AS b
+             {_cms_bucket_sql('i', 'k')} AS b
       FROM top CROSS JOIN (VALUES (0), (1), (2), (3)) t(i)),
     est AS (
       SELECT p.k, p.true_cnt, MIN(c.c) AS cms_est

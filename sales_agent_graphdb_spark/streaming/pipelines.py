@@ -94,16 +94,18 @@ def _run_to_memory(stream: DataFrame, mode: str) -> DataFrame:
     return out
 
 
-def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked 1-hour tumbling windows per event_type — the
-    streaming twin of queries/event_windows.st_tumbling_window (same
-    window expression, same exact-DECIMAL sums). Complete output mode
-    so the bounded run emits every window including those still inside
-    the watermark when the source drains."""
+def _windowed_counts_stream(
+    spark: SparkSession, sf_dir: str, window_col
+) -> DataFrame:
+    """ONE streaming windowed-count pipeline (watermark → per-window
+    exact-DECIMAL agg → complete-mode drain → formatted projection)
+    parameterized by the window expression — tumbling and sliding are
+    the same query shape differing only in F.window(...), so a fix to
+    the watermark/sum/projection reaches both twins or neither."""
     events = stream_events(spark, sf_dir)
     agg = (
         events.withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .groupBy(window_col.alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
@@ -116,6 +118,15 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("window_start", "event_type")
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1-hour tumbling windows per event_type — the
+    streaming twin of queries/event_windows.st_tumbling_window (same
+    window expression, same exact-DECIMAL sums). Complete output mode
+    so the bounded run emits every window including those still inside
+    the watermark when the source drains."""
+    return _windowed_counts_stream(spark, sf_dir, F.window("ts", "1 hour"))
 
 
 def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,24 +137,9 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per key is bounded by length/slide windows past the
     watermark. Complete mode emits every window on drain, matching the
     batch grid oracle exactly."""
-    events = stream_events(spark, sf_dir)
-    agg = (
-        events.withWatermark("ts", "2 hours")
-        .groupBy(
-            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
-        )
+    return _windowed_counts_stream(
+        spark, sf_dir, F.window("ts", "1 hour", "30 minutes")
     )
-    out = _run_to_memory(agg, "complete")
-    return out.select(
-        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    ).orderBy("window_start", "event_type")
 
 
 # ---------------------------------------------------------------------------

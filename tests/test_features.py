@@ -138,14 +138,18 @@ def test_fuzzy_join_planted_recall(spark):
     for r in rows:
         assert 0 <= r["dist"] <= 2
         matched.setdefault(r["probe_id"], set()).add(r["p_name"])
+        # canon_key is the entity's canonical id: the MIN partkey
+        # carrying that exact name.
+        assert r["canon_key"] == min(
+            k for k, n in names.items() if n == r["p_name"]
+        )
     # Every probe resolves to its origin ENTITY (distance 1: one
     # deletion); the match side is the distinct-name catalog.
     for probe_id, origin_name in planted.items():
         assert origin_name in matched.get(probe_id, set()), (probe_id, origin_name)
-    # One row per (probe, entity) — never per duplicate catalog row.
-    entity_count = len({n for n in names.values()})
-    for probe_id, ents in matched.items():
-        assert len(ents) <= entity_count
+    # EXACTLY one row per (probe, entity) — a regression to matching
+    # raw catalog rows would emit one row per duplicate name copy.
+    assert len(rows) == len({(r["probe_id"], r["canon_key"]) for r in rows})
 
 
 def test_hll_rollup_verdicts_and_exact(spark):
@@ -195,13 +199,43 @@ def test_anomaly_planted_spikes_flagged(spark):
     rows = QUERIES["anomaly_rolling_zscore"].fn(spark, SF_SMALL).collect()
     flagged = {r["event_id"] for r in rows}
     assert flagged, "no anomalies flagged"
-    # Planted spikes (negative ids) with an established baseline must
-    # all be caught; their z must be extreme and positive.
-    spikes = [r for r in rows if r["event_id"] < 0]
-    assert spikes, "no planted spike was flagged"
-    for r in spikes:
-        assert r["n_baseline"] >= 5
-        assert r["z"] > 3.0
-    # Every flagged row respects the threshold and baseline minimum.
+    # RECALL, pinned independently: recompute every planted spike's
+    # trailing-72h baseline driver-side from the raw events and demand
+    # that each spike whose independent z clears the threshold with
+    # margin (>3.5; margin absorbs the engines' 6-dp rounding at the
+    # boundary) appears in the flagged set.
+    ev = catalog.load_table(spark, SF_SMALL, "events").select(
+        "user_id", "event_id", "ts", "value"
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append((r["ts"], r["value"]))
+    import datetime
+
+    expected, seen_ok = [], 0
+    for r in ev:
+        if r["event_id"] % 211 != 0:
+            continue
+        spike_ts = r["ts"] + datetime.timedelta(microseconds=1)
+        lo = spike_ts - datetime.timedelta(hours=72)
+        base = [
+            v for (t, v) in by_user[r["user_id"]] if lo <= t < spike_ts
+        ]
+        n = len(base)
+        if n < 5:
+            continue
+        mean = sum(base) / n
+        var = (sum(v * v for v in base) - sum(base) ** 2 / n) / (n - 1)
+        z = (r["value"] + 500.0 - mean) / math.sqrt(var + 1e-12)
+        if z > 3.5:
+            expected.append(-r["event_id"] - 1)
+        seen_ok += 1
+    assert expected, "test corpus produced no checkable planted spike"
+    for eid in expected:
+        assert eid in flagged, f"planted spike {eid} not flagged"
+    # Every flagged row respects the threshold and baseline minimum,
+    # and planted spikes are extreme-positive.
     for r in rows:
         assert abs(r["z"]) > 3.0 and r["n_baseline"] >= 5
+        if r["event_id"] < 0:
+            assert r["z"] > 3.0
