@@ -439,3 +439,89 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "event_type")
     )
+
+
+_GRID_S = 21_600  # 6-hour grid cells for the bucketed range join
+
+
+@register(
+    "range_join_grid_bucketed",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    promos AS (
+      SELECT CAST(epoch(day + k.k * INTERVAL 8 HOUR) AS BIGINT) AS promo_id,
+             day + k.k * INTERVAL 8 HOUR AS start_ts,
+             day + k.k * INTERVAL 8 HOUR + INTERVAL 10 HOUR AS end_ts
+      FROM days CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+    SELECT p.promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM promos p JOIN events e
+      ON e.ts >= p.start_ts AND e.ts < p.end_ts
+    GROUP BY p.promo_id ORDER BY p.promo_id
+    """,
+)
+def range_join_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed range join — the BIG×BIG form of point-in-interval
+    matching that range_join_value_bands' broadcast cannot reach
+    (temporal.py's own docstring prescribes it: "pre-bucket both sides
+    on a coarse grid and refine"). Events attribute to overlapping
+    10-hour promo windows (3/day, derived from the events table's own
+    day spine, so the construction scales with the data and is
+    mirrored in the oracle).
+
+    Shape: each point carries its single 6-hour grid cell; each
+    interval EXPLODES to the 2-3 cells it covers; an EQUI-join on the
+    cell co-partitions both sides (plain shuffle join — no broadcast,
+    no BroadcastNestedLoopJoin, no cartesian) and the exact
+    ts ∈ [start, end) predicate refines inside the cell. A point owns
+    exactly one cell, so no pair can match twice and no dedup pass is
+    needed. At 100 TB both sides shuffle once on the cell key; cell
+    width trades duplication factor (interval_len/width + 1 copies of
+    the interval side) against per-cell join fan-in. The oracle is the
+    plain non-equi BETWEEN join: the grid must be invisible in the
+    result."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    promos = days.select("day", ks).select(
+        F.unix_timestamp(
+            F.col("day") + F.col("k") * F.expr("interval 8 hours")
+        ).alias("promo_id"),
+        (F.col("day") + F.col("k") * F.expr("interval 8 hours")).alias("start_ts"),
+        (
+            F.col("day")
+            + F.col("k") * F.expr("interval 8 hours")
+            + F.expr("interval 10 hours")
+        ).alias("end_ts"),
+    )
+    # Interval side: explode to every covered grid cell.
+    p_cells = promos.select(
+        "promo_id",
+        "start_ts",
+        "end_ts",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("start_ts") / _GRID_S).cast("long"),
+                F.floor((F.unix_timestamp("end_ts") - 1) / _GRID_S).cast("long"),
+            )
+        ).alias("cell"),
+    )
+    # Point side: exactly one cell per event.
+    pts = e.select(
+        "ts",
+        "value",
+        F.floor(F.unix_timestamp("ts") / _GRID_S).cast("long").alias("cell"),
+    )
+    joined = pts.join(p_cells, "cell").filter(
+        (F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts"))
+    )
+    return (
+        joined.groupBy("promo_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"),
+        )
+        .orderBy("promo_id")
+    )

@@ -166,6 +166,7 @@ _DEFER: frozenset[str] = frozenset({
     "join_scd2_asof",
     "st_stream_sliding_exec",
     "anomaly_rolling_zscore",
+    "range_join_grid_bucketed",
 })
 
 
