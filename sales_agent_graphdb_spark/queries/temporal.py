@@ -441,19 +441,57 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRID_S = 21_600  # 6-hour grid cells for the bucketed range join
+_GRID_S = 21_600  # 6-hour grid cells for the bucketed range joins
 
-
-@register(
-    "range_join_grid_bucketed",
-    oracle=f"""
-    WITH days AS (
+# ONE promo-interval construction (3 overlapping 10-hour windows per
+# day, derived from the events table's own day spine) shared by both
+# grid range joins — Spark builder + SQL CTE in lockstep.
+_PROMOS_SQL = """
+    days AS (
       SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
     promos AS (
       SELECT CAST(epoch(day + k.k * INTERVAL 8 HOUR) AS BIGINT) AS promo_id,
              day + k.k * INTERVAL 8 HOUR AS start_ts,
              day + k.k * INTERVAL 8 HOUR + INTERVAL 10 HOUR AS end_ts
       FROM days CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+"""
+
+
+def _promos(e: DataFrame) -> DataFrame:
+    """Spark twin of _PROMOS_SQL."""
+    days = e.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
+    return days.select("day", ks).select(
+        F.unix_timestamp(
+            F.col("day") + F.col("k") * F.expr("interval 8 hours")
+        ).alias("promo_id"),
+        (F.col("day") + F.col("k") * F.expr("interval 8 hours")).alias("start_ts"),
+        (
+            F.col("day")
+            + F.col("k") * F.expr("interval 8 hours")
+            + F.expr("interval 10 hours")
+        ).alias("end_ts"),
+    )
+
+
+def _interval_cells(intervals: DataFrame) -> DataFrame:
+    """Explode each [start_ts, end_ts) interval to every _GRID_S cell
+    it covers (end exclusive)."""
+    return intervals.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("start_ts") / _GRID_S).cast("long"),
+                F.floor((F.unix_timestamp("end_ts") - 1) / _GRID_S).cast("long"),
+            )
+        ),
+    )
+
+
+@register(
+    "range_join_grid_bucketed",
+    oracle=f"""
+    WITH {_PROMOS_SQL}
     SELECT p.promo_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
@@ -483,31 +521,8 @@ def range_join_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain non-equi BETWEEN join: the grid must be invisible in the
     result."""
     e = catalog.load_table(spark, sf_dir, "events")
-    days = e.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
-    ks = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k")
-    promos = days.select("day", ks).select(
-        F.unix_timestamp(
-            F.col("day") + F.col("k") * F.expr("interval 8 hours")
-        ).alias("promo_id"),
-        (F.col("day") + F.col("k") * F.expr("interval 8 hours")).alias("start_ts"),
-        (
-            F.col("day")
-            + F.col("k") * F.expr("interval 8 hours")
-            + F.expr("interval 10 hours")
-        ).alias("end_ts"),
-    )
     # Interval side: explode to every covered grid cell.
-    p_cells = promos.select(
-        "promo_id",
-        "start_ts",
-        "end_ts",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_timestamp("start_ts") / _GRID_S).cast("long"),
-                F.floor((F.unix_timestamp("end_ts") - 1) / _GRID_S).cast("long"),
-            )
-        ).alias("cell"),
-    )
+    p_cells = _interval_cells(_promos(e))
     # Point side: exactly one cell per event.
     pts = e.select(
         "ts",
@@ -525,3 +540,70 @@ def range_join_grid_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+@register(
+    "range_join_interval_overlap",
+    oracle=f"""
+    WITH {_PROMOS_SQL}
+    SELECT a.promo_id AS promo_a, b.promo_id AS promo_b,
+           CAST(epoch(least(a.end_ts, b.end_ts))
+                - epoch(greatest(a.start_ts, b.start_ts)) AS BIGINT)
+             AS overlap_s
+    FROM promos a JOIN promos b
+      ON a.promo_id < b.promo_id
+     AND a.start_ts < b.end_ts AND b.start_ts < a.end_ts
+    ORDER BY promo_a, promo_b
+    """,
+)
+def range_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL×INTERVAL overlap join on the grid — the harder half of
+    the grid-bucketed family (range_join_grid_bucketed covers
+    point-in-interval): find every pair of overlapping promo windows
+    and their overlap length. Both sides explode to their covered
+    cells, the equi-join on the cell co-partitions them, and the exact
+    overlap predicate refines inside the cell.
+
+    Because two overlapping intervals can share SEVERAL grid cells,
+    each pair would match once per shared cell; the CANONICAL-CELL
+    rule — keep a match only in the cell containing
+    max(start_a, start_b), i.e. where the overlap begins — emits every
+    pair exactly once with a pure filter, no distinct/dedup shuffle.
+    The plain non-equi self-join oracle proves both the grid and the
+    canonicalization invisible in the result. At 100 TB this is two
+    cell-key shuffles and per-cell products bounded by intervals-per-
+    cell — never the all-pairs theta join."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    cells = _interval_cells(_promos(e))
+    a = cells.select(
+        F.col("promo_id").alias("promo_a"),
+        F.col("start_ts").alias("start_a"),
+        F.col("end_ts").alias("end_a"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("promo_id").alias("promo_b"),
+        F.col("start_ts").alias("start_b"),
+        F.col("end_ts").alias("end_b"),
+        "cell",
+    )
+    joined = a.join(b, "cell").filter(
+        (F.col("promo_a") < F.col("promo_b"))
+        & (F.col("start_a") < F.col("end_b"))
+        & (F.col("start_b") < F.col("end_a"))
+        # canonical cell: where the overlap starts
+        & (
+            F.col("cell")
+            == F.floor(
+                F.unix_timestamp(F.greatest("start_a", "start_b")) / _GRID_S
+            ).cast("long")
+        )
+    )
+    return joined.select(
+        "promo_a",
+        "promo_b",
+        (
+            F.unix_timestamp(F.least("end_a", "end_b"))
+            - F.unix_timestamp(F.greatest("start_a", "start_b"))
+        ).alias("overlap_s"),
+    ).orderBy("promo_a", "promo_b")

@@ -167,6 +167,7 @@ _DEFER: frozenset[str] = frozenset({
     "st_stream_sliding_exec",
     "anomaly_rolling_zscore",
     "range_join_grid_bucketed",
+    "range_join_interval_overlap",
 })
 
 
