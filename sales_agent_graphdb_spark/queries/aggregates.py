@@ -372,3 +372,53 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status", "priority")
     )
+
+
+@register(
+    "basket_pair_counts",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS order_id, l_partkey AS product_id
+      FROM lineitem),
+    pairs AS (
+      SELECT a.product_id AS prod_a, b.product_id AS prod_b
+      FROM items a JOIN items b
+        ON a.order_id = b.order_id AND a.product_id < b.product_id)
+    SELECT prod_a, prod_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM pairs GROUP BY prod_a, prod_b
+    HAVING COUNT(*) >= 20
+    ORDER BY n_baskets DESC, prod_a, prod_b
+    """,
+)
+def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair co-occurrence (the Apriori/A-Priori first
+    pass, MMDS ch.6): how often each product PAIR appears in the same
+    order, thresholded to frequent pairs — the core primitive behind
+    "bought together" recommendations. Expressed as a self-join of the
+    DISTINCT (order, product) item set on the order key with the
+    canonical a < b orientation (each pair generated once — the
+    triangle_count technique).
+
+    Scale shape: the self-join shuffles once on order_id and its
+    fan-out is Σ_order k² with k = items-per-order (bounded ~7 here,
+    and in practice capped by dropping pathological mega-baskets, the
+    hot-bucket rule); the pair aggregation is map-side combinable on
+    the (a, b) key; the support threshold keeps the result to the
+    frequent tail. Never an all-pairs product over the catalog."""
+    items = (
+        catalog.load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("product_id"),
+        )
+        .distinct()
+    )
+    a = items.select("order_id", F.col("product_id").alias("prod_a"))
+    b = items.select("order_id", F.col("product_id").alias("prod_b"))
+    pairs = a.join(b, "order_id").filter(F.col("prod_a") < F.col("prod_b"))
+    return (
+        pairs.groupBy("prod_a", "prod_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 20)
+        .orderBy(F.col("n_baskets").desc(), "prod_a", "prod_b")
+    )
