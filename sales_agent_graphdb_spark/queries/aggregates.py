@@ -386,8 +386,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.order_id = b.order_id AND a.product_id < b.product_id)
     SELECT prod_a, prod_b, CAST(COUNT(*) AS BIGINT) AS n_baskets
     FROM pairs GROUP BY prod_a, prod_b
-    HAVING COUNT(*) >= 20
+    HAVING COUNT(*) >= 2
     ORDER BY n_baskets DESC, prod_a, prod_b
+    LIMIT 1000
     """,
 )
 def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -404,7 +405,13 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and in practice capped by dropping pathological mega-baskets, the
     hot-bucket rule); the pair aggregation is map-side combinable on
     the (a, b) key; the support threshold keeps the result to the
-    frequent tail. Never an all-pairs product over the catalog."""
+    frequent tail. Never an all-pairs product over the catalog.
+
+    The support threshold is 2 with a deterministic top-1000 cap (the
+    ORDER BY is a total order, so LIMIT is stable): at the driver test
+    SFs a TPC-H-ish uniform part draw makes support >= 20 empty on
+    both engines, which certifies nothing (flagged in round 3); at
+    production SF the cap — not the threshold — bounds the result."""
     items = (
         catalog.load_table(spark, sf_dir, "lineitem")
         .select(
@@ -419,6 +426,7 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("prod_a", "prod_b")
         .agg(F.count(F.lit(1)).alias("n_baskets"))
-        .filter(F.col("n_baskets") >= 20)
+        .filter(F.col("n_baskets") >= 2)
         .orderBy(F.col("n_baskets").desc(), "prod_a", "prod_b")
+        .limit(1000)
     )

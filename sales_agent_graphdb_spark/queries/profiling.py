@@ -434,7 +434,15 @@ def vec_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL sketch rollup: mergeable distinct-count partials
 # ---------------------------------------------------------------------------
 
-_HLL_TOL = 0.05  # default lgConfigK=12 gives ~1.6% rel. std error; 3σ
+# Default lgConfigK=12 gives ~1.6% relative standard error. The per-day
+# verdict is evaluated once PER DAY-ROW, so as SF grows the day count
+# grows and a 3σ bound would deterministically fail on some day for
+# reasons unrelated to any bug (round-3 advisor finding); ~6σ makes the
+# family-wise failure probability negligible at any realistic day count.
+# The merged ALL row keeps the tight 3σ bound — a single trial, and the
+# row that actually certifies sketch MERGEABILITY.
+_HLL_TOL_DAY = 0.10  # ~6σ, applied to every per-day row
+_HLL_TOL_ALL = 0.05  # ~3σ, applied to the single union-of-sketches row
 
 
 @register(
@@ -467,11 +475,12 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-checked as a BOUNDS VERDICT (the pct_approx_value
     technique): sketch estimates are engine-specific, so each row
-    emits the EXACT count plus a boolean — |est − exact| ≤ 5%·exact
-    (default lgConfigK=12 ⇒ ~1.6% rel. std error; 5% ≈ 3σ) — and the
-    all-TRUE oracle hash-checks it at any SF. The ALL row's boolean
-    additionally certifies MERGEABILITY: the union-of-daily-sketches
-    estimate must track the global exact count."""
+    emits the EXACT count plus a boolean |est − exact| ≤ tol·exact,
+    and the all-TRUE oracle hash-checks it at any SF. Per-day rows use
+    a ~6σ tolerance (many trials — one per day — so the bound must
+    survive the family-wise max), while the single ALL row keeps ~3σ:
+    it certifies MERGEABILITY — the union-of-daily-sketches estimate
+    must track the global exact count."""
     e = catalog.load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
@@ -480,14 +489,16 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact"),
     )
 
-    def verdict(est, exact):
+    def verdict(est, exact, tol):
         return (
             F.abs(est.cast("double") - exact.cast("double"))
-            <= F.lit(_HLL_TOL) * exact.cast("double")
+            <= F.lit(tol) * exact.cast("double")
         ).alias("est_ok")
 
     per_day = daily.select(
-        "day", "n_exact", verdict(F.hll_sketch_estimate("sk"), F.col("n_exact"))
+        "day",
+        "n_exact",
+        verdict(F.hll_sketch_estimate("sk"), F.col("n_exact"), _HLL_TOL_DAY),
     )
     total_exact = e.agg(F.countDistinct("user_id").alias("n_exact_all"))
     merged = daily.agg(F.hll_union_agg("sk").alias("sk_all")).join(
@@ -496,6 +507,6 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = merged.select(
         F.lit("ALL").alias("day"),
         F.col("n_exact_all").alias("n_exact"),
-        verdict(F.hll_sketch_estimate("sk_all"), F.col("n_exact_all")),
+        verdict(F.hll_sketch_estimate("sk_all"), F.col("n_exact_all"), _HLL_TOL_ALL),
     )
     return per_day.unionByName(total).orderBy("day")

@@ -299,7 +299,7 @@ def w8_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, value,
              CAST(COUNT(*) OVER w AS BIGINT) AS n,
              CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS s1,
-             CAST(SUM(CAST(value AS DECIMAL(19,6)) * CAST(value AS DECIMAL(19,6)))
+             CAST(SUM(CAST(value AS DECIMAL(19,3)) * CAST(value AS DECIMAL(19,3)))
                   OVER w AS DOUBLE) AS s2
       FROM corpus
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -334,7 +334,16 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL window sums; mean/σ/z evaluate in doubles over an
     identical expression tree with a 6-dp round (the
     feature_zscore_stats technique; +1e-12 keeps a constant-valued
-    baseline's σ=0 from dividing by zero on both engines)."""
+    baseline's σ=0 from dividing by zero on both engines).
+
+    The squared term casts value to DECIMAL(19,3) — lossless, the
+    synthetic values carry exactly 2 decimal places — so the product
+    has scale 6 and fits precision 38 EXACTLY in both engines. At
+    (19,6) operands Spark's allowPrecisionLoss produced (38,11),
+    rounding the 12th fractional digit while DuckDB kept exact
+    (38,12); here the drift feeds the |z| > 3.0 ROW-MEMBERSHIP filter,
+    which the 6-dp output round cannot absorb (round-3 advisor
+    finding), so the moments themselves must be bit-identical."""
     raw = catalog.load_table(spark, sf_dir, "events")
     spikes = raw.filter(F.col("event_id") % 211 == 0).select(
         "user_id",
@@ -348,14 +357,14 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-259_200_000_000, -1)
     )
-    d6 = F.col("value").cast("decimal(19,6)")
+    d3 = F.col("value").cast("decimal(19,3)")
     m = e.select(
         "user_id",
         "event_id",
         "value",
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum(F.col("value").cast("decimal(20,6)")).over(w).cast("double").alias("s1"),
-        F.sum(d6 * d6).over(w).cast("double").alias("s2"),
+        F.sum(d3 * d3).over(w).cast("double").alias("s2"),
     )
     n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
     z = F.round(

@@ -51,30 +51,38 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-hash-verified names run last — they only re-check if the
 # round's budget allows.
 _PRIORITY: list[str] = [
-    # TODO(round 4): fold CORRECTNESS_r03's green names into _VERIFIED,
-    # clear this list of driver-confirmed names, FOLD _DEFER's new-query
-    # names into the normal unverified schedule (they were parked behind
-    # the r03 50-slot budget), and keep the unverified count within the
-    # driver's 50-slot budget (r03 shipped at 50/50 + the _DEFER list —
-    # count it from the set, don't trust a stale number here).
-    # Round 3: queries that gained an oracle or are newly registered.
-    "j2_order_items_nested",  # nested form gains a DuckDB JSON oracle
-    # (st_stream_stateful_sessions also gained an oracle but stays in
-    # _SLOW_TAIL, not here: priority placement would defeat the
-    # slow-tail deferral a time-budgeted driver relies on.)
-    "pct_approx_value",  # gains a DuckDB quantile-window bounds oracle
-    "dedup_embedding_lsh",  # gains a DIRECT oracle (literal planes + fold dots)
-    "dedup_incremental_minhash_portable",
-    "dedup_cluster_canonical_portable",
-    "ann_ivf_pruned_portable",
-    "agg_approx_distinct",  # converted rows-only -> HLL bounds-verdict oracle
-    "ann_lsh_pruned_portable",  # materialized LSH path, hash-checked end-to-end
+    # Round 4: basket_pair_counts' r03 green row was vacuous (0 rows on
+    # both engines — support threshold too high for sf0.01); the query
+    # was re-planted with an SF-aware threshold and must earn a
+    # NON-EMPTY green row before it can re-enter _VERIFIED.
+    "basket_pair_counts",
 ]
 
 # Queries the driver has hash-verified (rows+schema+value-hash green) in
-# CORRECTNESS_r01 or CORRECTNESS_r02. These run LAST so the budget
-# reaches never-checked queries first.
+# CORRECTNESS_r01, r02 or r03. These run LAST so the budget reaches
+# never-checked queries first.
 _VERIFIED: frozenset[str] = frozenset({
+    # --- green in CORRECTNESS_r03 (basket_pair_counts deliberately
+    # EXCLUDED: its r03 green was vacuous — 0 rows both engines) ---
+    "j2_order_items_nested", "pct_approx_value", "dedup_embedding_lsh",
+    "dedup_incremental_minhash_portable", "dedup_cluster_canonical_portable",
+    "ann_ivf_pruned_portable", "agg_approx_distinct",
+    "ann_lsh_pruned_portable", "agg_grouping_sets", "v8_embedding_qc",
+    "corpus_token_budget_pack", "dedup_containment", "p4_conjunctive_ilike",
+    "p6_isin_status", "p7_compound_key", "p9_client_search_filter",
+    "p10_validity_filter", "o1_orderby_desc", "o2_two_key_sort",
+    "o4_topk_by_score", "set_union_sources", "set_intersect_except",
+    "f2_f3_price_and_surrogate", "f4_f5_dates_numbers", "f6_f8_f9_text_kit",
+    "f12_f13_json_coalesce", "f14_f15_validation",
+    "s1_s2_csv_roundtrip_scraper_dialect", "s1_s2_csv_roundtrip_golden_dialect",
+    "s3_s4_json_envelope_roundtrip", "s10_sorted_scan_pruning",
+    "asof_join_last_purchase", "range_join_value_bands", "pct_exact_disc",
+    "text_token_count", "text_bpe_token_estimate", "text_quality_score",
+    "text_langid", "text_fingerprint", "f11_chunk_documents",
+    "text_gopher_repetition", "w1_last6_per_session", "w2_running_sum",
+    "w3_topn_per_group", "w4_lag_delta", "w5_ntile_buckets",
+    "w7_global_running_sum", "st_stream_tumbling_exec",
+    "st_stream_stateful_sessions",
     # --- green in CORRECTNESS_r02 ---
     "graph_pagerank", "p11_result_validity", "ingest_invalidate_pipeline",
     "mm_arrow_fidelity_probe", "text_boilerplate_ngrams", "text_pii_scrub",
@@ -121,53 +129,16 @@ _VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Slow (multi-second) queries to run at the END of the unverified block
-# so a time-budgeted driver checks many cheap queries before them.
+# Slow (multi-second, mostly real Structured-Streaming execs) queries to
+# run at the END of the unverified block so a time-budgeted driver checks
+# many cheap queries before them. Round 4: the unverified count (36 at
+# planning time) is comfortably inside the driver's 50-slot budget, so
+# slow-tail placement is an ordering optimization only — every name here
+# still receives its first driver row this round (this finally frees
+# st_stream_dedup, parked since round 1).
 _SLOW_TAIL: frozenset[str] = frozenset({
-    "st_stream_tumbling_exec", "st_stream_stateful_sessions",
-    "st_stream_dedup",
-})
-
-# Queries registered AFTER the round's 50-slot schedule was finalized
-# (r03 shipped with exactly 50 unverified names in the first 50 slots).
-# They run after the unverified block so they cannot displace a query
-# already queued for its first driver row this round; fold them into
-# the normal schedule when the round-4 budget is re-planned.
-_DEFER: frozenset[str] = frozenset({
-    "dedup_semantic_cell",
-    "w7b_running_sum_single_exchange",
-    "text_bm25_phrase",
-    "s11_xml_roundtrip",
-    "st_stream_user_profile",
-    "m6_scd2_history",
-    "s12_zorder_pruning",
-    "graph_triangle_count",
-    "graph_shortest_paths",
-    "w8_time_range_frame",
-    "sample_weighted_hash",
-    "m7_table_diff",
-    "st_stream_static_enrich",
-    "rollup_hierarchy",
-    "data_quality_report",
-    "sample_group_topk",
-    "text_tfidf_keywords",
-    "agg_countmin_portable",
-    "vec_centroid_per_label",
-    "join_runtime_prefilter",
-    "st_stream_interval_join_outer",
-    "s8_api_source_ingest",
-    "ts_gap_fill_locf",
-    "feature_winsorize",
-    "feature_correlation",
-    "text_vocab_build",
-    "split_leakage_safe",
-    "join_fuzzy_blocked",
-    "agg_hll_rollup",
-    "join_scd2_asof",
-    "st_stream_sliding_exec",
-    "anomaly_rolling_zscore",
-    "range_join_grid_bucketed",
-    "range_join_interval_overlap",
+    "st_stream_dedup", "st_stream_user_profile", "st_stream_static_enrich",
+    "st_stream_interval_join_outer", "st_stream_sliding_exec",
 })
 
 
@@ -175,11 +146,10 @@ def _driver_order(names: list[str]) -> list[str]:
     prio = [n for n in _PRIORITY if n in names]
     rest = [n for n in names if n not in prio]
     unverified = [n for n in rest if n not in _VERIFIED]
-    cheap = [n for n in unverified if n not in _SLOW_TAIL and n not in _DEFER]
+    cheap = [n for n in unverified if n not in _SLOW_TAIL]
     slow = [n for n in unverified if n in _SLOW_TAIL]
-    deferred = [n for n in unverified if n in _DEFER and n not in _SLOW_TAIL]
     verified = [n for n in rest if n in _VERIFIED]
-    return [*prio, *cheap, *slow, *deferred, *verified]
+    return [*prio, *cheap, *slow, *verified]
 
 
 def all_queries() -> dict[str, QuerySpec]:
