@@ -51,19 +51,35 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-hash-verified names run last — they only re-check if the
 # round's budget allows.
 _PRIORITY: list[str] = [
-    # Round 4: basket_pair_counts' r03 green row was vacuous (0 rows on
-    # both engines — support threshold too high for sf0.01); the query
-    # was re-planted with an SF-aware threshold and must earn a
-    # NON-EMPTY green row before it can re-enter _VERIFIED.
-    "basket_pair_counts",
+    # Round 5: empty — every registered query has a cumulative green
+    # driver row (CORRECTNESS_r01..r04; r04 closed the last 36,
+    # including a NON-vacuous basket_pair_counts at 1000 rows). New
+    # queries registered this round are unverified and therefore sort
+    # ahead of the verified block automatically; no manual pinning
+    # needed unless a prior green turns out to be vacuous again.
 ]
 
 # Queries the driver has hash-verified (rows+schema+value-hash green) in
-# CORRECTNESS_r01, r02 or r03. These run LAST so the budget reaches
+# CORRECTNESS_r01..r04. These run LAST so the budget reaches
 # never-checked queries first.
 _VERIFIED: frozenset[str] = frozenset({
-    # --- green in CORRECTNESS_r03 (basket_pair_counts deliberately
-    # EXCLUDED: its r03 green was vacuous — 0 rows both engines) ---
+    # --- green in CORRECTNESS_r04 (all 50 rows green; basket_pair_counts
+    # re-earned its row NON-vacuously: 1000 rows on both engines) ---
+    "basket_pair_counts", "sample_weighted_hash", "dedup_semantic_cell",
+    "split_leakage_safe", "rollup_hierarchy", "feature_winsorize",
+    "feature_correlation", "graph_triangle_count", "graph_shortest_paths",
+    "m6_scd2_history", "m7_table_diff", "data_quality_report",
+    "sample_group_topk", "text_tfidf_keywords", "agg_countmin_portable",
+    "vec_centroid_per_label", "agg_hll_rollup", "join_runtime_prefilter",
+    "join_fuzzy_blocked", "s11_xml_roundtrip", "s12_zorder_pruning",
+    "s8_api_source_ingest", "ts_gap_fill_locf", "join_scd2_asof",
+    "range_join_grid_bucketed", "range_join_interval_overlap",
+    "text_bm25_phrase", "text_vocab_build",
+    "w7b_running_sum_single_exchange", "w8_time_range_frame",
+    "anomaly_rolling_zscore", "st_stream_dedup",
+    "st_stream_interval_join_outer", "st_stream_user_profile",
+    "st_stream_static_enrich", "st_stream_sliding_exec",
+    # --- green in CORRECTNESS_r03 ---
     "j2_order_items_nested", "pct_approx_value", "dedup_embedding_lsh",
     "dedup_incremental_minhash_portable", "dedup_cluster_canonical_portable",
     "ann_ivf_pruned_portable", "agg_approx_distinct",
@@ -131,15 +147,10 @@ _VERIFIED: frozenset[str] = frozenset({
 
 # Slow (multi-second, mostly real Structured-Streaming execs) queries to
 # run at the END of the unverified block so a time-budgeted driver checks
-# many cheap queries before them. Round 4: the unverified count (36 at
-# planning time) is comfortably inside the driver's 50-slot budget, so
-# slow-tail placement is an ordering optimization only — every name here
-# still receives its first driver row this round (this finally frees
-# st_stream_dedup, parked since round 1).
-_SLOW_TAIL: frozenset[str] = frozenset({
-    "st_stream_dedup", "st_stream_user_profile", "st_stream_static_enrich",
-    "st_stream_interval_join_outer", "st_stream_sliding_exec",
-})
+# many cheap queries before them. Round 5: all former members earned
+# green rows in r04 and moved to _VERIFIED, so this only orders NEW
+# slow queries registered this round (add their names here).
+_SLOW_TAIL: frozenset[str] = frozenset()
 
 
 def _driver_order(names: list[str]) -> list[str]:
