@@ -65,6 +65,16 @@ HEADLINE = [
     "ts_gap_fill_locf",
     "feature_correlation",
     "join_fuzzy_blocked",
+    # Round 5: passage dedup, curriculum sampling, hard-negative
+    # mining, int8 quantization, OHLC downsample, label propagation.
+    "dedup_repeated_passages",
+    "sample_quality_bins",
+    "ann_hard_negatives",
+    "vec_quantize_int8",
+    "ts_downsample_ohlc",
+    "graph_label_propagation",
+    "sql_api_revenue_by_nation",
+    "ts_ewma_per_user",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -342,3 +342,94 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-binned (curriculum) sampling — bin every document by a
+# quality score, then keep a different deterministic fraction of each
+# bin (keep all of the best bin, down-sample the worst). The applied
+# form of a quality classifier in a pretraining pipeline: the score
+# here is lexical diversity (distinct-token count), the bin edges are
+# equal-width over the observed [min, max] (computed in one exact
+# integer aggregate — no global sort / NTILE single-partition window),
+# and the per-bin keep decision is the same 52-bit md5 threshold as
+# sample_weighted_hash, so re-running on a grown corpus never flips a
+# previously kept document.
+# ---------------------------------------------------------------------------
+
+_BIN_RATES = (0.10, 0.25, 0.50, 1.0)  # keep-rate per quality bin 0..3
+
+
+@register(
+    "sample_quality_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS BIGINT) AS score
+      FROM documents),
+    edges AS (
+      SELECT MIN(score) AS minv, MAX(score) - MIN(score) + 1 AS span FROM scored),
+    binned AS (
+      SELECT doc_id, score,
+             CAST(least(3, floor((score - minv) * 4.0 / span)) AS INT) AS bin
+      FROM scored CROSS JOIN edges),
+    rated AS (
+      SELECT doc_id, score, bin,
+             CAST(CASE bin WHEN 0 THEN {_BIN_RATES[0]} WHEN 1 THEN {_BIN_RATES[1]}
+                      WHEN 2 THEN {_BIN_RATES[2]} ELSE {_BIN_RATES[3]} END AS DOUBLE) AS rate
+      FROM binned)
+    SELECT doc_id, score, bin,
+           (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#qb'), 1, 13))
+                 AS BIGINT) AS DOUBLE) < rate * CAST(4503599627370496 AS DOUBLE)) AS kept
+    FROM rated ORDER BY doc_id
+    """,
+)
+def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum sampling: equal-width quality bins (score = distinct
+    alnum tokens) with per-bin deterministic hash keep-rates
+    (10%/25%/50%/100% from worst to best bin).
+
+    Scale shape: one map-side-combinable MIN/MAX aggregate, its
+    one-row result broadcast back (the documented one-row-frame
+    crossJoin), then a pure map-side bin+threshold projection — the
+    corpus is never shuffled or sorted. Bin assignment is exact small-
+    integer arithmetic through one correctly-rounded double division,
+    and the keep decision is the shared 52-bit md5 prefix — both
+    bit-identical across engines and stable under corpus growth
+    (an NTILE/percentile binning would reshuffle every document's bin
+    when new data arrives; equal-width edges only move when the
+    extremes move)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.size(F.array_distinct(alnum_tokens(F.col("text")))).cast("bigint").alias("score"),
+    )
+    edges = scored.agg(
+        F.min("score").alias("minv"),
+        (F.max("score") - F.min("score") + 1).alias("span"),
+    )
+    binned = scored.crossJoin(F.broadcast(edges)).select(
+        "doc_id",
+        "score",
+        F.least(
+            F.lit(3),
+            F.floor((F.col("score") - F.col("minv")) * 4.0 / F.col("span")),
+        ).cast("int").alias("bin"),
+    )
+    rate = (
+        F.when(F.col("bin") == 0, F.lit(_BIN_RATES[0]))
+        .when(F.col("bin") == 1, F.lit(_BIN_RATES[1]))
+        .when(F.col("bin") == 2, F.lit(_BIN_RATES[2]))
+        .otherwise(F.lit(_BIN_RATES[3]))
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#qb"))), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    return binned.select(
+        "doc_id",
+        "score",
+        "bin",
+        (h52.cast("double") < rate * F.lit(4503599627370496.0)).alias("kept"),
+    ).orderBy("doc_id")

@@ -688,3 +688,91 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (line-level) cross-document dedup — the RefinedWeb /
+# Falcon "line dedup" pass re-expressed for unstructured text: split
+# each document into consecutive fixed-width token segments, find
+# segments that recur across distinct documents, and report how much of
+# each document is boilerplate. The reference has no passage-level
+# pass at all (its dedup surface is whole-record: db_service.py keyed
+# upserts); this is the sub-document granularity a pretraining corpus
+# needs (headers, footers, navigation chrome repeat across pages while
+# the page bodies differ).
+# ---------------------------------------------------------------------------
+
+_PASSAGE_W = 8  # tokens per segment; testdata docs hold 30-80 tokens
+_PASSAGE_MIN_DOCS = 2  # recurs in >= 2 distinct docs => boilerplate
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_CONTAIN_TOKENS_SQL} AS w FROM documents),
+    segs AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(w, (i-1)*{_PASSAGE_W}+1, i*{_PASSAGE_W}), ' ')) AS seg_hash
+      FROM toks, unnest(generate_series(1, CAST(len(w) // {_PASSAGE_W} AS BIGINT))) AS t(i)),
+    counts AS (
+      SELECT seg_hash, COUNT(DISTINCT doc_id) AS n_docs
+      FROM segs GROUP BY seg_hash),
+    flagged AS (
+      SELECT s.doc_id, (c.n_docs >= {_PASSAGE_MIN_DOCS}) AS is_boiler
+      FROM segs s JOIN counts c USING (seg_hash))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pct_boiler
+    FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection (RefinedWeb-style line
+    dedup for unstructured text): non-overlapping 8-token segments,
+    md5-keyed; a segment present in >= 2 distinct documents is
+    boilerplate; per-document output is (total segments, boilerplate
+    segments, boilerplate fraction).
+
+    Spark-first shape: ONE tokenize pass; segments shuffle by their
+    md5 hash (16-byte key, never the raw passage string — at 100 TB
+    the hash is what keeps the exchange narrow); the per-segment
+    document count is a map-side-combinable groupBy; the flag joins
+    back on the same hash so AQE reuses the exchange. The only float
+    is one final division of two exact counts — bit-identical across
+    engines. The doc x doc comparison never happens: cost is
+    O(total segments), not O(docs^2)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _alnum_tokens(F.col("text")).alias("w"))
+    w = F.col("w")
+    seg_exprs = F.when(
+        F.size(w) >= _PASSAGE_W,
+        F.transform(
+            F.sequence(F.lit(1), F.floor(F.size(w) / _PASSAGE_W).cast("int")),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(w, (i - 1) * _PASSAGE_W + 1, _PASSAGE_W))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # Both the count agg and the join-back consume this frame; without
+    # the checkpoint the tokenize->segment explode evaluates twice
+    # (same move as decontaminate_ngram_overlap).
+    segs = (
+        toks.select("doc_id", F.explode(seg_exprs).alias("seg_hash"))
+        .localCheckpoint(eager=False)
+    )
+    counts = segs.groupBy("seg_hash").agg(F.countDistinct("doc_id").alias("n_docs"))
+    flagged = segs.join(counts, "seg_hash").select(
+        "doc_id", (F.col("n_docs") >= _PASSAGE_MIN_DOCS).alias("is_boiler")
+    )
+    boiler_n = F.sum(F.col("is_boiler").cast("long"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            boiler_n.alias("n_boiler"),
+            (boiler_n.cast("double") / F.count(F.lit(1))).alias("pct_boiler"),
+        )
+        .orderBy("doc_id")
+    )

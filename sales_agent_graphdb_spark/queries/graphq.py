@@ -335,3 +335,107 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         "id", F.col("distance").cast("int").alias("distance")
     ).orderBy("distance", "id")
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) — synchronous LPA with a
+# deterministic update rule, over the same derived customer proximity
+# graph as graph_triangle_count (per-nation custkey chains).
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 4
+
+_LPA_EDGES_SQL = """
+    WITH ordered AS (
+      SELECT c_custkey AS k,
+             lead(c_custkey, 1) OVER w AS n1,
+             lead(c_custkey, 2) OVER w AS n2
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)),
+    edges AS (
+      SELECT k AS lo, n1 AS hi FROM ordered WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT k AS lo, n2 AS hi FROM ordered WHERE n2 IS NOT NULL),
+    sym AS (SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL SELECT hi AS src, lo AS dst FROM edges),
+    l0 AS (SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS label
+           FROM customer)"""
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [_LPA_EDGES_SQL]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    r{i} AS (SELECT s.dst AS node, l.label, COUNT(*) AS wt
+             FROM sym s JOIN l{i - 1} l ON l.node = s.src GROUP BY 1, 2),
+    p{i} AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY wt DESC, label) AS rk FROM r{i})
+             WHERE rk = 1),
+    l{i} AS (SELECT l{i - 1}.node, COALESCE(p{i}.label, l{i - 1}.label) AS label
+             FROM l{i - 1} LEFT JOIN p{i} USING (node))""")
+    parts.append(f"\n    SELECT node, label AS community FROM l{rounds} ORDER BY node")
+    return "".join(parts)
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous label propagation, 4 rounds,
+    deterministic update rule: each node adopts the label with the
+    highest neighbor count, ties broken by MIN label (so the result is
+    a pure function of the graph — no run-to-run nondeterminism, which
+    is what makes an LPA usable inside a verified pipeline).
+
+    Spark-first shape: per round, ONE equi-join (labels onto edge
+    sources, partitioned by node key) + ONE map-side-combinable count
+    agg + a per-node argmax window (sharded by node, never global) +
+    a left join back for isolated nodes. The symmetrized edge frame is
+    localCheckpointed once and reused by all rounds. Per-round cost is
+    O(|E|) shuffle — the same budget as one PageRank iteration
+    (operators/graph.py:118); rounds are a fixed small constant. The
+    proximity graph derivation cites graph_triangle_count."""
+    from pyspark.sql import Window as W
+
+    c = catalog.load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    nbr = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"),
+    )
+    e1 = nbr.filter(F.col("n1").isNotNull()).select(
+        F.col("k").alias("lo"), F.col("n1").alias("hi")
+    )
+    e2 = nbr.filter(F.col("n2").isNotNull()).select(
+        F.col("k").alias("lo"), F.col("n2").alias("hi")
+    )
+    edges = e1.unionByName(e2)
+    sym = (
+        edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = c.select(
+        F.col("c_custkey").alias("node"), F.col("c_custkey").cast("bigint").alias("label")
+    )
+    rk_w = W.partitionBy("node").orderBy(F.col("wt").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("wt"))
+        )
+        best = (
+            votes.withColumn("rk", F.row_number().over(rk_w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("node", F.col("label").alias("community")).orderBy("node")

@@ -420,3 +420,58 @@ def p11_result_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("result").rlike(invalid))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-SQL API surface — the same engine driven through spark.sql()
+# instead of the DataFrame builder: a user of the reference who issues
+# raw queries (its /db/graph/query endpoint takes query STRINGS) gets
+# the identical Catalyst front-end here. The statement itself is the
+# multi-way dim-fact join Catalyst exists to optimize: join reordering,
+# broadcast selection (explicit hints for the two dims), predicate
+# pushdown — all from SQL text.
+# ---------------------------------------------------------------------------
+
+_SQL_Q5 = """
+    SELECT /*+ BROADCAST(n), BROADCAST(c) */
+           n.n_name AS nation,
+           CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM {cust} c
+    JOIN {nat} n ON c.c_nationkey = n.n_nationkey
+    JOIN {ord} o ON o.o_custkey = c.c_custkey
+    JOIN {li} l ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name
+    ORDER BY nation
+"""
+
+
+@register(
+    "sql_api_revenue_by_nation",
+    oracle=_SQL_Q5.format(cust="customer", nat="nation", ord="orders", li="lineitem")
+    .replace("/*+ BROADCAST(n), BROADCAST(c) */", ""),
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-nation revenue rollup issued as RAW SQL TEXT through
+    spark.sql() — the engine's second front-end (the reference's query
+    endpoints take strings; SURVEY §3.2). The DuckDB oracle is the
+    LITERALLY IDENTICAL statement minus the Spark broadcast hints, so
+    this also certifies the SQL dialect stays in the portable ANSI
+    subset. Money math through exact DECIMAL as everywhere.
+
+    Scale: Catalyst plans the 4-way join from text exactly as it does
+    from the DataFrame API — nation (25 rows) and customer broadcast
+    per hint, orders⋈lineitem shuffles on the order key once, the
+    aggregate is map-side combinable. tests/test_plans.py-style probe
+    in tests/test_round5_ops.py asserts both BroadcastHashJoins."""
+    for t in ("customer", "nation", "orders", "lineitem"):
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlapi_{t}")
+    return spark.sql(
+        _SQL_Q5.format(
+            cust="sqlapi_customer",
+            nat="sqlapi_nation",
+            ord="sqlapi_orders",
+            li="sqlapi_lineitem",
+        )
+    )

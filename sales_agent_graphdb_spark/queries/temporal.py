@@ -607,3 +607,129 @@ def range_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_timestamp(F.greatest("start_a", "start_b"))
         ).alias("overlap_s"),
     ).orderBy("promo_a", "promo_b")
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling — the hypertable/time-series rollup that compresses
+# a raw event stream into per-bucket open/high/low/close/volume bars
+# (the continuous-aggregate primitive of every time-series store,
+# re-expressed as one window + one aggregation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_downsample_ohlc",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT event_type, bucket,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS volume
+    FROM r GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type: open/close are the first/last
+    value by (ts, event_id) within the bucket, high/low are min/max,
+    volume is the exact-DECIMAL sum (order-insensitive, bit-identical
+    to the oracle).
+
+    Spark-first shape: both row_number windows and the final groupBy
+    share the SAME partitioning key (event_type, hour bucket), so the
+    whole query is ONE shuffle — the windows run back-to-back in one
+    exchange and the aggregation reuses it. Buckets shard the window
+    sort (type x hour, never a global sort); at 100 TB with a
+    date-partitioned table the scan prunes to the requested time range
+    before the exchange."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    base = e.select("event_type", bucket, "ts", "event_id", "value")
+    pw = W.partitionBy("event_type", "bucket")
+    r = base.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(pw.orderBy(F.col("ts").asc(), F.col("event_id").asc())).alias("rn_a"),
+        F.row_number().over(pw.orderBy(F.col("ts").desc(), F.col("event_id").desc())).alias("rn_d"),
+    )
+    return (
+        r.groupBy("event_type", "bucket")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially-weighted moving average per user, a RECURSIVE
+# per-key computation (y_t = a·x_t + (1-a)·y_{t-1}) that no plain SQL
+# window frame expresses. Both engines run the identical left-to-right
+# fold over the identically-ordered per-key value list, so the
+# recursion is bit-exact across engines: Spark `aggregate` seeded with
+# the first element mirrors DuckDB `list_reduce` (which folds from the
+# first element with the accumulator as the lambda's FIRST argument).
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "ts_ewma_per_user",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MAX(ts) AS last_ts,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> x * CAST({_EWMA_ALPHA} AS DOUBLE)
+                                   + acc * CAST({1 - _EWMA_ALPHA} AS DOUBLE)) AS ewma
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values in (ts, event_id) order —
+    the recursive smoothing a feature pipeline computes per entity.
+
+    Spark-first shape: ONE groupBy(user) shuffle; the per-user event
+    list is collected as structs, sorted in-plan (sort_array — struct
+    lexicographic order gives the deterministic (ts, event_id)
+    sequence), and folded by the `aggregate` higher-order function
+    inside codegen — no Python, no per-key iteration on the driver.
+    Per-key state is the user's own event list (bounded by per-entity
+    activity); for unbounded keys the streaming twin is
+    applyInPandasWithState (streaming/pipelines.py sessions), which
+    carries y_{{t-1}} as managed state instead of re-folding."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    grouped = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").cast("double").alias("v")))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s.getField("v"))
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: x * F.lit(_EWMA_ALPHA) + acc * F.lit(1 - _EWMA_ALPHA),
+    )
+    return (
+        grouped.select("user_id", "n_events", "last_ts", ewma.alias("ewma"))
+        .orderBy("user_id")
+    )

@@ -164,3 +164,152 @@ def v8_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirror (list_sum over list order) is bit-exact."""
     e = catalog.load_table(spark, sf_dir, "embeddings")
     return sim.embedding_qc(e).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — for each query vector, the nearest vectors
+# with a DIFFERENT label (the contrastive-training pair-mining step of
+# an embedding-model data pipeline). Expressed as a broadcast
+# HASH join, not a nested loop: each query row expands to the 9
+# other-label keys, so the query side stays a tiny broadcast and the
+# corpus joins on `label` equality — the negatives constraint IS the
+# join key.
+# ---------------------------------------------------------------------------
+
+_HN_QUERIES = 10  # vec_id < 10 are the mining queries
+_HN_K = 3
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+    scored AS (
+      SELECT q.q_id, q.q_label, e.vec_id AS neg_id, e.label AS neg_label,
+             {sim.duckdb_cosine_sql("e.embedding", "q.q_emb")} AS sim
+      FROM q JOIN embeddings e ON e.label <> q.q_label),
+    rk AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY sim DESC, neg_id) AS INT) AS rk
+      FROM scored)
+    SELECT q_id, q_label, neg_id, neg_label, sim, rk
+    FROM rk WHERE rk <= {_HN_K} ORDER BY q_id, rk
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: top-3 highest-cosine
+    other-label vectors per query vector (vec_id < 10).
+
+    Spark-first shape: the 10 queries explode to (query, other-label)
+    keys — 90 broadcast rows — and the corpus joins on `label`
+    EQUALITY (BroadcastHashJoin, never a nested-loop label<>label
+    join). Scoring is the shared left-to-right cosine fold; ranking is
+    a window partitioned per query (10 shards, never global). At
+    100 TB the corpus side is one scan; with an ANN index the same
+    join runs against the LSH/IVF candidate set instead (ann.py) and
+    this exact form becomes the rerank stage."""
+    from pyspark.sql import Window
+
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    q_exp = q.withColumn(
+        "label",
+        F.explode(F.filter(F.sequence(F.lit(0), F.lit(9)), lambda l: l != F.col("q_label"))),
+    )
+    scored = emb.join(F.broadcast(q_exp), "label").select(
+        "q_id",
+        "q_label",
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        sim.cosine(F.col("embedding"), F.col("q_emb")).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neg_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _HN_K)
+        .select("q_id", "q_label", "neg_id", "neg_label", "sim", "rk")
+        .orderBy("q_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Symmetric int8 embedding quantization — the storage-scale path for a
+# 100 TB vector corpus (4x smaller than float32, 8x smaller than the
+# float64 Spark works in): per-vector scale = max|x|/127, q = round
+# half-up(x/scale) clipped to [-127, 127], plus the reconstruction
+# error report (MSE + max abs error) a pipeline uses to validate the
+# quantizer before swapping the serving index over to it.
+# ---------------------------------------------------------------------------
+
+# Shared rounding form: floor(x/scale + 0.5) — written explicitly
+# instead of round() because Spark HALF_UP and DuckDB round() disagree
+# on negative halves; floor(+0.5) is the same IEEE op on both engines.
+_Q_SQL = (
+    "least(CAST(127 AS DOUBLE), greatest(CAST(-127 AS DOUBLE), "
+    "floor(CAST(x AS DOUBLE) / scale + CAST(0.5 AS DOUBLE))))"
+)
+
+
+@register(
+    "vec_quantize_int8",
+    oracle=f"""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               / CAST(127 AS DOUBLE) AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           list_sum(list_transform(embedding,
+               x -> (CAST(x AS DOUBLE) - {_Q_SQL} * scale)
+                    * (CAST(x AS DOUBLE) - {_Q_SQL} * scale)))
+             / CAST(len(embedding) AS DOUBLE) AS mse,
+           list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE) - {_Q_SQL} * scale))) AS max_abs_err
+    FROM t ORDER BY vec_id
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization error report: scale,
+    reconstruction MSE, max abs element error.
+
+    Pure map-side JVM column math (transform/aggregate higher-order
+    functions inside whole-stage codegen) — no shuffle, no UDF. The
+    rounding is floor(x/scale + 0.5) on both engines (portable
+    half-up; see _Q_SQL note), max is order-independent, and the MSE
+    sum is the same left-to-right fold as the cosine operators, so the
+    oracle is bit-exact. At 100 TB this runs as one pass over the
+    embedding column; the quantized arrays themselves would be written
+    back as array<tinyint> + scale, shrinking the ANN index 4x."""
+    e = catalog.load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    ).alias("scale")
+    t = e.select("vec_id", v.alias("embedding"), scale)
+    s = F.col("scale")
+
+    def _err(x):
+        q = F.least(
+            F.lit(127.0),
+            F.greatest(F.lit(-127.0), F.floor(x.cast("double") / s + F.lit(0.5))),
+        )
+        return x.cast("double") - q * s
+
+    mse = (
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: _err(x) * _err(x)),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        / F.size(F.col("embedding")).cast("double")
+    )
+    max_err = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(_err(x))))
+    return t.select(
+        "vec_id", "scale", mse.alias("mse"), max_err.alias("max_abs_err")
+    ).orderBy("vec_id")
