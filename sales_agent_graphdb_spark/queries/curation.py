@@ -371,7 +371,11 @@ _BIN_RATES = (0.10, 0.25, 0.50, 1.0)  # keep-rate per quality bin 0..3
       SELECT MIN(score) AS minv, MAX(score) - MIN(score) + 1 AS span FROM scored),
     binned AS (
       SELECT doc_id, score,
-             CAST(least(3, floor((score - minv) * 4.0 / span)) AS INT) AS bin
+             -- explicit DOUBLE casts: a bare 4.0 literal is DECIMAL in
+             -- DuckDB and the decimal-typed quotient could round across
+             -- a floor boundary the double path does not
+             CAST(least(3, floor(CAST((score - minv) * 4 AS DOUBLE)
+                                 / CAST(span AS DOUBLE))) AS INT) AS bin
       FROM scored CROSS JOIN edges),
     rated AS (
       SELECT doc_id, score, bin,

@@ -453,3 +453,82 @@ def s8_api_source_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction — the table-maintenance operator every
+# long-lived partitioned table needs: streaming/incremental ingestion
+# leaves each day-partition fragmented into many small files; the
+# compactor rewrites each partition into one right-sized file WITHOUT
+# changing a row. The oracle certifies the losslessness contract (the
+# compacted table aggregates bit-identically to the source); the file-
+# count collapse itself is asserted on the filesystem in
+# tests/test_round5_ops.py.
+# ---------------------------------------------------------------------------
+
+_FRAG_FILES = 8  # files per day-partition in the fragmented layout
+
+
+@register(
+    "s13_compact_small_files",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY day ORDER BY day
+    """,
+)
+def s13_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction: events written day-partitioned with 8 small files
+    per partition (the fragmented state incremental ingestion leaves),
+    then rewritten with one task per day — `repartition("day")` hashes
+    every row of a day to the same task, so each partition directory
+    collapses to exactly ONE file. The returned per-day aggregate over
+    the COMPACTED table matches the oracle's aggregate over the
+    ORIGINAL table bit-for-bit (exact-DECIMAL value sums): compaction
+    moved bytes, not data.
+
+    Scale: this is the nightly OPTIMIZE job shape — one shuffle keyed
+    on the partition column, write amplification 1x (each row moves
+    once), and at 100 TB the single-file-per-partition target becomes
+    `repartitionByRange(n, day, ...)` with a row-count target per file;
+    the stamp protocol (sources/stamp.py) keeps the rewrite amortized
+    across queries exactly like the ANN index builds."""
+    from sales_agent_graphdb_spark.sources import stamp
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    src = f"{sf_dir.rstrip('/')}/events.parquet"
+    frag = _scratch(sf_dir, "events_fragmented")
+    compact = _scratch(sf_dir, "events_compacted")
+    with_day = ev.withColumn("day", F.to_date(F.col("ts")))
+    if not stamp.is_fresh(frag, src, version=f"frag{_FRAG_FILES}"):
+        (
+            with_day.repartition(_FRAG_FILES)  # fragment every day across 8 writers
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(frag)
+        )
+        stamp.mark(frag, src, version=f"frag{_FRAG_FILES}")
+    if not stamp.is_fresh(compact, src, version="compact1"):
+        (
+            spark.read.parquet(frag)
+            .repartition(F.col("day"))  # one task owns each day => one file
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(compact)
+        )
+        stamp.mark(compact, src, version="compact1")
+    back = spark.read.parquet(compact)
+    return (
+        back.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event_id"),
+            F.max("event_id").alias("max_event_id"),
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double").alias("total_value"),
+        )
+        .orderBy("day")
+    )

@@ -136,6 +136,27 @@ def test_sql_api_plan_broadcasts_both_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_compaction_collapses_files(spark):
+    import glob
+
+    from sales_agent_graphdb_spark.queries.sources_io import (
+        _FRAG_FILES,
+        _scratch,
+        s13_compact_small_files,
+    )
+
+    s13_compact_small_files(spark, SF_SMALL).collect()
+    frag = _scratch(SF_SMALL, "events_fragmented")
+    compact = _scratch(SF_SMALL, "events_compacted")
+    frag_days = glob.glob(f"{frag}/day=*")
+    compact_days = glob.glob(f"{compact}/day=*")
+    assert frag_days and len(frag_days) == len(compact_days)
+    n_frag = sum(len(glob.glob(f"{d}/*.parquet")) for d in frag_days)
+    n_compact = sum(len(glob.glob(f"{d}/*.parquet")) for d in compact_days)
+    assert n_compact == len(compact_days), "expected exactly one file per day"
+    assert n_frag > n_compact, (n_frag, n_compact)
+
+
 def test_quantize_no_shuffle_no_python(spark):
     df = vec_quantize_int8(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
