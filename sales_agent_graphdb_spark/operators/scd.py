@@ -60,6 +60,14 @@ def scd2_apply(
     if a feed can repeat keys): duplicate update keys would append one
     open version each. Always checking would cost a full groupBy of
     the batch per merge, so the contract is documented, not policed.
+
+    CHAINING: this function references ``history`` ~6 times (current/
+    closed splits, semi/anti joins, unions), so applying k batches in
+    ONE unbroken lineage builds a ~6^k-path plan tree — Catalyst
+    analysis cost explodes exponentially. Materialize between batches:
+    in production each run writes the history table (lineage truncates
+    at the table); for in-memory chains, ``.localCheckpoint(eager=
+    True)`` after each apply (see tests/test_merge_properties.py).
     """
     cur = history.filter(F.col("valid_to").isNull()).alias("cur")
     closed_hist = history.filter(F.col("valid_to").isNotNull())

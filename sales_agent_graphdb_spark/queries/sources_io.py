@@ -532,3 +532,69 @@ def s13_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "s8b_api_stream_ingest",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_products,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM part GROUP BY brand ORDER BY brand
+    """,
+)
+def s8b_api_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b — the STREAMING twin of the API source: the same paginated
+    endpoint consumed through a Python DataSource
+    ``simpleStreamReader`` (sources/api_source.py) — each micro-batch
+    advances the {"page": N} offset by one page, the committed-offset
+    log makes restarts replay exactly the uncommitted range
+    (readBetweenOffsets), and an empty tail read reports caught-up.
+    This is the continuous-ingestion production shape of S8: the
+    scraper polls the API forever; here ``processAllAvailable`` bounds
+    the run once the simulated endpoint is drained (Python stream
+    sources do not support Trigger.AvailableNow — Spark logs the
+    fallback — so the drain is explicit). The oracle is the plain
+    part-table aggregate: 8 micro-batches of paged ingest must
+    reconstruct every row and every double bit."""
+    import uuid as _uuid
+
+    from sales_agent_graphdb_spark.sources.api_source import (
+        ensure_api_pages,
+        register_api_stream_source,
+    )
+
+    endpoint = ensure_api_pages(spark, sf_dir)
+    register_api_stream_source(spark)
+    stream = (
+        spark.readStream.format("product_api_stream")
+        .option("endpoint", endpoint)
+        .load()
+    )
+    sink = f"s8b_sink_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(sink)
+    out = (
+        rows.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_products"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("brand")
+    )
+    # Materialize then drop the memory sink (the pipelines.py rule:
+    # never leave a sink pinning rows in driver memory).
+    result = spark.createDataFrame(out.collect(), schema=out.schema)
+    spark.catalog.dropTempView(sink)
+    return result

@@ -150,7 +150,10 @@ _VERIFIED: frozenset[str] = frozenset({
 # many cheap queries before them. Round 5: all former members earned
 # green rows in r04 and moved to _VERIFIED, so this only orders NEW
 # slow queries registered this round (add their names here).
-_SLOW_TAIL: frozenset[str] = frozenset()
+_SLOW_TAIL: frozenset[str] = frozenset({
+    # r05 streaming exec: multi-micro-batch Python stream source drain.
+    "s8b_api_stream_ingest",
+})
 
 
 def _driver_order(names: list[str]) -> list[str]:

@@ -132,3 +132,84 @@ def ensure_api_pages(spark: SparkSession, sf_dir: str) -> str:
     )
     stamp.mark(endpoint, src, _VERSION)
     return endpoint
+
+
+def _build_product_api_stream_classes():
+    """S8b — the STREAMING twin of the API source: a Python
+    DataSource `simpleStreamReader` that polls the paginated endpoint
+    as micro-batch offsets ({"page": N} → one page per batch, offset
+    advances past consumed pages, empty read at the tail signals
+    caught-up). A real deployment swaps the page-file read for the
+    HTTP GET with a cursor param; offsets, recovery (readBetweenOffsets
+    replays a committed range after restart) and the query on top are
+    unchanged. Same closure-scope pickling rule as the batch classes
+    above."""
+    schema_ddl = _SCHEMA_DDL
+
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class ProductApiStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options: dict):
+            self._endpoint = options["endpoint"]
+
+        def initialOffset(self):
+            return {"page": 0}
+
+        def _page_rows(self, page_idx: int):
+            import glob as _glob
+            import json as _json
+            import os as _os
+
+            pages = sorted(_glob.glob(_os.path.join(self._endpoint, "page=*")))
+            if page_idx >= len(pages):
+                return None
+            rows = []
+            for f in sorted(_glob.glob(_os.path.join(pages[page_idx], "*.json"))):
+                with open(f) as fh:
+                    for line in fh:
+                        d = _json.loads(line)
+                        rows.append(
+                            (
+                                d["p_partkey"],
+                                d["p_name"],
+                                d["p_brand"],
+                                d["p_retailprice"],
+                            )
+                        )
+            return rows
+
+        def read(self, start):
+            rows = self._page_rows(start["page"])
+            if rows is None:  # past the last page: caught up, offset holds
+                return iter([]), start
+            return iter(rows), {"page": start["page"] + 1}
+
+        def readBetweenOffsets(self, start, end):
+            # Deterministic replay of [start, end) for recovery.
+            out = []
+            for p in range(start["page"], end["page"]):
+                rows = self._page_rows(p)
+                if rows:
+                    out.extend(rows)
+            return iter(out)
+
+    class ProductApiStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "product_api_stream"
+
+        def schema(self) -> str:
+            return schema_ddl
+
+        def simpleStreamReader(self, schema) -> ProductApiStreamReader:
+            return ProductApiStreamReader(self.options)
+
+    return ProductApiStreamSource, ProductApiStreamReader
+
+
+ProductApiStreamSource, ProductApiStreamReader = _build_product_api_stream_classes()
+
+
+def register_api_stream_source(spark: SparkSession) -> None:
+    """Idempotent registration of the ``product_api_stream`` format."""
+    spark.dataSource.register(ProductApiStreamSource)

@@ -176,7 +176,14 @@ def test_scd2_apply_matches_reference_model(spark, batches):
     for i, batch in enumerate(batches, start=1):
         eff = f"d{i}"
         upd = spark.createDataFrame(batch, "k long, seg string")
-        hist = scd2_apply(hist, upd, "k", ["seg"], eff)
+        # Materialize between batches (the documented chaining
+        # contract, scd2_apply docstring): each apply references its
+        # history input ~6 times, so an unbroken k-batch lineage is a
+        # ~6^k-path tree for Catalyst — this exact test hung the suite
+        # for 27 CPU-minutes inside TreeNode traversal before the
+        # checkpoint was added. Production never hits this: each
+        # nightly run WRITES the history table, truncating lineage.
+        hist = scd2_apply(hist, upd, "k", ["seg"], eff).localCheckpoint(eager=True)
         for k, seg in batch:
             versions = model.setdefault(k, [])
             if not versions:
