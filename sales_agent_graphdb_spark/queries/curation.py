@@ -32,6 +32,24 @@ def md5_mod_sql(expr: str, m: int) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT) % {m}"
 
 
+# THE 52-bit md5-prefix hash for probabilistic keep/drop thresholds
+# (value < rate · 2^52): 13 hex chars = 52 bits, exact as a double.
+# Same single-definition rule as md5_mod — sample_weighted_hash and
+# sample_quality_bins both build on these two; a width tweak in one
+# copy would silently desynchronize the samplers.
+H52_SPAN = 4503599627370496.0  # 2^52
+
+
+def h52(c: Column, salt: str) -> Column:
+    return F.conv(
+        F.substring(F.md5(F.concat(c, F.lit(salt))), 1, 13), 16, 10
+    ).cast("bigint")
+
+
+def h52_sql(expr: str, salt: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr} || '{salt}'), 1, 13)) AS BIGINT)"
+
+
 # Deterministic content-independent shard in [0, 10): md5 of the doc id
 # string. Used for the train/eval split (decontamination) and the
 # per-stratum sample. Stable under corpus growth and re-ingestion.
@@ -307,8 +325,8 @@ _WSAMPLE_BASE = 0.3  # base acceptance rate scaled by each source's weight
       FROM per_source CROSS JOIN tot)
     SELECT d.doc_id, d.source
     FROM documents d JOIN w ON d.source = w.source
-    WHERE CAST(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#ws'), 1, 13))
-               AS BIGINT) AS DOUBLE) < w.p * 4503599627370496.0
+    WHERE CAST({h52_sql("CAST(d.doc_id AS VARCHAR)", "#ws")} AS DOUBLE)
+          < w.p * {H52_SPAN}
     ORDER BY d.doc_id
     """,
 )
@@ -331,14 +349,10 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0), F.col("mix_weight") * F.lit(_WSAMPLE_BASE)
         ).alias("p"),
     )
-    h52 = F.conv(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))), 1, 13),
-        16,
-        10,
-    ).cast("bigint")
+    h = h52(F.col("doc_id").cast("string"), "#ws")
     return (
         d.join(F.broadcast(weights), "source")
-        .filter(h52.cast("double") < F.col("p") * F.lit(4503599627370496.0))
+        .filter(h.cast("double") < F.col("p") * F.lit(H52_SPAN))
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
@@ -383,8 +397,8 @@ _BIN_RATES = (0.10, 0.25, 0.50, 1.0)  # keep-rate per quality bin 0..3
                       WHEN 2 THEN {_BIN_RATES[2]} ELSE {_BIN_RATES[3]} END AS DOUBLE) AS rate
       FROM binned)
     SELECT doc_id, score, bin,
-           (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#qb'), 1, 13))
-                 AS BIGINT) AS DOUBLE) < rate * CAST(4503599627370496 AS DOUBLE)) AS kept
+           (CAST({h52_sql("CAST(doc_id AS VARCHAR)", "#qb")} AS DOUBLE)
+            < rate * {H52_SPAN}) AS kept
     FROM rated ORDER BY doc_id
     """,
 )
@@ -426,14 +440,10 @@ def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("bin") == 2, F.lit(_BIN_RATES[2]))
         .otherwise(F.lit(_BIN_RATES[3]))
     )
-    h52 = F.conv(
-        F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#qb"))), 1, 13),
-        16,
-        10,
-    ).cast("bigint")
+    h = h52(F.col("doc_id").cast("string"), "#qb")
     return binned.select(
         "doc_id",
         "score",
         "bin",
-        (h52.cast("double") < rate * F.lit(4503599627370496.0)).alias("kept"),
+        (h.cast("double") < rate * F.lit(H52_SPAN)).alias("kept"),
     ).orderBy("doc_id")

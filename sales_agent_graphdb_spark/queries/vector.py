@@ -213,6 +213,13 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = catalog.load_table(spark, sf_dir, "embeddings")
+    # Label DOMAIN from the data (driver-side point read, like the
+    # query vector itself) — hardcoding it would silently drop
+    # negatives if the corpus ever carries a different class set,
+    # while the oracle's label <> q_label keeps mining them.
+    labels = sorted(
+        r.label for r in emb.select("label").distinct().collect()
+    )
     q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
@@ -220,7 +227,12 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_exp = q.withColumn(
         "label",
-        F.explode(F.filter(F.sequence(F.lit(0), F.lit(9)), lambda l: l != F.col("q_label"))),
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(int(l)) for l in labels]),
+                lambda l: l != F.col("q_label"),
+            )
+        ),
     )
     scored = emb.join(F.broadcast(q_exp), "label").select(
         "q_id",

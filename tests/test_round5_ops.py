@@ -162,3 +162,34 @@ def test_quantize_no_shuffle_no_python(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan  # map-side only (+sort for output order)
+
+
+def test_metrics_probe_dedupes_reused_exchange(spark):
+    """A self-joined aggregate reuses one exchange; the probe must
+    count its shuffle metrics once (review finding: ReusedExchangeExec
+    descent double-counted before the node-id dedupe)."""
+    import importlib.util
+    import pathlib
+
+    spec = importlib.util.spec_from_file_location(
+        "metrics_probe",
+        pathlib.Path(__file__).resolve().parents[1] / "tools" / "metrics_probe.py",
+    )
+    mp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mp)
+
+    from sales_agent_graphdb_spark import catalog
+
+    ev = catalog.load_table(spark, SF_SMALL, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    joined = agg.alias("a").join(
+        agg.alias("b"), F.col("a.event_type") == F.col("b.event_type")
+    )
+    m = mp.collect_metrics(joined)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "ReusedExchange" in plan:
+        # one physical exchange, counted once: 5 event types shuffled
+        # as partial-agg rows, NOT doubled by the reuse pointer
+        assert m["n_exchanges"] == 1, m
+        n_types = 5
+        assert m["shuffle_records_written"] <= n_types * 32, m

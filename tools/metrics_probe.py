@@ -4,9 +4,9 @@
 Plan audits (tools/plan_audit.py) prove the plan SHAPE is right; this
 probe proves the RUNTIME cost is right: after executing each query it
 walks the final (post-AQE) physical plan and sums the SQLMetrics that
-matter at 100 TB — shuffle bytes/records written, spill sizes, and
-output rows of the probe-side scans — so a shuffle that silently
-carries the whole corpus shows up as a number, not a guess.
+matter at 100 TB — shuffle bytes/records written and spill sizes — so
+a shuffle that silently carries the whole corpus shows up as a number,
+not a guess.
 
 Usage: python tools/metrics_probe.py [sf_dir]
 Prints one JSON line per query + a summary line; also appended
@@ -54,21 +54,31 @@ KEYS = {
 }
 
 
-def _iter_nodes(node):
+def _iter_nodes(node, seen=None):
+    # Dedupe on the SparkPlan node id: AQE plans are DAGs (a
+    # ReusedExchangeExec points at a ShuffleExchangeExec that is also
+    # reachable through its own query stage), and yielding the same
+    # physical node twice double-counts its SQLMetrics.
+    if seen is None:
+        seen = set()
+    node_id = int(node.id())
+    if node_id in seen:
+        return
+    seen.add(node_id)
     yield node
     kids = node.children()
     for i in range(kids.size()):
-        yield from _iter_nodes(kids.apply(i))
+        yield from _iter_nodes(kids.apply(i), seen)
     # AQE wraps each materialized stage (Shuffle/Broadcast/Result
     # QueryStageExec) behind .plan(), and the adaptive root behind
     # .executedPlan() — children() alone sees none of them.
     name = node.getClass().getSimpleName()
     if name == "AdaptiveSparkPlanExec":
-        yield from _iter_nodes(node.executedPlan())
+        yield from _iter_nodes(node.executedPlan(), seen)
     elif name.endswith("QueryStageExec"):
-        yield from _iter_nodes(node.plan())
+        yield from _iter_nodes(node.plan(), seen)
     elif name == "ReusedExchangeExec":
-        yield from _iter_nodes(node.child())
+        yield from _iter_nodes(node.child(), seen)
 
 
 def collect_metrics(df) -> dict[str, int]:
@@ -78,13 +88,11 @@ def collect_metrics(df) -> dict[str, int]:
         "shuffle_bytes_written": 0,
         "shuffle_records_written": 0,
         "spill_bytes": 0,
-        "exchange_output_rows": 0,
         "n_exchanges": 0,
     }
     for node in _iter_nodes(plan):
         cls = node.getClass().getSimpleName()
-        is_exchange = "ShuffleExchange" in cls
-        if is_exchange:
+        if "ShuffleExchange" in cls:
             agg["n_exchanges"] += 1
         it = node.metrics().iterator()
         while it.hasNext():
@@ -92,8 +100,6 @@ def collect_metrics(df) -> dict[str, int]:
             key, metric = kv._1(), kv._2()
             if key in KEYS:
                 agg[KEYS[key]] += max(0, int(metric.value()))
-            elif key == "numOutputRows" and is_exchange:
-                agg["exchange_output_rows"] += int(metric.value())
     return agg
 
 
