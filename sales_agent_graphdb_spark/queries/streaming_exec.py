@@ -264,3 +264,28 @@ def st_stream_sliding_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-checked against the same epoch-grid oracle as the batch
     st_sliding_window, so batch/stream parity is the verified claim."""
     return pipelines.sliding_counts_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_ewma_exec",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> x * CAST(0.3 AS DOUBLE)
+                                   + acc * CAST(0.7 AS DOUBLE)) AS ewma
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st_stream_ewma_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — per-user EWMA as a CUSTOM STATEFUL streaming operator
+    (applyInPandasWithState): state carries (n, ewma, seeded) per user
+    and each micro-batch folds its rows in (ts, event_id) order from
+    the carried value — the streaming twin of the batch in-plan fold
+    (ts_ewma_per_user), hash-checked against the same list_reduce
+    oracle because Python/JVM/DuckDB all run the identical IEEE
+    expression in the identical order. State is O(1) per key (three
+    scalars) — the property that makes per-entity smoothing viable on
+    an unbounded stream, vs the batch form's per-key event list."""
+    return pipelines.ewma_stream(spark, sf_dir)

@@ -151,8 +151,9 @@ _VERIFIED: frozenset[str] = frozenset({
 # green rows in r04 and moved to _VERIFIED, so this only orders NEW
 # slow queries registered this round (add their names here).
 _SLOW_TAIL: frozenset[str] = frozenset({
-    # r05 streaming exec: multi-micro-batch Python stream source drain.
-    "s8b_api_stream_ingest",
+    # r05 streaming execs: multi-micro-batch Python stream source
+    # drain; stateful EWMA stream.
+    "s8b_api_stream_ingest", "st_stream_ewma_exec",
 })
 
 

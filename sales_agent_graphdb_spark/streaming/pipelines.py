@@ -827,3 +827,82 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("segment", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: per-user streaming EWMA — the streaming
+# twin promised by queries/temporal.py:ts_ewma_per_user. State carries
+# (n, ewma, seeded) per user; each micro-batch folds its rows in
+# (ts, event_id) order starting from the carried value, so the result
+# is the SAME left-to-right recursion as the batch in-plan fold and
+# the DuckDB list_reduce — bit-exact across all three, because Python,
+# the JVM and DuckDB all execute the identical IEEE double expression
+# x*alpha + acc*(1-alpha) in the identical order.
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3  # mirrors queries/temporal.py _EWMA_ALPHA
+
+_EWMA_OUT_SCHEMA = "user_id long, n_events long, ewma double"
+_EWMA_STATE_SCHEMA = "n bigint, ewma double, seeded int"
+
+
+def _make_ewma_fn(alpha: float):
+    """Self-contained closure (pickled by value to executors). The
+    per-row Python loop is bounded by one user's events per batch —
+    this is the custom-state path where the recursion itself is the
+    point; the bulk math stays vectorized upstream."""
+    beta = 1.0 - alpha
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            n, ewma, seeded = state.get
+            seeded = bool(seeded)
+        else:
+            n, ewma, seeded = 0, 0.0, False
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if parts:
+            df = pd.concat(parts).sort_values(["ts_us", "event_id"])
+            for x in df["value"].to_numpy():
+                x = float(x)
+                ewma = x if not seeded else x * alpha + ewma * beta
+                seeded = True
+                n += 1
+            state.update((n, float(ewma), 1 if seeded else 0))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ewma": [float(ewma)]}
+            )
+
+    return fn
+
+
+def ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative EWMA from the stateful operator. Each
+    invocation emits the user's running (n_events, ewma) as of that
+    micro-batch; the post-aggregation keeps the row with the highest
+    n_events per user (the latest state), so the result is correct
+    whatever the source's batch split. On the bounded availableNow
+    drain this equals the batch ts_ewma_per_user exactly."""
+    events = stream_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    result = events.groupBy("user_id").applyInPandasWithState(
+        _make_ewma_fn(EWMA_ALPHA),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(result, "append")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(ewma, n_events)").alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
