@@ -318,3 +318,78 @@ def rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users — the "running COUNT(DISTINCT)" that SQL
+# window frames cannot express directly (COUNT(DISTINCT) OVER a
+# running frame is unsupported in both engines, and the naive
+# re-aggregate-per-day form is O(days · events)). The scale-correct
+# rewrite: distinct is FIRST-TOUCH — a user contributes to the
+# cumulative count exactly once, on their first day — so the query is
+# one groupBy(user) min(day), one count per day, and a prefix sum
+# over the DAY-level frame.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w9_cumulative_distinct_users",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    nu AS (SELECT first_day AS day, COUNT(*) AS n FROM fd GROUP BY 1),
+    du AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY 1)
+    SELECT du.day,
+           CAST(du.n AS BIGINT) AS daily_users,
+           CAST(COALESCE(nu.n, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(nu.n, 0)) OVER (
+                ORDER BY du.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM du LEFT JOIN nu ON du.day = nu.day
+    ORDER BY du.day
+    """,
+)
+def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day (daily actives, new users,
+    cumulative uniques) via the first-touch rewrite: min(day) per user
+    → new-user counts per day → prefix sum.
+
+    Scale: the event table is touched by exactly TWO
+    map-side-combinable aggregations (per-user min, per-day distinct);
+    the window runs over the |days|-sized daily frame only — the same
+    bounded-frame exception as the vocab rank (text_vocab_build),
+    never a window over events. The naive alternative (re-aggregating
+    the growing prefix per day, or a running COUNT DISTINCT frame) is
+    O(days · events) and is the shape this rewrite exists to kill at
+    100 TB."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    day = F.to_date(F.col("ts")).alias("day")
+    fd = (
+        ev.select("user_id", day)
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    nu = fd.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_n")
+    )
+    du = (
+        ev.select("user_id", day)
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("daily_users"))
+    )
+    from pyspark.sql import Window as W
+
+    joined = du.join(nu, "day", "left").select(
+        "day",
+        "daily_users",
+        F.coalesce(F.col("new_n"), F.lit(0)).cast("bigint").alias("new_users"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        joined.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
+        .orderBy("day")
+    )
