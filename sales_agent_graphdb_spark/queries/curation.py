@@ -447,3 +447,65 @@ def sample_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         (h.cast("double") < rate * F.lit(H52_SPAN)).alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffling — the LAST step of a training-data build: assign
+# every document a shard and a position such that the global order is
+# a deterministic pseudo-random permutation (seeded by the epoch
+# salt), reproducible across runs, engines, and partitionings. A real
+# epoch differs from df.orderBy(rand()) in exactly the properties
+# verified here: same seed → same permutation; different seed → a
+# different one; and the sort is SHARDED (each shard sorts its own
+# slice) — never one global sort of the corpus.
+# ---------------------------------------------------------------------------
+
+_EPOCH_SHARDS = 8
+_EPOCH_SALT = "#epoch1"
+
+
+@register(
+    "corpus_shuffle_epoch",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST({md5_mod_sql("CAST(doc_id AS VARCHAR) || '" + _EPOCH_SALT + "'", _EPOCH_SHARDS)} AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR) || '{_EPOCH_SALT}#ord') AS sort_key
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY sort_key, doc_id)
+                AS BIGINT) AS pos
+    FROM keyed ORDER BY shard, pos
+    """,
+)
+def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: shard = md5(doc_id + epoch salt)
+    mod 8, position = rank of md5(doc_id + salt + '#ord') within the
+    shard. Reading shards 0..7 in pos order replays one seeded global
+    permutation; bumping the salt is a new epoch.
+
+    Scale shape: one map-side projection + a window PARTITIONED BY
+    SHARD — each shard sorts only corpus/8 (in production, shards =
+    output files and the sort rides the write's local sort;
+    repartition(shard) + sortWithinPartitions, no global exchange of
+    a total order). Hash keys make the permutation content-independent
+    and stable under corpus growth within an epoch. Shares md5_mod
+    with every other sharding operator in this module."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    keyed = d.select(
+        "doc_id",
+        md5_mod(F.concat(sid, F.lit(_EPOCH_SALT)), _EPOCH_SHARDS)
+        .cast("int")
+        .alias("shard"),
+        F.md5(F.concat(sid, F.lit(_EPOCH_SALT + "#ord"))).alias("sort_key"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+        )
+        .orderBy("shard", "pos")
+    )
