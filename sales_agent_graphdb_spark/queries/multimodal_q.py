@@ -109,3 +109,43 @@ def v4b_batch_embed_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.getItem(0).alias("e0"),
         vec.getItem(3).alias("e3"),
     ).orderBy("doc_id")
+
+
+@register(
+    "mm_resize_plan",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) % 640 + 16 AS INT) AS src_w,
+             CAST(length(text) % 480 + 16 AS INT) AS src_h,
+             text
+      FROM documents WHERE doc_id % 3 = 0),
+    s AS (
+      SELECT doc_id, src_w, src_h, text,
+             least(CAST(224 AS DOUBLE) / src_w,
+                   CAST(224 AS DOUBLE) / src_h) AS scale
+      FROM m)
+    SELECT doc_id, src_w, src_h,
+           CAST(greatest(1, floor(src_w * scale)) AS INT) AS dst_w,
+           CAST(greatest(1, floor(src_h * scale)) AS INT) AS dst_h,
+           CAST(CAST(greatest(1, floor(src_w * scale)) AS BIGINT)
+                * CAST(greatest(1, floor(src_h * scale)) AS BIGINT)
+                * 3 AS BIGINT) AS est_bytes,
+           substr(md5(text), 1, 16) AS sig
+    FROM s ORDER BY doc_id
+    """,
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal RESIZE stage (the brief's decode / feature-extract /
+    resize / frame-sample quartet — this is the one the inventory
+    lacked): aspect-preserving fit-into-224 planning for the image
+    rows, run through the Arrow-batched mapInPandas an inference
+    preprocessor uses (sources/multimodal.py:resize_plan_arrow). The
+    pixel transform itself is the honestly-stubbed codec
+    (decode_media); everything Spark owns — schema, Arrow batch shape,
+    partition-parallel execution, dimension math, payload fidelity —
+    is real and oracle-checked: pandas floats and DuckDB floats run
+    the identical IEEE scale-then-floor, and the md5 passthrough
+    proves the payload bytes crossed Arrow unchanged."""
+    media = _media(spark, sf_dir).filter(F.col("meta.media_type") == "image/jpeg")
+    return multimodal.resize_plan_arrow(media).orderBy("doc_id")

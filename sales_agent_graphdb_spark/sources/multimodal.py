@@ -175,3 +175,52 @@ def frame_sample_arrow(media: DataFrame, stride: int = FRAME_BYTES) -> DataFrame
             )
 
     return media.mapInPandas(frames, schema=FRAMES_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, src_w int, src_h int, dst_w int, dst_h int,"
+    " est_bytes long, sig string"
+)
+
+
+def resize_plan_arrow(media: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize stage for image payloads, as the
+    Arrow-batched mapInPandas an inference preprocessor runs: per
+    batch, compute the fit-into-target dims (scale = min(t/w, t/h),
+    dst = max(1, floor(src·scale))), the decoded-tensor byte estimate
+    (dst_w·dst_h·3), and the payload md5 (fidelity passthrough). The
+    PIXEL transform is the stubbed codec step (decode_media): a real
+    deployment decodes, resizes and re-encodes inside this same
+    function with the identical batch shape — the Spark-side plumbing
+    (schema, Arrow batching, partition-parallel execution) is what
+    this engine owns. All dimension math is IEEE double then floor,
+    identical in pandas, the JVM and the DuckDB oracle."""
+
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        t = float(target)
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: int(m["width"]))
+            h = pdf["meta"].map(lambda m: int(m["height"]))
+            scale = [min(t / float(a), t / float(b)) for a, b in zip(w, h)]
+            dst_w = [max(1, math.floor(float(a) * s)) for a, s in zip(w, scale)]
+            dst_h = [max(1, math.floor(float(b) * s)) for b, s in zip(h, scale)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": pd.Series(w, dtype="int32"),
+                    "src_h": pd.Series(h, dtype="int32"),
+                    "dst_w": pd.Series(dst_w, dtype="int32"),
+                    "dst_h": pd.Series(dst_h, dtype="int32"),
+                    "est_bytes": pd.Series(
+                        [int(a) * int(b) * 3 for a, b in zip(dst_w, dst_h)],
+                        dtype="int64",
+                    ),
+                    "sig": pdf["payload"].map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()[:16]
+                    ),
+                }
+            )
+
+    return media.mapInPandas(plan, schema=RESIZE_SCHEMA)
