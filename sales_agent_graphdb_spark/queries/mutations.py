@@ -411,3 +411,119 @@ def m7_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         a, b, "o_orderkey", ["o_totalprice", "o_orderstatus"]
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# M8 — CDC batch apply: a change-data-capture log (I/U/D ops with
+# sequence numbers, the Debezium/binlog shape) applied to the current
+# table in ONE set-oriented pass. Per key only the LATEST op in the
+# batch matters (row_number by seq desc), then: D drops the row, U
+# overwrites it, I inserts it — a row-at-a-time replayer is the
+# anti-pattern this operator replaces.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m8_cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 < 7),
+    log AS (
+      SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+             o_totalprice * CAST(1.1 AS DOUBLE) AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 10 IN (1, 2)
+      UNION ALL
+      SELECT o_orderkey AS k, 2 AS seq, 'D' AS op,
+             CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+      FROM orders WHERE o_orderkey % 10 IN (2, 3)
+      UNION ALL
+      SELECT o_orderkey AS k, 1 AS seq, 'I' AS op,
+             o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 10 IN (7, 8)),
+    latest AS (
+      SELECT k, op, price, status FROM (
+        SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        FROM log) WHERE rn = 1),
+    applied AS (
+      SELECT b.k, COALESCE(l.price, b.price) AS price,
+             COALESCE(l.status, b.status) AS status
+      FROM base b LEFT JOIN latest l ON b.k = l.k
+      WHERE l.op IS NULL OR l.op <> 'D'
+      UNION ALL
+      SELECT l.k, l.price, l.status FROM latest l
+      LEFT JOIN base b ON b.k = l.k
+      WHERE b.k IS NULL AND l.op IN ('I', 'U'))
+    SELECT k, price, status FROM applied ORDER BY k
+    """,
+)
+def m8_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — CDC batch apply (reference parity: the per-request
+    INSERT/UPDATE/DELETE endpoints of the OLTP surface — products.py /
+    db_service.py row mutations — replayed as ONE set-oriented merge
+    of the accumulated change log, the shape a warehouse applies a
+    binlog/Debezium batch with). Log derived deterministically from
+    orders: updates (+10% price) for keys %10∈{1,2}, later deletes for
+    {2,3} (so key%10==2 exercises update-then-delete sequencing),
+    inserts for {7,8} (7 new, 8 new — base holds %10<7).
+
+    Shape: latest-op-per-key via a window partitioned by key (never
+    global), one left join + anti join against the base, no
+    row-at-a-time replay. At 100 TB both sides shuffle once on the
+    key; with the base bucketed by key (sources/bucketing.py) the
+    apply is exchange-free. Sequencing correctness (update THEN
+    delete = gone; the reverse would resurrect) is exactly what the
+    oracle hash certifies."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 < 7).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    upd = o.filter((F.col("o_orderkey") % 10).isin(1, 2)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * F.lit(1.1)).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    dele = o.filter((F.col("o_orderkey") % 10).isin(2, 3)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("status"),
+    )
+    ins = o.filter((F.col("o_orderkey") % 10).isin(7, 8)).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    log = upd.unionByName(dele).unionByName(ins)
+
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
+    latest = (
+        log.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("k", "op", F.col("price").alias("l_price"), F.col("status").alias("l_status"))
+    )
+    survivors = (
+        base.join(latest, "k", "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "k",
+            F.coalesce(F.col("l_price"), F.col("price")).alias("price"),
+            F.coalesce(F.col("l_status"), F.col("status")).alias("status"),
+        )
+    )
+    inserts = (
+        latest.filter(F.col("op").isin("I", "U"))
+        .join(base.select("k"), "k", "left_anti")
+        .select("k", F.col("l_price").alias("price"), F.col("l_status").alias("status"))
+    )
+    return survivors.unionByName(inserts).orderBy("k")
