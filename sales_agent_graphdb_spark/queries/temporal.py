@@ -733,3 +733,102 @@ def ts_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.select("user_id", "n_events", "last_ts", ewma.alias("ewma"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "asof_join_nearest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS side FROM events
+      WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS side FROM events
+      WHERE event_type = 'click'
+    ),
+    w AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bk_ts,
+             first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fw_ts
+      FROM u
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN NULL
+                WHEN fw_ts IS NULL THEN bk_ts
+                WHEN bk_ts IS NULL THEN fw_ts
+                WHEN epoch_us(ts) - epoch_us(bk_ts)
+                     <= epoch_us(fw_ts) - epoch_us(ts) THEN bk_ts
+                ELSE fw_ts END AS nearest_purchase_ts,
+           CASE WHEN bk_ts IS NULL AND fw_ts IS NULL THEN 'none'
+                WHEN fw_ts IS NULL THEN 'back'
+                WHEN bk_ts IS NULL THEN 'fwd'
+                WHEN epoch_us(ts) - epoch_us(bk_ts)
+                     <= epoch_us(fw_ts) - epoch_us(ts) THEN 'back'
+                ELSE 'fwd' END AS direction,
+           CAST(least(epoch_us(ts) - epoch_us(bk_ts),
+                      epoch_us(fw_ts) - epoch_us(ts)) AS BIGINT) AS delta_us
+    FROM w WHERE side = 1 ORDER BY event_id
+    """,
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: each click is matched to its
+    closest purchase by the same user in EITHER direction (ties go
+    backward; same-instant purchases are backward matches by the
+    (ts, side, event_id) total order). The TimescaleDB/kdb "nearest"
+    as-of flavor, completing the backward (asof_join_last_purchase),
+    banded and SCD2 variants.
+
+    Same scale shape as the backward form: ONE shuffle on user_id
+    carrying BOTH directions — the backward pass is last_value IGNORE
+    NULLS over the preceding frame, the forward pass is first_value
+    over the following frame, in the same window partitioning; O(1)
+    state per row, never a per-pair range explosion. Deltas compare
+    in exact integer microseconds (epoch_us both engines)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("side")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("side")
+    )
+    base = (
+        W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+    )
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    is_p = F.col("side") == 0
+    u = (
+        p.unionByName(c)
+        .withColumn("bk_ts", F.last(F.when(is_p, F.col("ts")), ignorenulls=True).over(wb))
+        .withColumn("fw_ts", F.first(F.when(is_p, F.col("ts")), ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    bk_d = us - F.unix_micros(F.col("bk_ts"))
+    fw_d = F.unix_micros(F.col("fw_ts")) - us
+    back_wins = bk_d <= fw_d
+    nearest = (
+        F.when(F.col("bk_ts").isNull() & F.col("fw_ts").isNull(), F.lit(None).cast("timestamp"))
+        .when(F.col("fw_ts").isNull(), F.col("bk_ts"))
+        .when(F.col("bk_ts").isNull(), F.col("fw_ts"))
+        .when(back_wins, F.col("bk_ts"))
+        .otherwise(F.col("fw_ts"))
+    )
+    direction = (
+        F.when(F.col("bk_ts").isNull() & F.col("fw_ts").isNull(), "none")
+        .when(F.col("fw_ts").isNull(), "back")
+        .when(F.col("bk_ts").isNull(), "fwd")
+        .when(back_wins, "back")
+        .otherwise("fwd")
+    )
+    return u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        nearest.alias("nearest_purchase_ts"),
+        direction.alias("direction"),
+        F.least(bk_d, fw_d).cast("bigint").alias("delta_us"),
+    ).orderBy("event_id")

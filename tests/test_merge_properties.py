@@ -218,3 +218,77 @@ def test_table_diff_null_key_rows(spark):
     assert len(rows) == 1
     assert rows[0].k is None and rows[0].change == "changed"
     assert (rows[0].s_old, rows[0].s_new) == ("x", "z")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(1, 8), st.floats(0, 100, allow_nan=False)),
+        max_size=6,
+        unique_by=lambda t: t[0],
+    ),
+    log=st.lists(
+        st.tuples(
+            st.integers(1, 8),                      # key
+            st.integers(1, 5),                      # seq
+            st.sampled_from(["I", "U", "D"]),       # op
+            st.floats(0, 100, allow_nan=False),     # price
+        ),
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1]),           # one op per (key, seq)
+    ),
+)
+def test_cdc_apply_matches_reference_model(spark, base, log):
+    """CDC apply (the m8 shape, exercised as a pure operator here) —
+    for ANY base table and op log, the set-oriented apply equals a
+    dict-replay reference model: latest op per key wins; D drops, I/U
+    upserts; keys without ops pass through untouched."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    base_df = spark.createDataFrame(
+        base or [(999, 0.0)], "k long, price double"
+    )
+    if not base:
+        base_df = base_df.filter(F.col("k") < 0)
+    log_df = spark.createDataFrame(
+        log or [(999, 1, "I", 0.0)], "k long, seq int, op string, price double"
+    )
+    if not log:
+        log_df = log_df.filter(F.col("k") < 0)
+
+    rn = F.row_number().over(W.partitionBy("k").orderBy(F.col("seq").desc()))
+    latest = (
+        log_df.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("k", "op", F.col("price").alias("l_price"))
+    )
+    survivors = (
+        base_df.join(latest, "k", "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select("k", F.coalesce(F.col("l_price"), F.col("price")).alias("price"))
+    )
+    inserts = (
+        latest.filter(F.col("op").isin("I", "U"))
+        .join(base_df.select("k"), "k", "left_anti")
+        .select("k", F.col("l_price").alias("price"))
+    )
+    got = {(r.k, r.price) for r in survivors.unionByName(inserts).collect()}
+
+    # reference model: dict replay
+    table = {k: p for k, p in base}
+    last_op: dict[int, tuple[int, str, float]] = {}
+    for k, seq, op, price in log:
+        if k not in last_op or seq > last_op[k][0]:
+            last_op[k] = (seq, op, price)
+    for k, (_, op, price) in last_op.items():
+        if op == "D":
+            table.pop(k, None)
+        else:
+            table[k] = price
+    want = set(table.items())
+    assert got == want
