@@ -430,3 +430,44 @@ def basket_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_baskets").desc(), "prod_a", "prod_b")
         .limit(1000)
     )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus AS status, o_orderpriority AS prio,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT status, prio, n,
+             row_number() OVER (PARTITION BY status ORDER BY n DESC, prio) AS rk
+      FROM c)
+    SELECT status, prio AS mode_priority, CAST(n AS BIGINT) AS n_orders
+    FROM r WHERE rk = 1 ORDER BY status
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group (most frequent order priority per
+    status, ties to the lexically smallest — fully deterministic,
+    unlike any sampling-based mode). Shape: one map-side-combinable
+    count on the (group, value) pair key, then a per-group argmax
+    window sharded by group — the two-step that replaces a
+    collect-and-count at any scale; the window frame is
+    |distinct values| per group, never the fact table."""
+    from pyspark.sql import Window as W
+
+    o = catalog.load_table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(
+        W.partitionBy("status").orderBy(F.col("n").desc(), F.col("prio"))
+    )
+    return (
+        c.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("status", F.col("prio").alias("mode_priority"), F.col("n").alias("n_orders"))
+        .orderBy("status")
+    )

@@ -439,3 +439,89 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels.select("node", F.col("label").alias("community")).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling — the degeneracy/community-density primitive:
+# repeatedly drop nodes with fewer than k surviving neighbors. Run for
+# a FIXED round count (like the LPA unroll) so both engines compute
+# the identical intermediate, converged or not.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    parts = [_LPA_EDGES_SQL.replace(
+        ",\n    l0 AS (SELECT c_custkey AS node, CAST(c_custkey AS BIGINT) AS label\n           FROM customer)",
+        ",\n    n0 AS (SELECT c_custkey AS node FROM customer)",
+    )]
+    prev = "n0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS (SELECT s.src AS node, COUNT(*) AS deg FROM sym s
+            JOIN {prev} a ON s.src = a.node
+            JOIN {prev} b ON s.dst = b.node GROUP BY 1),
+    n{i} AS (SELECT node FROM d{i} WHERE deg >= {k})""")
+        prev = f"n{i}"
+    parts.append(f"""
+    SELECT n.node, CAST(d.deg AS BIGINT) AS residual_degree
+    FROM n{rounds} n JOIN d{rounds} d USING (node) ORDER BY n.node""")
+    return "".join(parts)
+
+
+@register("graph_k_core", oracle=_kcore_oracle())
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded {k}-core peeling over the customer proximity graph
+    (4 rounds): each round recomputes degrees over the SURVIVING
+    subgraph and drops nodes below degree 3 — the density primitive
+    behind community pruning and graph degeneracy orderings. Fixed
+    round count keeps the result a pure function of the graph on both
+    engines (the LPA unroll rule); a production run loops to a
+    fixpoint with the same per-round plan plus the CC-style
+    changed-flag early exit.
+
+    Scale: per round ONE degree aggregation over edges whose BOTH
+    endpoints survive (two semi-join-shaped equi-joins against the
+    checkpointed survivor set, each O(|E|)); the survivor frame
+    shrinks monotonically, so later rounds cost less, never more.
+    Edge derivation shared with graph_triangle_count /
+    graph_label_propagation."""
+    from pyspark.sql import Window as W
+
+    c = catalog.load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    nbr = c.select(
+        F.col("c_custkey").alias("k"),
+        F.lead("c_custkey", 1).over(w).alias("n1"),
+        F.lead("c_custkey", 2).over(w).alias("n2"),
+    )
+    e1 = nbr.filter(F.col("n1").isNotNull()).select(
+        F.col("k").alias("lo"), F.col("n1").alias("hi")
+    )
+    e2 = nbr.filter(F.col("n2").isNotNull()).select(
+        F.col("k").alias("lo"), F.col("n2").alias("hi")
+    )
+    edges = e1.unionByName(e2)
+    sym = (
+        edges.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    nodes = c.select(F.col("c_custkey").alias("node"))
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            sym.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        nodes = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+    return (
+        nodes.join(deg, "node")
+        .select("node", F.col("deg").cast("bigint").alias("residual_degree"))
+        .orderBy("node")
+    )

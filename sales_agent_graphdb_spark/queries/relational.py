@@ -475,3 +475,45 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             li="sqlapi_lineitem",
         )
     )
+
+
+# Keyset cursor: the deterministic (date, key) position a previous page
+# ended at. OFFSET pagination re-scans and re-sorts the full prefix on
+# every page; the keyset predicate prunes to rows AFTER the cursor and
+# the top-k sort stays O(page).
+_KS_DATE = "1997-06-01"
+_KS_KEY = 0
+_KS_PAGE = 20
+
+
+@register(
+    "o5_keyset_pagination",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE o_orderdate > TIMESTAMP '{_KS_DATE}'
+       OR (o_orderdate = TIMESTAMP '{_KS_DATE}' AND o_orderkey > {_KS_KEY})
+    ORDER BY o_orderdate, o_orderkey LIMIT {_KS_PAGE}
+    """,
+)
+def o5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — keyset (cursor) pagination: the next page after cursor
+    (o_orderdate, o_orderkey) = ('{_KS_DATE}', {_KS_KEY}), ordered by
+    the same composite key. The reference pages its product lists
+    per-request; OFFSET n re-sorts the whole prefix every page —
+    keyset instead pushes the cursor predicate INTO THE SCAN
+    (PushedFilters on o_orderdate) and the sort+limit plans as
+    TakeOrderedAndProject: per-partition top-20 heaps, driver merge,
+    cost O(page) regardless of how deep the cursor sits. The shape
+    that keeps page 10,000 as cheap as page 1 at 100 TB."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    cur = F.lit(_KS_DATE).cast("timestamp")
+    after = (F.col("o_orderdate") > cur) | (
+        (F.col("o_orderdate") == cur) & (F.col("o_orderkey") > _KS_KEY)
+    )
+    return (
+        o.filter(after)
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(_KS_PAGE)
+    )
