@@ -310,3 +310,79 @@ def ann_index_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t", "bucket")
     )
+
+
+def _ivf_inc_oracle(n_cells: int = 16) -> str:
+    from sales_agent_graphdb_spark.operators.ann import duckdb_fold_dot_sql
+
+    return f"""
+    WITH cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells})),
+    assign AS (
+      SELECT e.vec_id, (SELECT c.cid FROM cents c
+              ORDER BY {duckdb_fold_dot_sql("c.cv", "e.embedding")} DESC, c.cid
+              LIMIT 1) AS cell
+      FROM embeddings e)
+    SELECT CAST(cell AS INT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM assign GROUP BY cell ORDER BY cell
+    """
+
+
+@register("ann_ivf_index_incremental", oracle=_ivf_inc_oracle())
+def ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-index maintenance — the cell-partitioned twin of
+    ann_index_incremental_upsert, turning that query's "same recipe
+    maintains the IVF index" claim into a checked row: centroids are
+    FROZEN at base-build time (the production contract — batches
+    assign against the serving centroids; re-clustering is a separate
+    offline rebuild), the new batch (vec_id >= 400) assigns to cells
+    with the same argmax-fold-dot as the build, and only the touched
+    cell partitions rewrite under dynamic partition overwrite. The
+    oracle re-derives the full assignment from scratch: incremental
+    content == full rebuild, per-cell count + id checksum. Centroids
+    here are the deterministic first-16-by-id (all inside the base
+    corpus), so the frozen-centroid contract and the oracle's
+    full-corpus derivation agree exactly."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    _require_dim64(len(_query_vec(spark, sf_dir)), "ann_ivf_index_incremental")
+    path = _index_path(sf_dir, "ivf_incremental")
+    src = _emb_src(sf_dir)
+    if not stamp.is_fresh(path, src, version="ivf-incr-v1-upserted"):
+        base = emb.filter(F.col("vec_id") < _INC_SPLIT)
+        cents = ann._ivf_centroids(base, 16, "vec_id", "embedding")
+        (
+            ann.ivf_assign(base, cents)
+            .select("vec_id", "cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+        new_rows = ann.ivf_assign(
+            emb.filter(F.col("vec_id") >= _INC_SPLIT), cents
+        ).select("vec_id", "cell")
+        affected = new_rows.select("cell").distinct()
+        existing = (
+            spark.read.parquet(path)
+            .join(F.broadcast(affected), ["cell"])
+            .select("vec_id", "cell")
+        )
+        updated = existing.unionByName(new_rows).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            updated.write.mode("overwrite").partitionBy("cell").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        stamp.mark(path, src, version="ivf-incr-v1-upserted")
+    idx = spark.read.parquet(path)
+    return (
+        idx.groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ids"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .orderBy("cell")
+    )
