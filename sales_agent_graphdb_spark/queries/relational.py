@@ -517,3 +517,42 @@ def o5_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(_KS_PAGE)
     )
+
+
+@register(
+    "set_ops_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'O'),
+    b AS (SELECT o_orderpriority AS prio FROM orders WHERE o_orderstatus = 'F'),
+    ex AS (SELECT 'except_all' AS op, prio FROM (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)),
+    ia AS (SELECT 'intersect_all' AS op, prio FROM (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b))
+    SELECT op, prio, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+    GROUP BY op, prio ORDER BY op, prio
+    """,
+)
+def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 completion — BAG-semantics set operations: EXCEPT ALL and
+    INTERSECT ALL over order-priority multisets (open vs finished
+    orders), surfaced as per-value multiplicities. Bag semantics are
+    what dedup accounting actually needs (EXCEPT collapses to one row
+    per value and silently loses counts); Spark's exceptAll /
+    intersectAll plan as hash aggregations on the value with count
+    arithmetic — one shuffle each on the compared key, no sort, and
+    the multiplicity math is exact integers so the oracle hash is
+    trivial."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    ex = a.exceptAll(b).select(F.lit("except_all").alias("op"), "prio")
+    ia = a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "prio")
+    return (
+        ex.unionByName(ia)
+        .groupBy("op", "prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("op", "prio")
+    )
