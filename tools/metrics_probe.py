@@ -44,6 +44,10 @@ PROBED = [
     "ts_downsample_ohlc",          # single-exchange window+agg
     "ann_hard_negatives",          # broadcast hash join, no shuffle
     "vec_quantize_int8",           # map-side only — zero shuffle
+    "m8_cdc_apply",                # latest-op window + keyed merge
+    "graph_k_core",                # per-round degree agg (post-checkpoint floor)
+    "corpus_shuffle_epoch",        # sharded permutation, no global sort
+    "asof_join_nearest",           # one user-sharded two-direction window
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
