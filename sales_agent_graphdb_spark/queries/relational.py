@@ -556,3 +556,165 @@ def set_ops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("op", "prio")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front-end FAMILY (VERDICT r05 #2). sql_api_revenue_by_nation
+# proved one statement stays dialect-portable; these four widen the
+# certified surface to the SQL shapes the DataFrame queries cover but
+# the text path didn't: a ranked window, correlated EXISTS + IN
+# subqueries (Catalyst decorrelation vs DuckDB's), a grouped HAVING,
+# and a CTE chain feeding a window. Each statement is submitted to
+# spark.sql() VERBATIM and to DuckDB minus only the broadcast hints —
+# the statement IS the oracle, so a dialect divergence (type coercion,
+# rank semantics, decorrelation bug) hash-mismatches immediately.
+# Money/quantity math through exact DECIMAL everywhere so summation
+# order can't skew the doubles.
+# ---------------------------------------------------------------------------
+
+_SQLAPI_TABLES = ("customer", "nation", "orders", "lineitem", "part")
+
+
+def _sqlapi_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _SQLAPI_TABLES:
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlapi_{t}")
+
+
+def _strip_hints(sql: str) -> str:
+    import re as _re
+
+    return _re.sub(r"/\*\+[^*]*\*/", "", sql)
+
+
+# Windowed top-N from text: per-customer 3 largest finished orders.
+# ROW_NUMBER with a full tiebreaker (price DESC, key) so both engines
+# rank identically; plans as one hash-partitioned window over
+# o_custkey — no global sort.
+_SQL_WINDOW = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+      FROM {ord}
+      WHERE o_orderstatus = 'F'
+    ) t
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk
+"""
+
+
+@register(
+    "sql_api_window_topn",
+    oracle=_SQL_WINDOW.format(ord="orders"),
+)
+def sql_api_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: ranked-window top-3 orders per customer from raw
+    text. Certifies window-function semantics (frame, rank numbering,
+    tie handling) agree across the dialect. Scale: the status filter
+    pushes to the scan, the window hash-partitions on o_custkey (one
+    shuffle), rk <= 3 prunes before the final order — no global
+    single-partition window anywhere."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_WINDOW.format(ord="sqlapi_orders"))
+
+
+# Correlated NOT EXISTS (decorrelates to an anti join) + IN subquery
+# (semi join) in one statement — the two rewrite classes §3.2's NL
+# planner also emits, here certified from SQL text.
+_SQL_EXISTS = """
+    SELECT c.c_custkey, c.c_name
+    FROM {cust} c
+    WHERE NOT EXISTS (SELECT 1 FROM {ord} o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+      AND c.c_nationkey IN (SELECT n_nationkey FROM {nat} WHERE n_name LIKE 'NATION_1%')
+    ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "sql_api_exists_in",
+    oracle=_SQL_EXISTS.format(cust="customer", ord="orders", nat="nation"),
+)
+def sql_api_exists_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: customers in NATION_1x nations with no
+    PROCESSING order — correlated NOT EXISTS (with an inner predicate,
+    so the decorrelation must push it into the anti-join's build side)
+    plus an IN subquery in one statement. Catalyst decorrelates to a
+    left-anti join on o_custkey and a left-semi broadcast join on the
+    25-row nation subquery; DuckDB runs its own decorrelation —
+    matching outputs certify both rewrites (28 rows at sf0.01; the
+    every-customer-has-orders shape of the testdata makes a bare
+    NOT EXISTS vacuous, hence the status-scoped inner predicate).
+    Scale: anti join shuffles on the customer key once; the IN side is
+    a broadcast."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(
+        _SQL_EXISTS.format(
+            cust="sqlapi_customer", ord="sqlapi_orders", nat="sqlapi_nation"
+        )
+    )
+
+
+# Grouped HAVING: post-aggregation predicate from text.
+_SQL_HAVING = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM {li}
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "sql_api_having",
+    oracle=_SQL_HAVING.format(li="lineitem"),
+)
+def sql_api_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: grouped aggregate with a HAVING filter on a
+    non-projected aggregate (COUNT), quantity summed through exact
+    DECIMAL. Certifies HAVING resolution order and aggregate type
+    coercion. Scale: map-side-combinable aggregate on a 4-value
+    composite key; HAVING evaluates post-merge on a handful of rows."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_HAVING.format(li="sqlapi_lineitem"))
+
+
+# CTE chain: aggregate CTE -> windowed CTE -> final projection.
+_SQL_CTE = """
+    WITH brand_rev AS (
+      SELECT /*+ BROADCAST(p) */ p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+      FROM {li} l JOIN {part} p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    ), ranked AS (
+      SELECT brand, rev,
+             CAST(DENSE_RANK() OVER (ORDER BY rev DESC, brand) AS INT) AS rnk
+      FROM brand_rev
+    )
+    SELECT brand, CAST(rev AS DOUBLE) AS revenue, rnk
+    FROM ranked
+    WHERE rnk <= 10
+    ORDER BY rnk, brand
+"""
+
+
+@register(
+    "sql_api_cte_rank",
+    oracle=_strip_hints(_SQL_CTE.format(li="lineitem", part="part")),
+)
+def sql_api_cte_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end: CTE chain — per-brand revenue (broadcast dim
+    join, exact-DECIMAL money math) feeding a DENSE_RANK window, top
+    10 brands. Certifies CTE scoping, decimal propagation through a
+    chain, and rank-over-aggregate semantics. The rev ORDER in the
+    window compares exact decimals, so rank ties are impossible to
+    skew by float noise; ties on equal revenue break by brand. Scale:
+    the only data shuffle is the brand aggregate (map-side combined);
+    the window input is |brands| rows on one partition — bounded by
+    the brand domain, not the data."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_CTE.format(li="sqlapi_lineitem", part="sqlapi_part"))

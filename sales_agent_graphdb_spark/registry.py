@@ -51,18 +51,30 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # already-hash-verified names run last — they only re-check if the
 # round's budget allows.
 _PRIORITY: list[str] = [
-    # Round 5: empty — every registered query has a cumulative green
-    # driver row (CORRECTNESS_r01..r04; r04 closed the last 36,
-    # including a NON-vacuous basket_pair_counts at 1000 rows). New
-    # queries registered this round are unverified and therefore sort
-    # ahead of the verified block automatically; no manual pinning
-    # needed unless a prior green turns out to be vacuous again.
+    # Round 6: the four rows-only ANN perf twins gained verdict/equality
+    # oracles this round (VERDICT r05 #1) — pin them first so the driver
+    # records their first hash-green row instead of err:no_oracle.
+    "ann_lsh_topk", "ann_ivf_topk",
+    "ann_lsh_pruned_topk", "ann_ivf_pruned_topk",
+    "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_incremental_minhash", "dedup_cluster_canonical",
 ]
 
 # Queries the driver has hash-verified (rows+schema+value-hash green) in
 # CORRECTNESS_r01..r04. These run LAST so the budget reaches
 # never-checked queries first.
 _VERIFIED: frozenset[str] = frozenset({
+    # --- green in CORRECTNESS_r05 (46/46 verifiable rows green; all 22
+    # new r05 queries non-vacuous) ---
+    "agg_mode_per_group", "ann_hard_negatives", "vec_quantize_int8",
+    "ann_index_incremental_upsert", "ann_ivf_index_incremental",
+    "sample_quality_bins", "corpus_shuffle_epoch",
+    "dedup_repeated_passages", "w9_cumulative_distinct_users",
+    "graph_label_propagation", "graph_k_core", "mm_resize_plan",
+    "m8_cdc_apply", "sql_api_revenue_by_nation", "o5_keyset_pagination",
+    "set_ops_bag_semantics", "s13_compact_small_files",
+    "ts_downsample_ohlc", "ts_ewma_per_user", "asof_join_nearest",
+    "s8b_api_stream_ingest", "st_stream_ewma_exec",
     # --- green in CORRECTNESS_r04 (all 50 rows green; basket_pair_counts
     # re-earned its row NON-vacuously: 1000 rows on both engines) ---
     "basket_pair_counts", "sample_weighted_hash", "dedup_semantic_cell",

@@ -99,3 +99,51 @@ def test_lsh_pruned_matches_querytime_variant(spark, tmp_path):
     ]
     assert pruned == querytime
     assert 0 in {v for v, _ in pruned}
+
+
+def test_perf_twins_bit_equal_portable(spark):
+    """The r06 direct-oracle contract: each rows-only perf twin must
+    return EXACTLY its hash-green portable counterpart's output (the
+    perf paths differ only in driver-side numpy bucket/probe selection
+    — or, for the k-means IVF index, in which cells get probed, with
+    the exact rerank converging to the same top-5). If numeric drift
+    ever breaks this equality, this test fails locally before the
+    driver ever records a red row."""
+    from sales_agent_graphdb_spark.registry import all_queries
+
+    specs = all_queries()
+    for perf, portable in [
+        ("ann_lsh_topk", "ann_lsh_topk_portable"),
+        ("ann_ivf_topk", "ann_ivf_topk_portable"),
+        ("ann_lsh_pruned_topk", "ann_lsh_pruned_portable"),
+        ("ann_ivf_pruned_topk", "ann_ivf_pruned_portable"),
+    ]:
+        p = sorted(tuple(r) for r in specs[perf].fn(spark, SF).collect())
+        q = sorted(tuple(r) for r in specs[portable].fn(spark, SF).collect())
+        assert p == q, f"{perf} != {portable}: {p} vs {q}"
+
+
+def test_ivf_pruned_fresh_rebuild_still_equals_portable(spark, monkeypatch):
+    """Rebuild the k-means IVF index from scratch (ignoring the stamped
+    on-disk one) and re-check the perf twin's output still bit-equals
+    the portable twin — guarding the direct oracle against Lloyd
+    float-summation jitter across container rebuilds."""
+    import shutil
+
+    from sales_agent_graphdb_spark.queries import ann_search
+    from sales_agent_graphdb_spark.registry import all_queries
+
+    specs = all_queries()
+    fresh_root = ann_search._INDEX_ROOT.parent / "ann_index_rebuild_test"
+    shutil.rmtree(fresh_root, ignore_errors=True)
+    monkeypatch.setattr(ann_search, "_INDEX_ROOT", fresh_root)
+    try:
+        p = sorted(
+            tuple(r) for r in specs["ann_ivf_pruned_topk"].fn(spark, SF).collect()
+        )
+        q = sorted(
+            tuple(r) for r in specs["ann_ivf_pruned_portable"].fn(spark, SF).collect()
+        )
+        assert p == q
+    finally:
+        shutil.rmtree(fresh_root, ignore_errors=True)

@@ -150,9 +150,9 @@ def test_cluster_canonical_matches_exact_components(spark):
     cluster)."""
     import json
 
-    from sales_agent_graphdb_spark.queries.dedup import dedup_cluster_canonical
+    from sales_agent_graphdb_spark.queries.dedup import cluster_canonical_frame
 
-    rows = dedup_cluster_canonical(spark, SF_SMALL).collect()
+    rows = cluster_canonical_frame(spark, SF_SMALL).collect()
     assert rows, "planted duplicates must produce clusters"
     # exact ground-truth components via union-find over exact pairs
     corpus = dup_corpus(spark, SF_SMALL)
