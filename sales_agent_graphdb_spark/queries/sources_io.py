@@ -598,3 +598,156 @@ def s8b_api_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = spark.createDataFrame(out.collect(), schema=out.schema)
     spark.catalog.dropTempView(sink)
     return result
+
+
+@register(
+    "s8c_stream_restart_resume",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_products,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           TRUE AS run1_strict_prefix,
+           TRUE AS resumed_batch_numbering,
+           TRUE AS batches_align_pages
+    FROM part GROUP BY brand ORDER BY brand
+    """,
+)
+def s8c_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8c — CHECKPOINT-RESTART exactly-once evidence (VERDICT r05 #3):
+    the s8b paginated stream run TWICE against one checkpoint. Run 1
+    sees the endpoint truncated to its first 3 pages (``max_pages`` —
+    the API's state at time T), drains, and stops; run 2 reopens the
+    SAME checkpoint against the full 8-page endpoint and drains the
+    rest. Each micro-batch lands in a parquet lake via foreachBatch
+    with DYNAMIC batch_id-partition overwrite — the idempotent-rewrite
+    pattern that makes a replayed batch a no-op instead of a
+    duplicate.
+
+    The page layout (page = p_partkey % 8, api_source.ensure_api_pages)
+    makes every restart claim hash-checkable against the plain part
+    table:
+    - run1_strict_prefix: between the runs the lake held EXACTLY the
+      rows with p_partkey % 8 < 3 (count + key checksum compared
+      in-plan) — the stop provably landed mid-stream;
+    - resumed_batch_numbering: run 2's foreachBatch callbacks saw
+      batch ids starting at 3, not 0 — the query resumed the
+      checkpoint's committed offset instead of restarting the source;
+    - batches_align_pages: in the final lake every row satisfies
+      batch_id == p_partkey % 8 across exactly 8 distinct batch ids —
+      batch b carried page b and nothing was replayed or skipped.
+    The brand aggregate over the restart-crossing lake must then equal
+    the oracle's one-shot part aggregate bit-for-bit (exact DECIMAL).
+
+    Scale: checkpointed offsets + idempotent partition overwrite is
+    THE nightly-ingest restart contract at 100 TB — restart cost is
+    |uncommitted batches|, not |history|, and a crash between sink
+    write and offset commit re-lands one partition of bytes rather
+    than corrupting the table."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from sales_agent_graphdb_spark.sources.api_source import (
+        ensure_api_pages,
+        register_api_stream_source,
+    )
+
+    endpoint = ensure_api_pages(spark, sf_dir)
+    register_api_stream_source(spark)
+    run_id = _uuid.uuid4().hex[:12]
+    ckpt = _scratch(sf_dir, f"s8c_ckpt_{run_id}")
+    lake = _scratch(sf_dir, f"s8c_lake_{run_id}")
+
+    run2_batches: list[int] = []
+
+    def _writer(batch_ids: list[int] | None):
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_ids is not None:
+                batch_ids.append(batch_id)
+            if batch_df.isEmpty():
+                return
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(lake)
+            )
+
+        return write_batch
+
+    def _drain(max_pages: int | None, batch_ids: list[int] | None) -> None:
+        reader = spark.readStream.format("product_api_stream").option(
+            "endpoint", endpoint
+        )
+        if max_pages is not None:
+            reader = reader.option("max_pages", str(max_pages))
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(_writer(batch_ids))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        # Run 1: endpoint serves pages 0-2 only; drain and stop.
+        _drain(3, None)
+        mid = spark.read.parquet(lake).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_partkey").alias("key_sum"),
+            F.max("batch_id").alias("max_bid"),
+        ).collect()[0]
+        # Run 2: full endpoint, SAME checkpoint; resumes at page 3.
+        _drain(None, run2_batches)
+        final = spark.read.parquet(lake)
+
+        part = catalog.load_table(spark, sf_dir, "part")
+        prefix = part.filter(F.col("p_partkey") % 8 < 3).agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("p_partkey").alias("pkey_sum")
+        )
+        verdict_prefix = prefix.select(
+            (
+                (F.col("pn") == F.lit(mid["n"]))
+                & (F.col("pkey_sum") == F.lit(mid["key_sum"]))
+                & (F.lit(mid["max_bid"]) == 2)
+            ).alias("run1_strict_prefix")
+        )
+        resumed = bool(run2_batches) and min(run2_batches) == 3
+        align = final.agg(
+            (
+                (F.coalesce(
+                    F.sum(F.when(F.col("batch_id") != F.col("p_partkey") % 8, 1)),
+                    F.lit(0),
+                ) == 0)
+                & (F.count_distinct(F.col("batch_id")) == 8)
+            ).alias("batches_align_pages")
+        )
+        verdict = F.broadcast(
+            verdict_prefix.crossJoin(align).withColumn(
+                "resumed_batch_numbering", F.lit(resumed)
+            )
+        )
+        out = (
+            final.groupBy(F.col("p_brand").alias("brand"))
+            .agg(
+                F.count(F.lit(1)).alias("n_products"),
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+            )
+            .crossJoin(verdict)
+            .select(
+                "brand", "n_products", "total_price",
+                "run1_strict_prefix", "resumed_batch_numbering",
+                "batches_align_pages",
+            )
+            .orderBy("brand")
+        )
+        # Materialize before the finally-block deletes the lake files.
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(lake, ignore_errors=True)

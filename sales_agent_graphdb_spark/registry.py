@@ -166,6 +166,8 @@ _SLOW_TAIL: frozenset[str] = frozenset({
     # r05 streaming execs: multi-micro-batch Python stream source
     # drain; stateful EWMA stream.
     "s8b_api_stream_ingest", "st_stream_ewma_exec",
+    # r06: two full stream drains across a checkpoint restart.
+    "s8c_stream_restart_resume",
 })
 
 

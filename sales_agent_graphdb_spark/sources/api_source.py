@@ -151,6 +151,12 @@ def _build_product_api_stream_classes():
     class ProductApiStreamReader(SimpleDataSourceStreamReader):
         def __init__(self, options: dict):
             self._endpoint = options["endpoint"]
+            # Simulates the endpoint's state at a point in time: serve
+            # only the first N pages (0 = everything). The restart
+            # query (s8c) drains a 3-page prefix, stops, then resumes
+            # the SAME checkpoint against the full endpoint — the
+            # production restart-as-new-data-lands shape.
+            self._max_pages = int(options.get("max_pages", "0") or 0)
 
         def initialOffset(self):
             return {"page": 0}
@@ -161,6 +167,8 @@ def _build_product_api_stream_classes():
             import os as _os
 
             pages = sorted(_glob.glob(_os.path.join(self._endpoint, "page=*")))
+            if self._max_pages:
+                pages = pages[: self._max_pages]
             if page_idx >= len(pages):
                 return None
             rows = []
