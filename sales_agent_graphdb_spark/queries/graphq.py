@@ -525,3 +525,141 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("deg").cast("bigint").alias("residual_degree"))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixpoint k-core over the co-purchase graph (VERDICT r05 #5): the
+# production loop-to-convergence form. The Spark side iterates with a
+# count-based changed flag (survivor sets shrink monotonically, so
+# count equality == set equality) under a max-round guard; the oracle
+# unrolls the peel PAST the measured convergence depth — post-fixpoint
+# rounds are no-ops, so the unrolled SQL equals the true k-core — and
+# derives the data-determined round count from the unrolled cardinality
+# sequence, so convergence depth itself is hash-verified.
+# ---------------------------------------------------------------------------
+
+_KCORE_FIX_K = 65        # below the core-collapse threshold at every test SF
+_KCORE_FIX_UNROLL = 8    # oracle unroll; measured fixpoint: 4 rounds at
+                         # sf0.001, 2 at sf0.01 (probe in CHANGES_r06.md)
+_KCORE_FIX_GUARD = 32    # Spark-side max-round guard
+
+
+# MATERIALIZED hints are load-bearing: each n_i is referenced twice by
+# d_{i+1}, so an inlining planner would expand the chain 2^rounds
+# times. Forcing one evaluation per CTE keeps the oracle linear in
+# rounds (DuckDB honors the Postgres-style hint).
+_COPURCHASE_EDGES_SQL = """
+    WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    sym AS MATERIALIZED (SELECT lo AS src, hi AS dst FROM pairs
+            UNION ALL SELECT hi AS src, lo AS dst FROM pairs),
+    n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)"""
+
+
+def _kcore_fixpoint_oracle(k: int = _KCORE_FIX_K,
+                           rounds: int = _KCORE_FIX_UNROLL) -> str:
+    parts = [_COPURCHASE_EDGES_SQL]
+    prev = "n0"
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT s.src AS node, COUNT(*) AS deg FROM sym s
+            JOIN {prev} a ON s.src = a.node
+            JOIN {prev} b ON s.dst = b.node GROUP BY 1),
+    n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})""")
+        prev = f"n{i}"
+    counts = ", ".join(
+        f"(SELECT COUNT(*) FROM n{i}) AS c{i}" for i in range(rounds + 1)
+    )
+    fix_case = " ".join(
+        f"WHEN c{i} = c{i - 1} THEN {i}" for i in range(1, rounds + 1)
+    )
+    parts.append(f""",
+    cardinals AS (SELECT {counts}),
+    fix AS (SELECT CASE {fix_case} END AS r FROM cardinals)
+    SELECT n.node AS node,
+           CAST(d.deg AS BIGINT) AS residual_degree,
+           CAST(fix.r AS BIGINT) AS rounds_to_fixpoint
+    FROM n{rounds} n JOIN d{rounds} d USING (node), fix
+    ORDER BY n.node""")
+    return "".join(parts)
+
+
+@register("graph_k_core_fixpoint", oracle=_kcore_fixpoint_oracle())
+def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling run TO CONVERGENCE (not a fixed unroll) over the
+    part co-purchase graph — parts are adjacent when they appear in the
+    same order, the basket structure the reference's recommendation
+    surface walks one hop of (neo4j_service.py:256-323). Each round
+    recomputes degrees over the surviving induced subgraph and drops
+    nodes below degree {k}; the loop exits on a changed-flag — survivor
+    sets shrink monotonically (n_i ⊆ n_{{i-1}}), so a count-equality
+    check is a sound set-equality check — under a max-round guard of
+    {guard}. The returned `rounds_to_fixpoint` is data-determined (4 at
+    sf0.001, 2 at sf0.01), certifying the loop really converged rather
+    than running a hardcoded schedule; the oracle reproduces it from
+    the unrolled cardinality sequence.
+
+    Scale: the edge build is the bounded per-order basket self-join
+    (same shape as basket_pair_counts — fanout is items-per-order²,
+    never corpus²). Per round: ONE degree aggregation over edges whose
+    both endpoints survive (two equi-joins against the checkpointed
+    survivor set, O(|E|) each); later rounds cost strictly less as the
+    subgraph shrinks, and the loop runs only as long as the data
+    demands. Each round's survivor frame is localCheckpointed so
+    lineage stays O(1) across iterations — the same discipline as
+    connected_components (operators/graph.py) — and the changed-flag
+    count doubles as the materializing action.
+    """
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        )
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    prev_count = nodes.count()
+    deg = None
+    rounds = 0
+    for _ in range(_KCORE_FIX_GUARD):
+        deg = (
+            sym.join(nodes.withColumnRenamed("node", "src"), "src")
+            .join(nodes.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
+        )
+        nodes = deg.filter(F.col("deg") >= _KCORE_FIX_K).select("node")
+        cur_count = nodes.count()
+        rounds += 1
+        if cur_count == prev_count:
+            break
+        prev_count = cur_count
+    return (
+        nodes.join(deg, "node")
+        .select(
+            F.col("node").cast("bigint").alias("node"),
+            F.col("deg").cast("bigint").alias("residual_degree"),
+            F.lit(rounds).cast("bigint").alias("rounds_to_fixpoint"),
+        )
+        .orderBy("node")
+    )
+
+
+graph_k_core_fixpoint.__doc__ = graph_k_core_fixpoint.__doc__.format(
+    k=_KCORE_FIX_K, guard=_KCORE_FIX_GUARD
+)

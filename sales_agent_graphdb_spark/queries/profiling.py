@@ -510,3 +510,116 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         verdict(F.hll_sketch_estimate("sk_all"), F.col("n_exact_all"), _HLL_TOL_ALL),
     )
     return per_day.unionByName(total).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two corpus windows (chi-square)
+# ---------------------------------------------------------------------------
+
+# 95% critical value of chi-square with 1 df: the conventional per-cell
+# drift alarm threshold. A domain constant, not a tuning knob.
+_CHI2_CRIT = 3.841
+
+
+@register(
+    "dq_drift_chi_square",
+    oracle="""
+    WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS tmin,
+                      CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax FROM events),
+    t AS (SELECT event_type,
+                 CASE WHEN 2 * epoch_us(ts) > tmin + tmax
+                      THEN 1 ELSE 0 END AS is_cur
+          FROM events, b),
+    c AS (SELECT event_type,
+                 CAST(SUM(1 - is_cur) AS BIGINT) AS ref_n,
+                 CAST(SUM(is_cur) AS BIGINT) AS cur_n
+          FROM t GROUP BY 1),
+    tot AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS tot_ref,
+                   CAST(SUM(cur_n) AS BIGINT) AS tot_cur,
+                   CAST(SUM(ref_n + cur_n) AS BIGINT) AS n_all FROM c)
+    SELECT event_type, ref_n, cur_n,
+           CAST(ref_n AS DOUBLE) / CAST(tot_ref AS DOUBLE) AS ref_share,
+           CAST(cur_n AS DOUBLE) / CAST(tot_cur AS DOUBLE) AS cur_share,
+           (CAST(ref_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(ref_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           / (CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           + (CAST(cur_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(cur_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))
+           / (CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))
+           AS chi2,
+           ((CAST(ref_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(ref_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           / (CAST((ref_n + cur_n) * tot_ref AS DOUBLE) / CAST(n_all AS DOUBLE))
+           + (CAST(cur_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))
+           * (CAST(cur_n AS DOUBLE) - CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))
+           / (CAST((ref_n + cur_n) * tot_cur AS DOUBLE) / CAST(n_all AS DOUBLE))) > 3.841
+           AS drifted
+    FROM c, tot ORDER BY event_type
+    """,
+)
+def dq_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two corpus windows — the snapshot-
+    over-snapshot QC gate a training-data pipeline runs before
+    admitting a new crawl: split events at the exact time midpoint
+    (``2*t > tmin+tmax``: pure integer comparison, no division
+    rounding), count each event_type on both sides, and compute the
+    per-type chi-square contribution against the pooled expectation.
+    ``drifted`` flags cells past the 95% critical value (3.841).
+
+    Cross-engine determinism: counts are exact integers; every double
+    is produced by the same +,-,*,/ sequence on both engines (IEEE ops
+    are exactly rounded, so identical operand order => identical bits
+    — the feature_correlation power-sum rule; no log/sqrt). Products
+    like (ref_n+cur_n)*tot_ref stay well under 2^53 at any realistic
+    type cardinality.
+
+    Scale: one parquet-stats-cheap min/max agg broadcast as a one-row
+    frame, then ONE map-side-combinable groupBy(event_type) — the only
+    data shuffle carries |types| partial rows. The totals frame is
+    |types| rows re-aggregated to one row and broadcast back. At
+    100 TB this is two scans of one column each (ts, event_type),
+    shuffling kilobytes."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros("ts")).cast("bigint").alias("tmin"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("tmax"),
+    )
+    tagged = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "is_cur",
+        F.when(
+            F.unix_micros("ts") * 2 > F.col("tmin") + F.col("tmax"), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    c = tagged.groupBy("event_type").agg(
+        F.sum(1 - F.col("is_cur")).cast("bigint").alias("ref_n"),
+        F.sum("is_cur").cast("bigint").alias("cur_n"),
+    )
+    tot = c.agg(
+        F.sum("ref_n").cast("bigint").alias("tot_ref"),
+        F.sum("cur_n").cast("bigint").alias("tot_cur"),
+        F.sum(F.col("ref_n") + F.col("cur_n")).cast("bigint").alias("n_all"),
+    )
+    j = c.crossJoin(F.broadcast(tot))
+    n_all_d = F.col("n_all").cast("double")
+    e_ref = ((F.col("ref_n") + F.col("cur_n")) * F.col("tot_ref")).cast(
+        "double"
+    ) / n_all_d
+    e_cur = ((F.col("ref_n") + F.col("cur_n")) * F.col("tot_cur")).cast(
+        "double"
+    ) / n_all_d
+    d_ref = F.col("ref_n").cast("double") - e_ref
+    d_cur = F.col("cur_n").cast("double") - e_cur
+    chi2 = d_ref * d_ref / e_ref + d_cur * d_cur / e_cur
+    return j.select(
+        "event_type",
+        "ref_n",
+        "cur_n",
+        (F.col("ref_n").cast("double") / F.col("tot_ref").cast("double")).alias(
+            "ref_share"
+        ),
+        (F.col("cur_n").cast("double") / F.col("tot_cur").cast("double")).alias(
+            "cur_share"
+        ),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(_CHI2_CRIT)).alias("drifted"),
+    ).orderBy("event_type")

@@ -120,15 +120,47 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w5_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.5 — decile bucketing of account balances (global ntile;
-    note: single-partition window — at 100 TB use approx percentile
-    (pct_approx_value) for buckets, or the two-pass range-partitioned
-    prefix sum (w7_global_running_sum) when the global accumulation
-    must stay exact)."""
-    c = catalog.load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
+    """§2.5 — decile bucketing of account balances, computed as EXACT
+    distributed ntile with NO single-partition window (this was the
+    repo's one remaining global-window site; rewritten round 6).
+
+    Decomposition: ntile(n) is a pure function of the global rank, so
+    (1) compute the global row_number with the two-pass range-
+    partitioned prefix COUNT (operators/prefix_sum.py — per-range local
+    row_numbers + an O(n_partitions) offset pass), then (2) apply the
+    SQL ntile size rule arithmetically — with N rows the first
+    N mod n buckets hold (N div n)+1 rows — via integer `div` (never
+    double division, so the bucket id is exact at any N). The total
+    row count joins in as a broadcast one-row frame. The DuckDB oracle
+    stays the plain `ntile(10) OVER (ORDER BY ...)` form, so the hash
+    certifies the decomposition IS ntile. Scale: two balanced full
+    exchanges (range + pid) plus a 10-row aggregate — the shape that
+    survives 100 TB, vs the old form's one exchange into ONE task."""
+    from sales_agent_graphdb_spark.operators.prefix_sum import global_prefix_sum
+
+    c = catalog.load_table(spark, sf_dir, "customer").select(
+        "c_acctbal", "c_custkey"
+    )
+    keyed = c.withColumn(
+        "_ok", F.struct("c_acctbal", "c_custkey")
+    ).withColumn("_one", F.lit(1))
+    ranked = global_prefix_sum(keyed, "_ok", "_one", out_col="rn")
+    # N from the BASE table, not the ranked frame: the count collapses
+    # to parquet row-group statistics instead of re-running the rank
+    # path a second time.
+    total = c.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     return (
-        c.select("c_acctbal", F.ntile(10).over(w).alias("bucket"))
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_q", F.expr("_n div 10"))
+        .withColumn("_rem", F.expr("_n % 10"))
+        .withColumn("_th", F.expr("_rem * (_q + 1)"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CASE WHEN rn <= _th THEN (rn + _q) div (_q + 1) "
+                "ELSE _rem + (rn - _th + greatest(_q, 1) - 1) div greatest(_q, 1) END"
+            ).cast("int"),
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -58,6 +58,14 @@ _PRIORITY: list[str] = [
     "ann_lsh_pruned_topk", "ann_ivf_pruned_topk",
     "dedup_minhash_lsh", "dedup_simhash",
     "dedup_incremental_minhash", "dedup_cluster_canonical",
+    # Round 6: new operators needing their first driver row.
+    "sql_api_window_topn", "sql_api_exists_in",
+    "sql_api_having", "sql_api_cte_rank",
+    "s8c_stream_restart_resume", "graph_k_core_fixpoint",
+    "dq_drift_chi_square",
+    # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
+    # re-earn its green on the new plan.
+    "w5_ntile_buckets",
 ]
 
 # Queries the driver has hash-verified (rows+schema+value-hash green) in

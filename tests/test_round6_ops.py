@@ -73,3 +73,22 @@ def test_dedup_verdict_rows_all_true(spark):
             for k, v in d.items():
                 if k not in ("id_a", "id_b", "new_id", "corpus_id", "is_exact"):
                     assert v is True, f"{name}: verdict {k}={v} on row {d}"
+
+
+def test_kcore_fixpoint_converges_data_determined(spark):
+    """The fixpoint loop must exit on the changed-flag well before the
+    max-round guard, with a data-determined depth > 1 (a depth of 1
+    would mean the whole graph is already a core — a vacuous loop) and
+    a non-empty residual core."""
+    from sales_agent_graphdb_spark.queries.graphq import (
+        _KCORE_FIX_GUARD,
+        _KCORE_FIX_K,
+        graph_k_core_fixpoint,
+    )
+
+    rows = graph_k_core_fixpoint(spark, SF_SMALL).collect()
+    assert rows, "fixpoint core must be non-empty"
+    depth = rows[0].rounds_to_fixpoint
+    assert 1 < depth < _KCORE_FIX_GUARD
+    assert all(r.rounds_to_fixpoint == depth for r in rows)
+    assert all(r.residual_degree >= _KCORE_FIX_K for r in rows)

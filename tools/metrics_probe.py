@@ -107,10 +107,92 @@ def collect_metrics(df) -> dict[str, int]:
     return agg
 
 
+def _partition_row_counts(df) -> list[int]:
+    """Rows per output partition of ``df`` AS JOINED — spark_partition_id
+    is evaluated before the counting groupBy's own exchange, so the
+    counts describe the join's reducer layout, not the count's."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .collect()
+    )
+    return sorted((int(r["count"]) for r in rows), reverse=True)
+
+
+def skew_ab(sf_dir: str) -> int:
+    """A/B the salted join against the plain shuffle join under a
+    planted hot key (VERDICT r05 #4): 30% of lineitem rows are remapped
+    to one part key, then joined to the part dim with broadcast OFF and
+    AQE OFF — the regime where only explicit salting can help (AQE's
+    skew split stays on in production sessions; it is disabled here so
+    the probe measures salting itself, not AQE). Reports rows landing
+    on the largest reducer partition for both forms; the collapse of
+    max-partition share is the salting benefit."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.operators.skew import salted_join
+
+    spark = get_spark(
+        app_name="skew_ab_probe",
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        "p_partkey", "p_brand"
+    )
+    hot = 42  # an existing p_partkey; ~30% of fact rows collapse onto it
+    fact = li.select(
+        F.when(
+            F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(10)) < 3,
+            F.lit(hot),
+        )
+        .otherwise(F.col("l_partkey"))
+        .alias("p_partkey"),
+        "l_extendedprice",
+    )
+    out = {}
+    for form, join_fn in (
+        ("plain", lambda: fact.join(part, "p_partkey")),
+        ("salted", lambda: salted_join(fact, part, "p_partkey", n_salts=8)),
+    ):
+        t0 = time.monotonic()
+        counts = _partition_row_counts(join_fn())
+        wall = time.monotonic() - t0
+        total = sum(counts)
+        out[form] = {
+            "max_partition_rows": counts[0],
+            "median_partition_rows": counts[len(counts) // 2],
+            "max_share": round(counts[0] / total, 4),
+            "n_partitions": len(counts),
+            "total_rows": total,
+            "wall_sec": round(wall, 2),
+        }
+        print(json.dumps({"skew_ab": form, "sf_dir": sf_dir, **out[form]}))
+    ratio = out["plain"]["max_partition_rows"] / max(
+        1, out["salted"]["max_partition_rows"]
+    )
+    print(json.dumps({
+        "summary": "skew_ab",
+        "sf_dir": sf_dir,
+        "max_partition_collapse": round(ratio, 2),
+    }))
+    return 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = [a for a in sys.argv[1:] if a != "--skew-ab"]
+    sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    if "--skew-ab" in sys.argv:
+        return skew_ab(sf_dir)
     spark = get_spark(app_name="metrics_probe")
     qs = all_queries()
     out = {}
