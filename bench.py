@@ -76,6 +76,12 @@ HEADLINE = [
     "sql_api_revenue_by_nation",
     "ts_ewma_per_user",
     "ann_index_incremental_upsert",
+    # Round 6: fixpoint k-core, exact distributed ntile (rewritten w5),
+    # drift QC, and the widened SQL front-end's heaviest statement.
+    "graph_k_core_fixpoint",
+    "w5_ntile_buckets",
+    "dq_drift_chi_square",
+    "sql_api_window_topn",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

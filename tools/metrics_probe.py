@@ -48,6 +48,11 @@ PROBED = [
     "graph_k_core",                # per-round degree agg (post-checkpoint floor)
     "corpus_shuffle_epoch",        # sharded permutation, no global sort
     "asof_join_nearest",           # one user-sharded two-direction window
+    # Round 6 additions.
+    "graph_k_core_fixpoint",       # loop-to-convergence peel (post-checkpoint floor)
+    "w5_ntile_buckets",            # exact distributed ntile: range+pid exchanges
+    "dq_drift_chi_square",         # |types|-row agg shuffle only
+    "sql_api_window_topn",         # SQL text -> hash-partitioned window
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
