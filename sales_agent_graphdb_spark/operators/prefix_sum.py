@@ -189,3 +189,56 @@ def global_prefix_sum_single_exchange(
             yield out
 
     return ranged.mapInPandas(add_offsets, schema=schema)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ``ntile(n) OVER (ORDER BY order_cols)`` with NO
+    single-partition window (the w5_ntile_buckets rewrite, factored
+    for reuse; the composite ``order_cols`` must define a total order
+    — include a unique tie-break column).
+
+    ntile is a pure function of the global rank, so: (1) global
+    row_number via :func:`global_prefix_sum` over a constant-1 column
+    (struct-packed composite order key), then (2) the SQL ntile size
+    rule — with N rows the first N mod n buckets hold (N div n)+1 —
+    applied with integer ``div`` arithmetic, exact at any N. The total
+    count joins in as a broadcast one-row frame computed from the BASE
+    frame (a column-pruned count, parquet-stats-cheap on file scans).
+
+    Scale: two balanced full-data exchanges (range + pid) plus an
+    O(n_partitions) offset side plan — vs the built-in global ntile
+    window's one exchange into ONE task. Output: input columns plus
+    ``out_col`` (int, 1-based)."""
+    reserved = {"_ok", "_one", "_rn", "_n", "_q", "_rem", "_th"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_ntile: input columns collide with internal names {sorted(clash)}"
+        )
+    keyed = df.withColumn("_ok", F.struct(*order_cols)).withColumn(
+        "_one", F.lit(1)
+    )
+    ranked = global_prefix_sum(
+        keyed, "_ok", "_one", out_col="_rn", num_partitions=num_partitions
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("_q", F.expr(f"_n div {int(n)}"))
+        .withColumn("_rem", F.expr(f"_n % {int(n)}"))
+        .withColumn("_th", F.expr("_rem * (_q + 1)"))
+        .withColumn(
+            out_col,
+            F.expr(
+                "CASE WHEN _rn <= _th THEN (_rn + _q) div (_q + 1) "
+                "ELSE _rem + (_rn - _th + greatest(_q, 1) - 1) div greatest(_q, 1) END"
+            ).cast("int"),
+        )
+        .drop("_ok", "_one", "_rn", "_n", "_q", "_rem", "_th")
+    )

@@ -136,31 +136,13 @@ def w5_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the decomposition IS ntile. Scale: two balanced full
     exchanges (range + pid) plus a 10-row aggregate — the shape that
     survives 100 TB, vs the old form's one exchange into ONE task."""
-    from sales_agent_graphdb_spark.operators.prefix_sum import global_prefix_sum
+    from sales_agent_graphdb_spark.operators.prefix_sum import distributed_ntile
 
     c = catalog.load_table(spark, sf_dir, "customer").select(
         "c_acctbal", "c_custkey"
     )
-    keyed = c.withColumn(
-        "_ok", F.struct("c_acctbal", "c_custkey")
-    ).withColumn("_one", F.lit(1))
-    ranked = global_prefix_sum(keyed, "_ok", "_one", out_col="rn")
-    # N from the BASE table, not the ranked frame: the count collapses
-    # to parquet row-group statistics instead of re-running the rank
-    # path a second time.
-    total = c.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(total))
-        .withColumn("_q", F.expr("_n div 10"))
-        .withColumn("_rem", F.expr("_n % 10"))
-        .withColumn("_th", F.expr("_rem * (_q + 1)"))
-        .withColumn(
-            "bucket",
-            F.expr(
-                "CASE WHEN rn <= _th THEN (rn + _q) div (_q + 1) "
-                "ELSE _rem + (rn - _th + greatest(_q, 1) - 1) div greatest(_q, 1) END"
-            ).cast("int"),
-        )
+        distributed_ntile(c, ["c_acctbal", "c_custkey"], 10, out_col="bucket")
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

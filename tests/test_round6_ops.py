@@ -92,3 +92,41 @@ def test_kcore_fixpoint_converges_data_determined(spark):
     assert 1 < depth < _KCORE_FIX_GUARD
     assert all(r.rounds_to_fixpoint == depth for r in rows)
     assert all(r.residual_degree >= _KCORE_FIX_K for r in rows)
+
+
+def test_distributed_ntile_matches_builtin(spark):
+    """distributed_ntile must equal Spark's own global ntile window on
+    a frame whose size is NOT divisible by n (exercising the uneven
+    size rule) and that contains heavy order-key ties (exercising the
+    composite tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.operators.prefix_sum import distributed_ntile
+
+    n = 7
+    # 157 rows, values with many ties (mod 13), unique id tie-break
+    df = spark.range(157).select(
+        (F.col("id") % 13).alias("v"), F.col("id").alias("uid")
+    )
+    got = {
+        (r.v, r.uid): r.bucket
+        for r in distributed_ntile(df, ["v", "uid"], n).collect()
+    }
+    w = Window.orderBy("v", "uid")
+    want = {
+        (r.v, r.uid): r.bucket
+        for r in df.select("v", "uid", F.ntile(n).over(w).alias("bucket")).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_rejects_reserved_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.operators.prefix_sum import distributed_ntile
+
+    df = spark.range(5).select(F.col("id"), F.lit(1).alias("_rn"))
+    with pytest.raises(ValueError):
+        distributed_ntile(df, ["id"], 3)
