@@ -82,6 +82,8 @@ HEADLINE = [
     "w5_ntile_buckets",
     "dq_drift_chi_square",
     "sql_api_window_topn",
+    "join_salted_hot_keys",
+    "agg_equidepth_histogram",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -55,3 +55,76 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
     )
     return f.join(d, keys + [_SALT], how).drop(_SALT)
+
+
+def salted_join_hot_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    n_salts: int = 8,
+    hot_frac: float = 0.05,
+    how: str = "inner",
+) -> DataFrame:
+    """The production two-pass variant of :func:`salted_join`: detect
+    the heavy-hitter keys first, then salt ONLY those — cold keys join
+    un-replicated, so the dim-side blowup is |dim| + |hot|·(n_salts-1)
+    rows instead of |dim|·n_salts.
+
+    Pass 1 (detection): an exact map-side-combinable frequency count
+    per join key; keys holding more than ``hot_frac`` of the fact are
+    hot. The hot set is mathematically bounded by 1/hot_frac rows
+    (at most that many keys can each exceed that fraction), so it
+    broadcasts at ANY data scale — the detection output is small by
+    construction, not by assumption. At 100 TB with an unbounded key
+    domain where even the |keys|-row count frame is too wide, swap the
+    exact count for a count-min sketch pass (agg_countmin_portable has
+    the portable sketch); the salting stage is unchanged.
+
+    Pass 2 (salting): fact rows carrying a hot key round-robin over
+    ``n_salts`` salts; cold rows take salt 0. Dim rows replicate across
+    all salts only for hot keys. Join on keys + salt as in
+    :func:`salted_join`; result identity for inner/left with the fact
+    on the left (property-tested in tests/test_skew.py)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join_hot_keys supports inner/left joins, got {how!r}"
+        )
+    if not 0 < hot_frac < 1:
+        raise ValueError(f"hot_frac must be in (0,1), got {hot_frac}")
+    keys = [on] if isinstance(on, str) else list(on)
+    reserved = {_SALT, "_kcnt", "_ktot", "_hot"}
+    for side, name in ((fact, "fact"), (dim, "dim")):
+        clash = reserved & set(side.columns)
+        if clash:
+            raise ValueError(
+                f"salted_join_hot_keys: {name} columns collide with "
+                f"internal names {sorted(clash)} — rename them first"
+            )
+    freq = fact.groupBy(*keys).agg(F.count(F.lit(1)).alias("_kcnt"))
+    total = fact.agg(F.count(F.lit(1)).cast("double").alias("_ktot"))
+    hot = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("_kcnt").cast("double") > F.col("_ktot") * F.lit(hot_frac))
+        .select(*keys, F.lit(1).alias("_hot"))
+    )
+    f = fact.join(F.broadcast(hot), keys, "left").withColumn(
+        _SALT,
+        F.when(
+            F.col("_hot") == 1,
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    ).drop("_hot")
+    d = dim.join(F.broadcast(hot), keys, "left").withColumn(
+        _SALT,
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.when(F.col("_hot") == 1, F.lit(n_salts - 1)).otherwise(
+                    F.lit(0)
+                ),
+            ).cast("array<int>")
+        ),
+    ).drop("_hot")
+    return f.join(d, keys + [_SALT], how).drop(_SALT)

@@ -631,11 +631,19 @@ def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    nodes = sym.select(F.col("src").alias("node")).distinct()
-    prev_count = nodes.count()
-    deg = None
-    rounds = 0
-    for _ in range(_KCORE_FIX_GUARD):
+    # Round 1 shortcut: the survivor set starts as ALL nodes, so the
+    # first degree pass needs no survivor joins — one groupBy over sym.
+    deg = (
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    prev_count = deg.count()  # |n0| = every node has deg >= 1 in sym
+    nodes = deg.filter(F.col("deg") >= _KCORE_FIX_K).select("node")
+    cur_count = nodes.count()
+    rounds = 1
+    while cur_count != prev_count and rounds < _KCORE_FIX_GUARD:
+        prev_count = cur_count
         deg = (
             sym.join(nodes.withColumnRenamed("node", "src"), "src")
             .join(nodes.withColumnRenamed("node", "dst"), "dst")
@@ -646,9 +654,6 @@ def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         nodes = deg.filter(F.col("deg") >= _KCORE_FIX_K).select("node")
         cur_count = nodes.count()
         rounds += 1
-        if cur_count == prev_count:
-            break
-        prev_count = cur_count
     return (
         nodes.join(deg, "node")
         .select(

@@ -623,3 +623,55 @@ def dq_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(_CHI2_CRIT)).alias("drifted"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (optimizer-statistics construction)
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_BUCKETS = 20
+
+
+@register(
+    "agg_equidepth_histogram",
+    oracle=f"""
+    WITH t AS (SELECT l_extendedprice AS v,
+                      l_orderkey * 10 + l_linenumber AS uid FROM lineitem),
+    b AS (SELECT v, ntile({_EQUIDEPTH_BUCKETS}) OVER (ORDER BY v, uid) AS bucket
+          FROM t)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(v) AS DOUBLE) AS lo, CAST(MAX(v) AS DOUBLE) AS hi
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of lineitem prices — the
+    statistic a cost-based optimizer stores per column (Spark's own
+    ANALYZE TABLE ... FOR COLUMNS builds exactly this shape): every
+    bucket holds the same row count, bucket bounds carry the value
+    skew. Built on the EXACT distributed ntile
+    (operators/prefix_sum.distributed_ntile — range-partitioned prefix
+    count + integer-div size rule, no single-partition window), so the
+    histogram is exact, not sampled, yet scales: two balanced
+    exchanges over the fact regardless of row count. Tie-break uid is
+    l_orderkey*10+l_linenumber (linenumber < 10 — a unique portable
+    integer). Contrast: the equal-WIDTH histogram
+    (agg_value_histogram) bins by value range in one pass but starves
+    buckets under skew; equi-depth is what selectivity estimation
+    needs."""
+    from sales_agent_graphdb_spark.operators.prefix_sum import distributed_ntile
+
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    return (
+        distributed_ntile(li, ["v", "uid"], _EQUIDEPTH_BUCKETS, out_col="bucket")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").cast("double").alias("lo"),
+            F.max("v").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

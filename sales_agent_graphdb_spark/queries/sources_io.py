@@ -751,3 +751,83 @@ def s8c_stream_restart_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _shutil.rmtree(ckpt, ignore_errors=True)
         _shutil.rmtree(lake, ignore_errors=True)
+
+
+@register(
+    "s14_corrupt_quarantine",
+    oracle="""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey <= 1000),
+    valid AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0)
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM valid GROUP BY 1
+    UNION ALL
+    SELECT '~QUARANTINED' AS status,
+           CAST((SELECT COUNT(*) FROM base WHERE o_orderkey % 7 = 0) AS BIGINT) AS n,
+           CAST(0 AS DOUBLE) AS sum_price
+    ORDER BY status
+    """,
+)
+def s14_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — malformed-record quarantine, the ingest
+    robustness contract every production feed needs: a JSONL batch
+    where every 7th-ish record (o_orderkey % 7 == 0 — a portable
+    integer rule, so the oracle reproduces the planted corruption
+    exactly) is written as invalid JSON; the reader runs PERMISSIVE
+    with columnNameOfCorruptRecord so bad records become rows instead
+    of job failures, valid rows flow to the exact-DECIMAL aggregate,
+    and corrupt rows are counted into a '~QUARANTINED' ledger line
+    (sorting after the status letters; the production sink would write
+    them to a dead-letter path for replay). FAILFAST would abort the
+    100 TB job on one bad crawl record; DROPMALFORMED would silently
+    lose data — PERMISSIVE + quarantine is the only shape that is both
+    complete and auditable.
+
+    The parsed frame is localCheckpointed before the split: Spark
+    disallows filtering ONLY the internal corrupt-record column on a
+    raw file scan (the parser would need a second pass), so the
+    materialization is load-bearing, not a cache nicety. Scale: the
+    JSON scan parallelizes per file split; the corrupt predicate is a
+    null check; both legs reuse the one materialized pass."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 1000
+    )
+    path = _scratch(sf_dir, "jsonl_corrupt")
+    line = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice"))
+    (
+        o.select(
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.concat(F.lit("{BAD::"), F.substring(line, 1, 12)),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .localCheckpoint(eager=False)
+    )
+    valid = parsed.filter(F.col("_corrupt_record").isNull())
+    quarantined = parsed.filter(F.col("_corrupt_record").isNotNull())
+    good = valid.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    bad = quarantined.agg(
+        F.lit("~QUARANTINED").alias("status"),
+        F.count(F.lit(1)).alias("n"),
+        F.lit(0.0).alias("sum_price"),
+    )
+    return good.unionByName(bad).orderBy("status")

@@ -62,7 +62,8 @@ _PRIORITY: list[str] = [
     "sql_api_window_topn", "sql_api_exists_in",
     "sql_api_having", "sql_api_cte_rank",
     "s8c_stream_restart_resume", "graph_k_core_fixpoint",
-    "dq_drift_chi_square",
+    "dq_drift_chi_square", "join_salted_hot_keys",
+    "s14_corrupt_quarantine", "agg_equidepth_histogram",
     # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
     # re-earn its green on the new plan.
     "w5_ntile_buckets",

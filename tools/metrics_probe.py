@@ -139,7 +139,10 @@ def skew_ab(sf_dir: str) -> int:
 
     from pyspark.sql import functions as F
 
-    from sales_agent_graphdb_spark.operators.skew import salted_join
+    from sales_agent_graphdb_spark.operators.skew import (
+        salted_join,
+        salted_join_hot_keys,
+    )
 
     spark = get_spark(
         app_name="skew_ab_probe",
@@ -166,6 +169,8 @@ def skew_ab(sf_dir: str) -> int:
     for form, join_fn in (
         ("plain", lambda: fact.join(part, "p_partkey")),
         ("salted", lambda: salted_join(fact, part, "p_partkey", n_salts=8)),
+        ("salted_hot_keys", lambda: salted_join_hot_keys(
+            fact, part, "p_partkey", n_salts=8, hot_frac=0.05)),
     ):
         t0 = time.monotonic()
         counts = _partition_row_counts(join_fn())
