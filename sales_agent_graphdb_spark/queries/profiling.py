@@ -526,10 +526,14 @@ _CHI2_CRIT = 3.841
     oracle="""
     WITH b AS (SELECT CAST(MIN(epoch_us(ts)) AS BIGINT) AS tmin,
                       CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax FROM events),
-    t AS (SELECT event_type,
-                 CASE WHEN 2 * epoch_us(ts) > tmin + tmax
-                      THEN 1 ELSE 0 END AS is_cur
-          FROM events, b),
+    t0 AS (SELECT event_type, event_id,
+                  CASE WHEN 2 * epoch_us(ts) > tmin + tmax
+                       THEN 1 ELSE 0 END AS is_cur
+           FROM events, b),
+    t AS (SELECT CASE WHEN is_cur = 1 AND event_id % 20 = 0
+                      THEN 'click' ELSE event_type END AS event_type,
+                 is_cur
+          FROM t0),
     c AS (SELECT event_type,
                  CAST(SUM(1 - is_cur) AS BIGINT) AS ref_n,
                  CAST(SUM(is_cur) AS BIGINT) AS cur_n
@@ -566,6 +570,14 @@ def dq_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type chi-square contribution against the pooled expectation.
     ``drifted`` flags cells past the 95% critical value (3.841).
 
+    Drift is deterministically PLANTED (the text_pii_scrub convention
+    — the raw synthetic stream is stationary, so every flag would be
+    vacuously false): 5% of current-window events (``event_id % 20 ==
+    0``, a portable rule the oracle applies identically) are remapped
+    to 'click', which fires the flag on exactly that type (chi2 ≈ 11)
+    while the diluted types stay under threshold — the check is
+    non-vacuous in BOTH directions.
+
     Cross-engine determinism: counts are exact integers; every double
     is produced by the same +,-,*,/ sequence on both engines (IEEE ops
     are exactly rounded, so identical operand order => identical bits
@@ -584,11 +596,22 @@ def dq_drift_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).cast("bigint").alias("tmin"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("tmax"),
     )
-    tagged = e.crossJoin(F.broadcast(bounds)).withColumn(
-        "is_cur",
-        F.when(
-            F.unix_micros("ts") * 2 > F.col("tmin") + F.col("tmax"), F.lit(1)
-        ).otherwise(F.lit(0)),
+    tagged = (
+        e.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "is_cur",
+            F.when(
+                F.unix_micros("ts") * 2 > F.col("tmin") + F.col("tmax"),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "event_type",
+            F.when(
+                (F.col("is_cur") == 1) & (F.col("event_id") % 20 == 0),
+                F.lit("click"),
+            ).otherwise(F.col("event_type")),
+        )
     )
     c = tagged.groupBy("event_type").agg(
         F.sum(1 - F.col("is_cur")).cast("bigint").alias("ref_n"),
