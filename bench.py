@@ -84,6 +84,9 @@ HEADLINE = [
     "sql_api_window_topn",
     "join_salted_hot_keys",
     "agg_equidepth_histogram",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -22,6 +22,7 @@ from sales_agent_graphdb_spark.queries import (  # noqa: F401
     streaming_exec,
     temporal,
     text,
+    tpch,
     vector,
     windows,
 )

@@ -130,3 +130,30 @@ def test_distributed_ntile_rejects_reserved_columns(spark):
     df = spark.range(5).select(F.col("id"), F.lit(1).alias("_rn"))
     with pytest.raises(ValueError):
         distributed_ntile(df, ["id"], 3)
+
+
+def test_tpch_q3_plans_topk_with_pushed_filters(spark):
+    """Q3 must plan the LIMIT as TakeOrderedAndProject (no global
+    sort) and push the segment/date predicates into the scans."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q3_shipping_priority
+
+    plan = _plan(tpch_q3_shipping_priority(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PushedFilters" in plan
+    assert "BUILDING" in plan  # segment filter reached a scan
+
+
+def test_tpch_q5_broadcasts_dims_and_keeps_locality_as_join_key(spark):
+    """nation/region must broadcast; the customer-nation ==
+    supplier-nation locality constraint must ride a join condition,
+    never survive as a post-join Filter over the cross-nation volume."""
+    from sales_agent_graphdb_spark.queries.tpch import (
+        tpch_q5_local_supplier_volume,
+    )
+
+    df = tpch_q5_local_supplier_volume(spark, SF_SMALL)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for line in plan.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith(": +- Filter"):
+            assert "c_nationkey" not in line or "s_nationkey" not in line, line
