@@ -208,3 +208,103 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — forecasting revenue change: the pure
+    filter-and-aggregate probe (no join, no group): one year of
+    shipments, discount band, small quantities. The canonical test
+    that EVERY predicate reaches the scan — date range prunes row
+    groups via parquet min/max, the discount/quantity conjuncts ride
+    PushedFilters — and the aggregate is a single map-side partial per
+    task. The discount band compares doubles against the exact grid
+    values (0.05/0.07 are members of the 2-dp domain, and both engines
+    compare the same stored doubles), while the SUM runs in exact
+    DECIMAL."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_MONEY)
+            * F.col("l_discount").cast(_RATE)
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           n.n_name AS nation,
+           CAST(c.c_acctbal AS DOUBLE) AS acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 — returned-item reporting: which customers returned
+    the most revenue in a quarter. 4-way join (returnflag-filtered
+    lineitems -> quarter orders -> customers -> broadcast nation) +
+    revenue top-20 as TakeOrderedAndProject. The classic customer-
+    attribution shape: the fact side shrinks at the scan (returnflag +
+    date pushed), the group key is the customer, and the limit never
+    materializes a global sort. Deterministic tie-break on custkey."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = catalog.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = catalog.load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast(_MONEY)
+        * (1 - F.col("l_discount").cast(_RATE))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("custkey", "name", "revenue", "nation", "acctbal")
+        .orderBy(F.col("revenue").desc(), "custkey")
+        .limit(20)
+    )

@@ -65,7 +65,8 @@ _PRIORITY: list[str] = [
     "dq_drift_chi_square", "join_salted_hot_keys",
     "s14_corrupt_quarantine", "agg_equidepth_histogram",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
+    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
     # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
     # re-earn its green on the new plan.
     "w5_ntile_buckets",

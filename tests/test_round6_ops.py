@@ -157,3 +157,21 @@ def test_tpch_q5_broadcasts_dims_and_keeps_locality_as_join_key(spark):
     for line in plan.splitlines():
         if line.strip().startswith("+- Filter") or line.strip().startswith(": +- Filter"):
             assert "c_nationkey" not in line or "s_nationkey" not in line, line
+
+
+def test_tpch_q6_pushes_every_predicate(spark):
+    """Q6 is the pushdown probe: date range + discount band + quantity
+    must all reach the parquet scan."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q6_forecast_revenue
+
+    plan = _plan(tpch_q6_forecast_revenue(spark, SF_SMALL))
+    assert "PushedFilters" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan.split("ReadSchema")[0] or col in plan, (col, plan)
+
+
+def test_tpch_q10_topk_no_global_sort(spark):
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q10_returned_items
+
+    plan = _plan(tpch_q10_returned_items(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in plan, plan
