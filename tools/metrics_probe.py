@@ -53,6 +53,8 @@ PROBED = [
     "w5_ntile_buckets",            # exact distributed ntile: range+pid exchanges
     "dq_drift_chi_square",         # |types|-row agg shuffle only
     "sql_api_window_topn",         # SQL text -> hash-partitioned window
+    "tpch_q1_pricing_summary",     # scan-dominated: only group partials move
+    "tpch_q5_local_supplier_volume",  # 6-way join: facts keyed once, dims broadcast
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
