@@ -89,6 +89,7 @@ HEADLINE = [
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
+    "tpch_q18_large_volume_customer",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

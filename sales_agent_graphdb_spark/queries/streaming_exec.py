@@ -289,3 +289,24 @@ def st_stream_ewma_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars) — the property that makes per-entity smoothing viable on
     an unbounded stream, vs the batch form's per-key event list."""
     return pipelines.ewma_stream(spark, sf_dir)
+
+
+def _scd2_oracle() -> str:
+    from sales_agent_graphdb_spark.queries.temporal import SCD2_ASOF_ORACLE
+
+    return SCD2_ASOF_ORACLE
+
+
+@register("st_stream_scd2_enrich", oracle=_scd2_oracle())
+def st_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — stream × SCD2-dimension TEMPORAL enrichment: the fourth
+    streaming join shape (next to stream-stream interval, stream-static
+    broadcast, and the batch as-of family): every streamed event picks
+    the dimension version in force AT EVENT TIME via the union-tag-
+    window as-of applied per microbatch in foreachBatch, with
+    idempotent per-batch_id partition landing. Shares join_scd2_asof's
+    oracle VERBATIM (queries/temporal.py:SCD2_ASOF_ORACLE), so
+    batch/stream temporal-join parity is the hash-certified claim —
+    a plain stream-static join would misattribute every event before a
+    dimension change. See streaming/pipelines.py:scd2_enrich_stream."""
+    return pipelines.scd2_enrich_stream(spark, sf_dir)

@@ -335,9 +335,30 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_scd2_asof",
-    oracle=f"""
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic two-version SCD2 dimension build shared by
+    join_scd2_asof (batch) and the streaming enrichment twin: every
+    customer's segment effective 2024-01-01; every 5th customer
+    re-segmented 'MOVED' effective 2024-01-15. Columns (user_id, seg,
+    ts=version-effective time)."""
+    c = catalog.load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+    ).unionByName(
+        c.filter(F.col("c_custkey") % 5 == 0).select(
+            F.col("c_custkey").alias("user_id"),
+            F.lit("MOVED").alias("seg"),
+            F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
+        )
+    )
+
+
+# Shared by join_scd2_asof (batch) and st_stream_scd2_enrich (the
+# per-microbatch streaming twin in streaming_exec.py): ONE oracle so
+# the two forms can never silently certify different results.
+SCD2_ASOF_ORACLE = f"""
     WITH hist AS (
       SELECT c_custkey AS user_id, c_mktsegment AS seg,
              TIMESTAMP '2024-01-01 00:00:00' AS vts
@@ -367,8 +388,10 @@ def ts_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
     FROM w WHERE side = 1
     GROUP BY seg_at, event_type ORDER BY segment, event_type
-    """,
-)
+    """
+
+
+@register("join_scd2_asof", oracle=SCD2_ASOF_ORACLE)
 def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal-dimension (SCD2 as-of) join — the warehousing staple
     the plain equi-join gets WRONG: each fact row must join the
@@ -387,19 +410,8 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot prune at 100 TB). A version effective exactly at the event
     timestamp applies (side 0 sorts first). Output rolls up to
     segment-at-event-time × event_type with exact-DECIMAL totals."""
-    c = catalog.load_table(spark, sf_dir, "customer")
     e = catalog.load_table(spark, sf_dir, "events")
-    hist = c.select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("seg"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
-    ).unionByName(
-        c.filter(F.col("c_custkey") % 5 == 0).select(
-            F.col("c_custkey").alias("user_id"),
-            F.lit("MOVED").alias("seg"),
-            F.lit("2024-01-15 00:00:00").cast("timestamp").alias("ts"),
-        )
-    )
+    hist = scd2_history(spark, sf_dir)
     side0 = hist.select(
         "user_id",
         "ts",

@@ -308,3 +308,70 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "custkey")
         .limit(20)
     )
+
+
+_Q18_QTY = 150
+
+
+@register(
+    "tpch_q18_large_volume_customer",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY})
+    SELECT c.c_name AS name, c.c_custkey AS custkey,
+           o.o_orderkey AS orderkey, o.o_orderdate AS orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderdate, orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 — large-volume customers: orders whose TOTAL line
+    quantity exceeds {qty}, with their customers, top-20 by order
+    value. The canonical aggregate-subquery shape: the qualifying
+    order keys come from a standalone groupBy-HAVING over lineitem
+    and re-enter the main join as a key list — at 100 TB that
+    qualifier frame is tiny (highly selective HAVING) and AQE
+    broadcasts it, turning the subquery into a semi-join-shaped
+    prefilter on orders rather than a second full aggregate inside
+    the join. Quantity sums run in exact DECIMAL; top-20 plans as
+    TakeOrderedAndProject with a deterministic (orderdate, orderkey)
+    tie-break."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(_MONEY)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("_tq"))
+        .filter(F.col("_tq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    c = catalog.load_table(spark, sf_dir, "customer")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.select("l_orderkey", "l_quantity"), o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "_bk"), F.col("o_orderkey") == F.col("_bk"))
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(_MONEY)).cast("double").alias("sum_qty"))
+        .orderBy(F.col("totalprice").desc(), "orderdate", "orderkey")
+        .limit(20)
+    )
+
+
+tpch_q18_large_volume_customer.__doc__ = (
+    tpch_q18_large_volume_customer.__doc__.format(qty=_Q18_QTY)
+)

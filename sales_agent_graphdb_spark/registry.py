@@ -66,7 +66,8 @@ _PRIORITY: list[str] = [
     "s14_corrupt_quarantine", "agg_equidepth_histogram",
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
+    "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
+    "st_stream_scd2_enrich",
     # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
     # re-earn its green on the new plan.
     "w5_ntile_buckets",
@@ -178,8 +179,9 @@ _SLOW_TAIL: frozenset[str] = frozenset({
     # r05 streaming execs: multi-micro-batch Python stream source
     # drain; stateful EWMA stream.
     "s8b_api_stream_ingest", "st_stream_ewma_exec",
-    # r06: two full stream drains across a checkpoint restart.
-    "s8c_stream_restart_resume",
+    # r06: two full stream drains across a checkpoint restart; the
+    # per-microbatch SCD2 temporal enrichment drain.
+    "s8c_stream_restart_resume", "st_stream_scd2_enrich",
 })
 
 

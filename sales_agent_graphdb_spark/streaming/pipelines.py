@@ -906,3 +906,112 @@ def ewma_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream × SCD2-dimension TEMPORAL enrichment: each streamed event
+    is enriched with the dimension version in force AT EVENT TIME (not
+    the current one — the mistake a plain stream-static join bakes in
+    when dimensions change under a long-running stream). Per
+    microbatch, foreachBatch applies the union-tag-window as-of form
+    (queries/temporal.py:join_scd2_asof) against the FULL version
+    history: correct regardless of how events split across batches,
+    because each event's as-of lookup depends only on (event, history),
+    never on other events. Batch results land in per-batch_id
+    partition dirs (overwrite => idempotent under foreachBatch's
+    at-least-once replay), and the drained union must equal the
+    one-shot batch as-of join, which the shared oracle hash-checks.
+
+    At 100 TB/day the history frame is dimension-sized (broadcastable;
+    a real deployment snapshots it per batch from the SCD2 table), and
+    per-batch cost is O(batch + |hist slice|) with ONE user-key
+    shuffle — no unbounded stream-join state, which is what makes the
+    temporal join viable in a stream at all."""
+    from pyspark.sql import Window as W
+
+    from sales_agent_graphdb_spark.queries.temporal import scd2_history
+
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = os.path.join(SCRATCH, f"scd2e_src_{run_id}")
+    out_dir = os.path.join(SCRATCH, f"scd2e_out_{run_id}")
+
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+    batch_schema = spark.read.parquet(src_dir).schema
+
+    hist = scd2_history(spark, sf_dir).localCheckpoint(eager=True)
+
+    def enrich(batch_df, batch_id):  # noqa: ANN001
+        side0 = hist.select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            "seg",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
+        side1 = batch_df.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("side"),
+            F.lit(None).cast("string").alias("seg"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        w = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "side", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        enriched = (
+            side0.unionByName(side1)
+            .select(
+                "side",
+                "event_type",
+                "value",
+                F.last("seg", ignorenulls=True).over(w).alias("seg_at"),
+            )
+            .filter(F.col("side") == 1)
+            .select("seg_at", "event_type", "value")
+        )
+        # Idempotent per-batch landing: overwrite of this batch's own
+        # partition dir; an at-least-once redelivery rewrites the same
+        # bytes instead of appending duplicates.
+        enriched.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*.parquet")
+    )
+    ckpt = os.path.join(SCRATCH, f"ckpt_scd2e_{run_id}")
+    q = (
+        stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = (
+        spark.read.parquet(os.path.join(out_dir, "*"))
+        .groupBy(F.col("seg_at").alias("segment"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+    out = spark.createDataFrame(out.collect(), schema=out.schema)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
