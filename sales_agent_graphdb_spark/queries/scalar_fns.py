@@ -165,3 +165,103 @@ def f14_f15_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 semi-structured VARIANT + Python UDTF (the remaining two
+# API surfaces of §2.12's UDF matrix next to pandas UDF / mapInPandas /
+# applyInPandasWithState / HOFs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f16_variant_semistructured",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+      FROM events)
+    SELECT CAST(k // 10 AS INT) AS k_decade,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(k) AS INT) AS k_min, CAST(MAX(k) AS INT) AS k_max,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM x GROUP BY 1 ORDER BY k_decade
+    """,
+)
+def f16_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics on the VARIANT type (Spark 4): the
+    JSON props column is parsed ONCE into a binary variant
+    (`parse_json`) and fields are extracted with typed paths
+    (`try_variant_get`) — the open-schema ingestion shape that
+    replaces per-query string re-parsing (f12's get_json_object walks
+    the JSON text on every extraction; variant parses once and
+    navigates an indexed binary encoding, the difference between
+    O(fields) and O(len(json)·fields) per row at 100 TB). Grouped
+    rollup per k-decade with exact-DECIMAL sums; the oracle extracts
+    the same typed field via DuckDB's JSON kit, so the variant path
+    is certified against the portable JSON semantics."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy(F.floor(F.col("k") / 10).cast("int").alias("k_decade"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("k_decade")
+    )
+
+
+_UDTF_DOCS = 20  # bounded slice — same precedent as dedup_ngram_jaccard
+
+
+@register(
+    "udtf_ngram_expand",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {_UDTF_DOCS}),
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM docs),
+    ix AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] || ' ' || t[i + 1] AS ngram
+    FROM ix ORDER BY doc_id, pos
+    """,
+)
+def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) — the one
+    §2.12 Python surface the registry didn't yet exercise: a
+    one-row-to-many lateral expansion (bigram + position per
+    document) via a LATERAL join against the registered UDTF.
+
+    Honest scale note: a UDTF is row-at-a-time Python — the SLOW path,
+    registered here as API-surface proof on a bounded {n}-doc slice
+    (the dedup_ngram_jaccard precedent). The production n-gram path is
+    the JVM-side HOF pipeline (text_boilerplate_ngrams /
+    operators/chunker.py); a UDTF earns its keep only when the
+    expansion logic needs arbitrary Python (tokenizers, parsers) and
+    even then should be Arrow-enabled and batch-bounded."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="ngram: string, pos: int")
+    class BigramUDTF:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = (text or "").split()
+            for i in range(len(toks) - 1):
+                yield (toks[i] + " " + toks[i + 1], i)
+
+    spark.udtf.register("bigram_udtf", BigramUDTF)
+    d = catalog.load_table(spark, sf_dir, "documents")
+    d.orderBy("doc_id").limit(_UDTF_DOCS).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    out = spark.sql(
+        "SELECT d.doc_id, g.pos, g.ngram "
+        "FROM _udtf_docs d, LATERAL bigram_udtf(d.text) g "
+        "ORDER BY d.doc_id, g.pos"
+    )
+    return out.select("doc_id", "pos", "ngram")
+
+
+udtf_ngram_expand.__doc__ = udtf_ngram_expand.__doc__.format(n=_UDTF_DOCS)

@@ -77,6 +77,13 @@ ALLOW_BNLJ = {
 # regressed — that must fail the audit, not be silently skipped.
 EXPECTED_PLAN_UNDERIVABLE: set[str] = set()
 
+# Python UDTF lateral expansions: row-at-a-time by design, allowed only
+# where the docstring declares the bounded slice and names the JVM
+# production path.
+ALLOW_UDTF = {
+    "udtf_ngram_expand",  # API-surface proof on a 20-doc slice
+}
+
 
 def main() -> None:
     spark = get_spark(app_name="plan_audit", shuffle_partitions=8)
@@ -93,11 +100,18 @@ def main() -> None:
         # "Exchange" substring-matches inside "BroadcastExchange"; the
         # Exch column must count SHUFFLE exchanges only.
         counts["Exchange"] -= plan.count("BroadcastExchange")
+        # "BatchEvalPython" substring-matches inside
+        # "BatchEvalPythonUDTF" — a UDTF lateral expansion is a
+        # distinct, deliberately-registered surface (udtf_ngram_expand,
+        # bounded slice), not a scalar row-at-a-time UDF in a hot path.
+        counts["BatchEvalPython"] -= plan.count("BatchEvalPythonUDTF")
         rows.append((name, counts))
         if counts["CartesianProduct"]:
             hard_fails.append((name, "CartesianProduct"))
         if counts["BatchEvalPython"]:
             hard_fails.append((name, "BatchEvalPython (row-at-a-time UDF)"))
+        if plan.count("BatchEvalPythonUDTF") and name not in ALLOW_UDTF:
+            hard_fails.append((name, "BatchEvalPythonUDTF (unallowlisted)"))
         if counts["BroadcastNestedLoopJoin"] and name not in ALLOW_BNLJ:
             hard_fails.append((name, "BroadcastNestedLoopJoin (unallowlisted)"))
 
