@@ -718,3 +718,47 @@ def sql_api_cte_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brand domain, not the data."""
     _sqlapi_views(spark, sf_dir)
     return spark.sql(_SQL_CTE.format(li="sqlapi_lineitem", part="sqlapi_part"))
+
+
+@register(
+    "sql_api_parameterized",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — PARAMETERIZED statement (Spark 4 named
+    parameter markers, `spark.sql(sql, args=...)`): the injection-safe
+    text-query shape every §3.2-style service should use instead of
+    string interpolation — parameters bind as typed literals in the
+    analyzer, so Catalyst constant-folds them and the orderdate bounds
+    still prune at the scan exactly like hardcoded literals. The
+    oracle is the same statement with the literals inlined, proving
+    binding is semantically invisible."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM sqlapi_orders
+        WHERE o_orderdate >= CAST(:start AS TIMESTAMP)
+          AND o_orderdate < CAST(:end AS TIMESTAMP)
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority ORDER BY priority
+        """,
+        args={
+            "start": "1996-01-01 00:00:00",
+            "end": "1997-01-01 00:00:00",
+            "status": "F",
+        },
+    )

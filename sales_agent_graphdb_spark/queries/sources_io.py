@@ -831,3 +831,60 @@ def s14_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("sum_price"),
     )
     return good.unionByName(bad).orderBy("status")
+
+
+@register(
+    "s15_api_sink_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def s15_api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family extension — the WRITER half of the custom-connector
+    story (S8/S8b cover the read side): events pushed through the
+    ``api_sink`` Python DataSource (sources/api_source.py), which
+    'POSTs' each partition as one JSON-lines batch under a two-phase
+    commit — tasks write to staging and report WriterCommitMessages;
+    only the driver-side commit publishes files and the _COMMITTED
+    manifest, so the sink is atomic under task retries/speculation
+    (orphan staging files are never published). The readback parses
+    ONLY manifest-listed batch files with an explicit schema and must
+    reproduce the exact-DECIMAL per-type aggregate of the source
+    table: doubles survive because json emits shortest round-trip
+    reprs. At 100 TB the rename becomes the real batch POST with an
+    idempotency key; the task/commit split is the load-bearing part."""
+    import json as _json
+    import shutil as _shutil
+
+    from sales_agent_graphdb_spark.sources.api_source import register_api_sink
+
+    register_api_sink(spark)
+    tgt = _scratch(sf_dir, "api_sink_events")
+    _shutil.rmtree(tgt, ignore_errors=True)
+    os.makedirs(tgt, exist_ok=True)
+    ev = catalog.load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    ev.repartition(4).write.format("api_sink").mode("append").option(
+        "path", tgt
+    ).save()
+    with open(os.path.join(tgt, "_COMMITTED")) as f:
+        manifest = _json.load(f)
+    files = [os.path.join(tgt, m["file"]) for m in manifest]
+    back = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).json(files)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(20,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

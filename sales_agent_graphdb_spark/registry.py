@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
     "st_stream_scd2_enrich",
     "f16_variant_semistructured", "udtf_ngram_expand",
+    "s15_api_sink_roundtrip", "sql_api_parameterized",
     # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
     # re-earn its green on the new plan.
     "w5_ntile_buckets",

@@ -221,3 +221,92 @@ ProductApiStreamSource, ProductApiStreamReader = _build_product_api_stream_class
 def register_api_stream_source(spark: SparkSession) -> None:
     """Idempotent registration of the ``product_api_stream`` format."""
     spark.dataSource.register(ProductApiStreamSource)
+
+
+def _build_api_sink_classes():
+    """S15 — the WRITER half of the custom-connector story (the reader
+    is S8): a Python DataSource sink that 'POSTs' each partition as
+    one JSON-lines batch. Same closure-scope build as the reader so
+    cloudpickle ships the classes by value to executors.
+
+    Commit protocol (the exactly-once batch-sink contract): every task
+    writes to a staging name no reader looks at and reports it in its
+    WriterCommitMessage; ONLY driver-side commit() publishes the
+    staged files (rename + manifest). A failed/speculated task's
+    orphan staging file is never published, and abort() removes the
+    staging dir — so readers observe the write atomically or not at
+    all. A real API deployment replaces the rename with the batch
+    POST + idempotency key; the task/commit split is unchanged."""
+    import dataclasses
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclasses.dataclass
+    class _Staged(WriterCommitMessage):
+        path: str
+        rows: int
+
+    class ApiSinkWriter(DataSourceWriter):
+        def __init__(self, options: dict):
+            self._target = options["path"]
+
+        def write(self, iterator):
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            staging = _os.path.join(self._target, "_staging")
+            _os.makedirs(staging, exist_ok=True)
+            path = _os.path.join(staging, f"{_uuid.uuid4().hex}.json")
+            n = 0
+            with open(path, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _Staged(path=path, rows=n)
+
+        def commit(self, messages):
+            import json as _json
+            import os as _os
+            import shutil as _shutil
+
+            published = []
+            for i, m in enumerate(messages):
+                final = _os.path.join(self._target, f"batch-{i:05d}.json")
+                _os.replace(m.path, final)
+                published.append({"file": _os.path.basename(final), "rows": m.rows})
+            with open(_os.path.join(self._target, "_COMMITTED"), "w") as f:
+                _json.dump(published, f)
+            _shutil.rmtree(
+                _os.path.join(self._target, "_staging"), ignore_errors=True
+            )
+
+        def abort(self, messages):
+            import os as _os
+            import shutil as _shutil
+
+            _shutil.rmtree(
+                _os.path.join(self._target, "_staging"), ignore_errors=True
+            )
+
+    class ApiSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "api_sink"
+
+        def writer(self, schema, overwrite):
+            return ApiSinkWriter(self.options)
+
+    return ApiSinkDataSource, ApiSinkWriter
+
+
+ApiSinkDataSource, ApiSinkWriter = _build_api_sink_classes()
+
+
+def register_api_sink(spark: SparkSession) -> None:
+    """Idempotent registration of the ``api_sink`` format."""
+    spark.dataSource.register(ApiSinkDataSource)
