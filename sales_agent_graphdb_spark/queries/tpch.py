@@ -375,3 +375,46 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
 tpch_q18_large_volume_customer.__doc__ = (
     tpch_q18_large_volume_customer.__doc__.format(qty=_Q18_QTY)
 )
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 — order priority checking: orders in one quarter with
+    at least one line item shipped after the order date, counted per
+    priority. The canonical EXISTS decorrelation anchor: expressed as
+    a LEFT SEMI join on the order key with the ship-after-order
+    condition as a join predicate — Catalyst plans the same shape from
+    the SQL text (sql_api_exists_in probes LeftSemi), and the semi
+    join short-circuits on first match instead of materializing the
+    one-to-many fanout. The date filter prunes the orders scan before
+    the join."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    qualified = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        qualified.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("priority")
+    )

@@ -175,3 +175,49 @@ def test_tpch_q10_topk_no_global_sort(spark):
 
     plan = _plan(tpch_q10_returned_items(spark, SF_SMALL))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_api_sink_abort_publishes_nothing(spark, tmp_path):
+    """The two-phase commit contract: a job that fails mid-write must
+    leave NO published batch files and NO _COMMITTED manifest — only
+    commit() publishes. A reader that trusts the manifest therefore
+    observes the write atomically or not at all."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.sources.api_source import register_api_sink
+
+    register_api_sink(spark)
+    tgt = str(tmp_path / "sink_abort")
+    os.makedirs(tgt, exist_ok=True)
+    # raise_error fires on one partition mid-write => job fails.
+    df = spark.range(100).select(
+        F.when(F.col("id") == 57, F.raise_error("boom"))
+        .otherwise(F.col("id"))
+        .alias("id")
+    ).repartition(4)
+    with pytest.raises(Exception):
+        df.write.format("api_sink").mode("append").option("path", tgt).save()
+    published = [f for f in os.listdir(tgt) if f.startswith("batch-")]
+    assert published == []
+    assert not os.path.exists(os.path.join(tgt, "_COMMITTED"))
+
+
+def test_api_sink_commit_manifest_accounts_every_row(spark, tmp_path):
+    import json
+    import os
+
+    from sales_agent_graphdb_spark.sources.api_source import register_api_sink
+
+    register_api_sink(spark)
+    tgt = str(tmp_path / "sink_ok")
+    os.makedirs(tgt, exist_ok=True)
+    spark.range(250).repartition(5).write.format("api_sink").mode(
+        "append"
+    ).option("path", tgt).save()
+    manifest = json.load(open(os.path.join(tgt, "_COMMITTED")))
+    assert sum(m["rows"] for m in manifest) == 250
+    assert len(manifest) == 5
+    assert not os.path.exists(os.path.join(tgt, "_staging"))
