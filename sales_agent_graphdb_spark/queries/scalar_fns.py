@@ -241,10 +241,12 @@ def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM-side HOF pipeline (text_boilerplate_ngrams /
     operators/chunker.py); a UDTF earns its keep only when the
     expansion logic needs arbitrary Python (tokenizers, parsers) and
-    even then should be Arrow-enabled and batch-bounded."""
+    even then should be Arrow-enabled and batch-bounded — this one IS
+    Arrow-enabled (useArrow=True: rows cross the Python boundary as
+    Arrow batches, the plan node stays the UDTF lateral)."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="ngram: string, pos: int")
+    @udtf(returnType="ngram: string, pos: int", useArrow=True)
     class BigramUDTF:
         def eval(self, text: str):  # noqa: ANN001
             toks = (text or "").split()
