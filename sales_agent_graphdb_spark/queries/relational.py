@@ -762,3 +762,49 @@ def sql_api_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "status": "F",
         },
     )
+
+
+_SQL_RCTE = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM {li} a JOIN {li} b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT lo AS src, hi AS dst FROM pairs
+        UNION ALL SELECT hi AS src, lo AS dst FROM pairs),
+walk(node, depth) AS (
+  SELECT CAST(42 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT s.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN sym s ON s.src = w.node WHERE w.depth < 2)
+SELECT node, CAST(MIN(depth) AS INT) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk GROUP BY node ORDER BY min_depth, node
+"""
+
+
+@register(
+    "sql_api_recursive_reachability",
+    oracle=_SQL_RCTE.format(li="lineitem"),
+)
+def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — RECURSIVE CTE (Spark 4.1): bounded-depth
+    reachability over the part co-purchase graph from one seed,
+    returning per-node minimum hop distance and ≤2-hop path counts —
+    the transitive-traversal class (§2.10's graph walks) expressed in
+    pure portable SQL TEXT, where the DataFrame side needs an explicit
+    iteration loop (graph_k_core_fixpoint) or pointer doubling
+    (connected_components). The statement IS the DuckDB oracle
+    verbatim: both engines' WITH RECURSIVE executes the same
+    anchor + UNION ALL step semantics, and the depth bound guarantees
+    termination on the cyclic graph without relying on either
+    engine's cycle handling. Path counts are exact integers, so the
+    hash certifies the full multiset of walks, not just reachability.
+
+    Scale: recursion depth is a CONSTANT (2) — each step is one
+    equi-join of the frontier against the edge list, the same
+    per-round budget as the iterative graph operators; the final
+    GROUP BY is map-side combinable."""
+    catalog.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sqlapi_lineitem"
+    )
+    return spark.sql(_SQL_RCTE.format(li="sqlapi_lineitem"))

@@ -70,7 +70,7 @@ _PRIORITY: list[str] = [
     "st_stream_scd2_enrich",
     "f16_variant_semistructured", "udtf_ngram_expand",
     "s15_api_sink_roundtrip", "sql_api_parameterized",
-    "tpch_q4_order_priority",
+    "tpch_q4_order_priority", "sql_api_recursive_reachability",
     # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
     # re-earn its green on the new plan.
     "w5_ntile_buckets",
