@@ -90,6 +90,10 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "tpch_q4_order_priority",
+    "sql_api_recursive_reachability",
+    "s15_api_sink_roundtrip",
+    "f16_variant_semistructured",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
