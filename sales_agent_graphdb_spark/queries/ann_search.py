@@ -105,6 +105,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, _query_vec(spark, sf_dir), k=5, n_cells=16, n_probe=4)
 
 
+# ACCEPTED FLAKE RISK (ADVICE r06): this direct oracle asserts
+# bit-equality between the k-means-indexed path and the exact top-5 on
+# EMPIRICAL grounds — the 4/16 probed cells covering the true top-5 is a
+# data-shape property verified by measurement (4 independent rebuilds +
+# the mandatory equality re-pin in tests/test_ann.py every pytest run),
+# not an algebraic identity. An unlucky rebuild or any change to
+# k/n_probe/testdata could flip a driver row red WITHOUT an engine bug;
+# if that happens, the in-repo equality test is the arbiter — re-run it
+# before treating the red row as a wrong answer, and do not change
+# k/n_probe parameters without re-running it. A verdict-style
+# containment oracle (dedup-family pattern) was considered and
+# deliberately not used: raw-row equality is the stronger check while
+# it holds, and the pinned test makes silent drift impossible.
 @register(
     "ann_ivf_pruned_topk",
     oracle=ann.duckdb_ivf_topk_sql(k=5, n_cells=16, n_probe=4, query_id=0),

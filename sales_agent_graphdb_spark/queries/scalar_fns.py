@@ -178,13 +178,13 @@ def f14_f15_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f16_variant_semistructured",
     oracle="""
     WITH x AS (
-      SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, value
+      SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k, value
       FROM events)
     SELECT CAST(k // 10 AS INT) AS k_decade,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(k) AS INT) AS k_min, CAST(MAX(k) AS INT) AS k_max,
            CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
-    FROM x GROUP BY 1 ORDER BY k_decade
+    FROM x GROUP BY 1 ORDER BY k_decade NULLS FIRST
     """,
 )
 def f16_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -888,3 +888,110 @@ def s15_api_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (VERDICT r06 #2): dynamic partition pruning — the runtime
+# scan lever the static-pruning queries (s10 sorted layout, s12
+# z-order) can't reach: the fact filter isn't known until the DIM
+# side's subquery runs.
+# ---------------------------------------------------------------------------
+
+
+def dpp_fact_path(sf_dir: str) -> str:
+    return _scratch(sf_dir, "lineitem_by_month")
+
+
+def dpp_dim_path(sf_dir: str) -> str:
+    return _scratch(sf_dir, "calendar_months")
+
+
+def build_dpp_layout(spark: SparkSession, sf_dir: str) -> None:
+    """Ingest side (stamped, reused across queries in a round): rewrite
+    lineitem HIVE-PARTITIONED by ship month (83 directories at the
+    test range — at 100 TB this is the date-partitioned fact layout
+    every warehouse ships), plus a tiny calendar dim parquet keyed by
+    the same month string with year/quarter attributes."""
+    from sales_agent_graphdb_spark.sources import stamp
+
+    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    fact_root = dpp_fact_path(sf_dir)
+    dim_root = dpp_dim_path(sf_dir)
+    if stamp.is_fresh(fact_root, src) and stamp.is_fresh(dim_root, src):
+        return
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    (
+        li.select("l_extendedprice", "l_discount", "l_quantity", month)
+        # one file per month directory: the writer-side shuffle groups
+        # each partition's rows instead of every task writing 83 files
+        .repartition(F.col("ship_month"))
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+        .parquet(fact_root)
+    )
+    stamp.mark(fact_root, src)
+    (
+        li.select(month)
+        .distinct()
+        .select(
+            "ship_month",
+            F.substring("ship_month", 1, 4).cast("int").alias("cal_year"),
+            ((F.substring("ship_month", 6, 2).cast("int") - 1) / 3 + 1)
+            .cast("int")
+            .alias("cal_quarter"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_root)
+    )
+    stamp.mark(dim_root, src)
+
+
+@register(
+    "dpp_partition_pruned",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    GROUP BY 1 ORDER BY ship_month
+    """,
+)
+def dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the month-partitioned lineitem fact
+    joined to the calendar dim filtered to 1996-Q3 — the fact's
+    partition filter exists only at RUNTIME, after the dim subquery
+    evaluates, so static pushdown can't prune the scan; Spark's DPP
+    inserts a dynamicpruningexpression(ship_month IN <dim subquery>)
+    partition filter that reuses the join's broadcast, and the scan
+    reads 3 of 83 month directories (both pinned in
+    tests/test_plans.py via the scan's numPartitions metric). At
+    100 TB this is the single biggest scan-cost lever Spark offers —
+    a quarter's join reads ~4% of the fact instead of all of it. The
+    oracle computes the same quarter directly on the ORIGINAL
+    lineitem, so the hash also certifies the partitioned rewrite
+    lost no rows (date_format vs strftime month keys, exact-DECIMAL
+    revenue)."""
+    build_dpp_layout(spark, sf_dir)
+    fact = spark.read.parquet(dpp_fact_path(sf_dir))
+    dim = spark.read.parquet(dpp_dim_path(sf_dir)).filter(
+        (F.col("cal_year") == 1996) & (F.col("cal_quarter") == 3)
+    )
+    joined = fact.join(F.broadcast(dim), "ship_month")
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )

@@ -418,3 +418,235 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (VERDICT r06 #1): the optimizer classes the first seven
+# anchors don't reach — correlated SCALAR subqueries (Q17's per-part
+# AVG, Q2's per-group extremum), disjunctive OR-of-conjuncts pushdown
+# (Q19), the double-correlated EXISTS / NOT-EXISTS stack (Q21), and
+# the conditional-aggregate pair (Q12/Q14). Each statement is
+# submitted to spark.sql() VERBATIM and to DuckDB as its own oracle
+# (the sql_api convention, relational.py:561) — so what is certified
+# is Catalyst's own rewrite of hand-written SQL text, not a DataFrame
+# translation. Plan shapes pinned in tests/test_plans.py.
+#
+# Schema adaptations (testdata has no partsupp, l_commitdate,
+# l_receiptdate, l_shipmode, p_container): Q2's min-supplycost becomes
+# max-acctbal per nation (same correlated-extremum class), Q17/Q19
+# substitute p_type/p_size for p_container, Q21/Q12's late-shipment
+# predicate becomes l_shipdate > o_orderdate + INTERVAL, which keeps
+# the correlation shape while using the columns that exist.
+# ---------------------------------------------------------------------------
+
+_TPCH_TABLES = ("customer", "nation", "region", "supplier", "orders", "lineitem", "part")
+
+
+def _tpch_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TPCH_TABLES:
+        catalog.load_table(spark, sf_dir, t).createOrReplaceTempView(f"tpch_{t}")
+
+
+_Q17 = """
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {li} l JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'PROMO'
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM {li} l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle=_Q17.format(li="lineitem", part="part"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity-order revenue: lineitems of one
+    brand/type whose quantity is below half the PER-PART average. The
+    canonical correlated SCALAR subquery: a naive engine re-executes
+    the AVG per outer row (O(|lineitem|) scans); Catalyst decorrelates
+    to ONE per-partkey aggregate joined back as an equi-join with the
+    quantity comparison as the join residual — tests/test_plans.py pins
+    exactly that shape (HashAggregate[avg] keyed on l_partkey feeding a
+    join, zero nested loops). At 100 TB the rewrite is the difference
+    between two lineitem scans and a quadratic blowup. AVG over the
+    integer-valued quantity doubles is exact (sums of small ints are
+    exact in double, one division, same operand order both engines);
+    revenue sums through exact DECIMAL. The /7.0 scaling is Q17's
+    avg_yearly convention."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q17.format(li="tpch_lineitem", part="tpch_part"))
+
+
+_Q2 = """
+    SELECT n.n_name AS nation, s.s_name AS supplier,
+           CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM {sup} s JOIN {nat} n ON s.s_nationkey = n.n_nationkey
+    JOIN {reg} r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_acctbal = (SELECT MAX(s2.s_acctbal) FROM {sup} s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+    ORDER BY acctbal DESC, nation, supplier
+"""
+
+
+@register(
+    "tpch_q2_top_supplier_per_nation",
+    oracle=_Q2.format(sup="supplier", nat="nation", reg="region"),
+)
+def tpch_q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp table, so min-supplycost-per-
+    region becomes max-acctbal-per-nation — the same correlated-
+    extremum class): the supplier(s) holding each EUROPE nation's
+    maximum account balance, selected by equality against a correlated
+    scalar MAX. Catalyst decorrelates to one per-nationkey MAX
+    aggregate equi-joined back (float-safe: the equality runs through
+    knownfloatingpointnormalized on both sides); region/nation prune
+    and broadcast. The equality compares a stored double against the
+    MAX of stored doubles — no arithmetic, so cross-engine exactness is
+    structural. Ties (two suppliers sharing the max) would both
+    survive, exactly as in real Q2."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q2.format(sup="tpch_supplier", nat="tpch_nation", reg="tpch_region"))
+
+
+_Q19 = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {li} l JOIN {part} p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "tpch_q19_disjunctive_or",
+    oracle=_Q19.format(li="lineitem", part="part"),
+)
+def tpch_q19_disjunctive_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue under an OR of three brand/size/
+    quantity conjunct groups (p_container→p_size adaptation). The
+    disjunctive-pushdown anchor: the WHERE references BOTH join sides
+    inside each OR branch, so a naive plan joins first and filters the
+    full join output. Catalyst's CNF conversion derives the
+    table-local residues — the OR of quantity bands reaches the
+    lineitem SCAN and the OR of brand/size conjuncts reaches the part
+    scan as PushedFilters (pinned in tests/test_plans.py), so at 100 TB
+    the join input is pre-shrunk by both disjunctions instead of
+    carrying every row to the join. Revenue through exact DECIMAL;
+    quantity bands compare the integer-valued stored doubles."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q19.format(li="tpch_lineitem", part="tpch_part"))
+
+
+_Q21 = """
+    WITH lo AS (
+      SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 75 DAY) AS is_late
+      FROM {li} l JOIN {ord} o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name AS supplier, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lo l1 JOIN {sup} s ON s.s_suppkey = l1.skey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM lo l2
+                  WHERE l2.okey = l1.okey AND l2.skey <> l1.skey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.okey = l1.okey AND l3.skey <> l1.skey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier
+    LIMIT 20
+"""
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle=_Q21.format(li="lineitem", ord="orders", sup="supplier"),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 — suppliers who kept orders waiting: for finished
+    orders, the supplier whose lineitem shipped late (>75 days after
+    the order date — the l_receiptdate>l_commitdate adaptation) while
+    being the ONLY late supplier in a multi-supplier order. The
+    double-correlated EXISTS + NOT-EXISTS stack on the same fact: both
+    subqueries correlate on l1's order key with a supplier-inequality
+    residual, and Catalyst plans them as a LeftSemi and a LeftAnti
+    join STACKED on one fact flow (pinned in tests/test_plans.py) —
+    never a per-row re-scan. The shared `lo` CTE keeps the late flag
+    computed once; at 100 TB all three consumers key on okey, so the
+    semi/anti joins co-partition with the fact. Counts exact; the
+    top-20 is TakeOrderedAndProject."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q21.format(li="tpch_lineitem", ord="tpch_orders", sup="tpch_supplier"))
+
+
+_Q12 = """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM {ord} o JOIN {li} l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_returnflag ORDER BY returnflag
+"""
+
+
+@register(
+    "tpch_q12_priority_classes",
+    oracle=_Q12.format(ord="orders", li="lineitem"),
+)
+def tpch_q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 — shipping modes and order priority (adapted:
+    l_returnflag stands in for the missing l_shipmode; late shipment =
+    shipped >30 days after order date instead of the missing
+    commit/receipt pair): one year of late-shipped lines, counted into
+    high/low priority classes per flag. The conditional-aggregate
+    anchor — both counts come from ONE pass as SUM(CASE...) partials
+    (no self-join, no second scan), the pivoted-metrics shape every
+    reporting workload uses. The cross-table inequality
+    (l_shipdate vs o_orderdate) rides the join as a residual; the
+    shipdate year bounds push to the lineitem scan."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q12.format(ord="tpch_orders", li="tpch_lineitem"))
+
+
+_Q14 = """
+    SELECT CAST(100.00 * CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                              FILTER (WHERE p.p_type = 'PROMO') AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS DOUBLE) AS promo_revenue_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM {li} l JOIN {part} p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=_Q14.format(li="lineitem", part="part"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion effect: PROMO-type revenue share of one
+    ship month, as a single conditional-aggregate ratio. Uses the
+    standard FILTER (WHERE ...) aggregate modifier — certified
+    portable across both engines by this statement — so the promo
+    numerator and the total denominator come from the SAME single
+    pass over the month's join output. Both sums run in exact
+    DECIMAL and convert to double only for the final ratio (one
+    division, same operand order both engines). The month bounds push
+    to the lineitem scan; part joins broadcast at driver SFs."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q14.format(li="tpch_lineitem", part="tpch_part"))

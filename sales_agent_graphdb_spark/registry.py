@@ -46,155 +46,169 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # queries() dict in insertion order and stops after a fixed budget
 # (rounds 1 and 2 each recorded exactly the first 50 entries). So
 # iteration order IS the verification schedule: names in _PRIORITY run
-# first (newly-oracled queries and new operators that need their first
-# driver row), then every query that still has no green driver row, and
-# already-hash-verified names run last — they only re-check if the
-# round's budget allows.
+# first (newly-registered queries that need their first driver row),
+# then every query that still has no green driver row, and
+# already-hash-verified names run last, ordered OLDEST green first
+# (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
+# rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 6: the four rows-only ANN perf twins gained verdict/equality
-    # oracles this round (VERDICT r05 #1) — pin them first so the driver
-    # records their first hash-green row instead of err:no_oracle.
-    "ann_lsh_topk", "ann_ivf_topk",
-    "ann_lsh_pruned_topk", "ann_ivf_pruned_topk",
-    "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_incremental_minhash", "dedup_cluster_canonical",
-    # Round 6: new operators needing their first driver row.
-    "sql_api_window_topn", "sql_api_exists_in",
-    "sql_api_having", "sql_api_cte_rank",
-    "s8c_stream_restart_resume", "graph_k_core_fixpoint",
-    "dq_drift_chi_square", "join_salted_hot_keys",
-    "s14_corrupt_quarantine", "agg_equidepth_histogram",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items", "tpch_q18_large_volume_customer",
-    "st_stream_scd2_enrich",
-    "f16_variant_semistructured", "udtf_ngram_expand",
-    "s15_api_sink_roundtrip", "sql_api_parameterized",
-    "tpch_q4_order_priority", "sql_api_recursive_reachability",
-    # Round 6: w5 rewritten (exact distributed ntile, same oracle) —
-    # re-earn its green on the new plan.
-    "w5_ntile_buckets",
+    # Round 7: TPC-H optimizer-class anchors (VERDICT r06 #1) —
+    # correlated scalar subqueries, disjunctive pushdown, stacked
+    # EXISTS/NOT-EXISTS, conditional aggregates.
+    "tpch_q17_small_quantity_revenue", "tpch_q2_top_supplier_per_nation",
+    "tpch_q19_disjunctive_or", "tpch_q21_waiting_supplier",
+    "tpch_q12_priority_classes", "tpch_q14_promo_revenue",
+    # Round 7: dynamic partition pruning (VERDICT r06 #2).
+    "dpp_partition_pruned",
+    # Round 7: FULL OUTER interval stream-stream join (VERDICT r06 #5).
+    "st_stream_interval_join_full",
 ]
 
-# Queries the driver has hash-verified (rows+schema+value-hash green) in
-# CORRECTNESS_r01..r04. These run LAST so the budget reaches
-# never-checked queries first.
-_VERIFIED: frozenset[str] = frozenset({
-    # --- green in CORRECTNESS_r05 (46/46 verifiable rows green; all 22
-    # new r05 queries non-vacuous) ---
-    "agg_mode_per_group", "ann_hard_negatives", "vec_quantize_int8",
-    "ann_index_incremental_upsert", "ann_ivf_index_incremental",
-    "sample_quality_bins", "corpus_shuffle_epoch",
-    "dedup_repeated_passages", "w9_cumulative_distinct_users",
-    "graph_label_propagation", "graph_k_core", "mm_resize_plan",
-    "m8_cdc_apply", "sql_api_revenue_by_nation", "o5_keyset_pagination",
-    "set_ops_bag_semantics", "s13_compact_small_files",
-    "ts_downsample_ohlc", "ts_ewma_per_user", "asof_join_nearest",
-    "s8b_api_stream_ingest", "st_stream_ewma_exec",
-    # --- green in CORRECTNESS_r04 (all 50 rows green; basket_pair_counts
-    # re-earned its row NON-vacuously: 1000 rows on both engines) ---
-    "basket_pair_counts", "sample_weighted_hash", "dedup_semantic_cell",
-    "split_leakage_safe", "rollup_hierarchy", "feature_winsorize",
-    "feature_correlation", "graph_triangle_count", "graph_shortest_paths",
-    "m6_scd2_history", "m7_table_diff", "data_quality_report",
-    "sample_group_topk", "text_tfidf_keywords", "agg_countmin_portable",
-    "vec_centroid_per_label", "agg_hll_rollup", "join_runtime_prefilter",
-    "join_fuzzy_blocked", "s11_xml_roundtrip", "s12_zorder_pruning",
-    "s8_api_source_ingest", "ts_gap_fill_locf", "join_scd2_asof",
-    "range_join_grid_bucketed", "range_join_interval_overlap",
-    "text_bm25_phrase", "text_vocab_build",
-    "w7b_running_sum_single_exchange", "w8_time_range_frame",
-    "anomaly_rolling_zscore", "st_stream_dedup",
-    "st_stream_interval_join_outer", "st_stream_user_profile",
-    "st_stream_static_enrich", "st_stream_sliding_exec",
-    # --- green in CORRECTNESS_r03 ---
-    "j2_order_items_nested", "pct_approx_value", "dedup_embedding_lsh",
-    "dedup_incremental_minhash_portable", "dedup_cluster_canonical_portable",
-    "ann_ivf_pruned_portable", "agg_approx_distinct",
-    "ann_lsh_pruned_portable", "agg_grouping_sets", "v8_embedding_qc",
-    "corpus_token_budget_pack", "dedup_containment", "p4_conjunctive_ilike",
-    "p6_isin_status", "p7_compound_key", "p9_client_search_filter",
-    "p10_validity_filter", "o1_orderby_desc", "o2_two_key_sort",
-    "o4_topk_by_score", "set_union_sources", "set_intersect_except",
-    "f2_f3_price_and_surrogate", "f4_f5_dates_numbers", "f6_f8_f9_text_kit",
-    "f12_f13_json_coalesce", "f14_f15_validation",
-    "s1_s2_csv_roundtrip_scraper_dialect", "s1_s2_csv_roundtrip_golden_dialect",
-    "s3_s4_json_envelope_roundtrip", "s10_sorted_scan_pruning",
-    "asof_join_last_purchase", "range_join_value_bands", "pct_exact_disc",
-    "text_token_count", "text_bpe_token_estimate", "text_quality_score",
-    "text_langid", "text_fingerprint", "f11_chunk_documents",
-    "text_gopher_repetition", "w1_last6_per_session", "w2_running_sum",
-    "w3_topn_per_group", "w4_lag_delta", "w5_ntile_buckets",
-    "w7_global_running_sum", "st_stream_tumbling_exec",
-    "st_stream_stateful_sessions",
-    # --- green in CORRECTNESS_r02 ---
-    "graph_pagerank", "p11_result_validity", "ingest_invalidate_pipeline",
-    "mm_arrow_fidelity_probe", "text_boilerplate_ngrams", "text_pii_scrub",
-    "pipeline_curate_corpus", "text_bm25_search",
-    "decontaminate_ngram_overlap", "sample_stratified_hash",
-    "corpus_mix_weights", "s9b_orc_roundtrip", "st_stream_interval_join",
-    "join_salted_skew", "join_bucketed_collocated", "w6_rank_distributions",
-    "s9c_schema_evolution", "graph_brand_projection",
-    "st_stream_sessions_complete", "incremental_agg_maintenance",
-    "st_stream_foreachbatch_upsert", "agg_pivot_unpivot",
-    "funnel_conversion", "retention_cohorts", "feature_zscore_stats",
-    "agg_value_histogram", "dedup_minhash_lsh_portable",
-    "dedup_simhash_portable", "ann_lsh_topk_portable",
-    "ann_ivf_topk_portable", "m4_guarded_cancel", "m5_register_unique",
-    "m2_csv_upsert_preserve", "route_dispatch", "p5_multistage_fallback",
-    "nl2plan_category_browse", "nl2plan_fuzzy_name",
-    "agent_turn_check_order", "nl2plan_broad_scan",
-    "flagship_revenue_by_brand", "s6_graph_scan_limit",
-    "p1_point_lookup_sku", "p2_lookup_by_email", "p3_ilike_substring",
-    # --- rows-only ran in r02, no oracle by design (portable twins carry
-    # the hash check); re-run only after the unverified tail ---
-    "ann_lsh_pruned_topk", "ann_ivf_pruned_topk",
-    "dedup_incremental_minhash", "dedup_cluster_canonical",
-    # --- green in CORRECTNESS_r01 ---
-    "a1_order_totals", "a2_count_by_group", "a3_distinct_categories",
-    "a4_dedup_last_wins", "a5_dedup_normalized_content", "a6_string_agg",
-    "agg_rollup", "agg_cube",
-    "v1_knn_cosine_top5", "v2_semantic_cache_probe", "v3_cache_upsert",
-    "v6_conditional_format", "v4_deterministic_embed",
-    "ann_lsh_topk", "ann_ivf_topk",
-    "dedup_exact_hash", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding_cosine",
-    "st_tumbling_window", "st_sliding_window", "st_session_window",
-    "st_late_data_policy",
-    "g6_fulltext_fuzzy", "graph_degrees", "graph_2hop_neighbors",
-    "graph_connected_components",
-    "v5_ingest_chunk_embed", "s7_html_clean", "v7_wipe_recreate",
-    "j1_one_hop_traversal", "p8_graph_category_filter",
-    "j2_order_nest_strform", "j3_lookup_join", "j4_validation_join",
-    "j5_customer_orders", "j6_semi_join_exists", "j7_anti_join",
-    "mm_media_features", "mm_frame_sample", "v4b_batch_embed_pandas",
-    "g1_merge_create_only", "g2_merge_overwrite", "g3_detach_delete",
-    "m1_product_crud", "m3_stock_decrement",
-})
+# name -> round of the LATEST hash-green driver row (rows+schema+hash
+# green, no err), derived from CORRECTNESS_r01..r06. The verified tail
+# runs in ascending stamp order so re-check budget lands on the names
+# the driver has not seen longest; every name here has been green at
+# least once and never red. Regenerate with:
+#   python tools/check_queries.py --stamp  (or the snippet in
+#   CHANGES_r07.md) after each round, folding the new greens in.
+_VERIFIED_ROUND: dict[str, int] = {
+    # --- latest green row: CORRECTNESS_r01 (30 names) ---
+    "dedup_embedding_cosine": 1, "dedup_exact_hash": 1,
+    "dedup_ngram_jaccard": 1, "g1_merge_create_only": 1,
+    "g2_merge_overwrite": 1, "g3_detach_delete": 1, "g6_fulltext_fuzzy": 1,
+    "graph_2hop_neighbors": 1, "graph_connected_components": 1,
+    "graph_degrees": 1, "j1_one_hop_traversal": 1, "j2_order_nest_strform": 1,
+    "j3_lookup_join": 1, "j4_validation_join": 1, "j5_customer_orders": 1,
+    "j6_semi_join_exists": 1, "j7_anti_join": 1, "m1_product_crud": 1,
+    "m3_stock_decrement": 1, "mm_frame_sample": 1, "mm_media_features": 1,
+    "p8_graph_category_filter": 1, "s7_html_clean": 1,
+    "st_late_data_policy": 1, "st_session_window": 1, "st_sliding_window": 1,
+    "st_tumbling_window": 1, "v4b_batch_embed_pandas": 1,
+    "v5_ingest_chunk_embed": 1, "v7_wipe_recreate": 1,
+    # --- latest green row: CORRECTNESS_r02 (39 names) ---
+    "agent_turn_check_order": 2, "corpus_mix_weights": 2,
+    "decontaminate_ngram_overlap": 2, "dedup_minhash_lsh_portable": 2,
+    "dedup_simhash_portable": 2, "flagship_revenue_by_brand": 2,
+    "funnel_conversion": 2, "graph_brand_projection": 2, "graph_pagerank": 2,
+    "incremental_agg_maintenance": 2, "ingest_invalidate_pipeline": 2,
+    "join_bucketed_collocated": 2, "join_salted_skew": 2,
+    "m2_csv_upsert_preserve": 2, "m4_guarded_cancel": 2,
+    "m5_register_unique": 2, "mm_arrow_fidelity_probe": 2,
+    "nl2plan_broad_scan": 2, "nl2plan_category_browse": 2,
+    "nl2plan_fuzzy_name": 2, "p11_result_validity": 2,
+    "p1_point_lookup_sku": 2, "p2_lookup_by_email": 2,
+    "p3_ilike_substring": 2, "p5_multistage_fallback": 2,
+    "pipeline_curate_corpus": 2, "retention_cohorts": 2, "route_dispatch": 2,
+    "s6_graph_scan_limit": 2, "s9b_orc_roundtrip": 2,
+    "s9c_schema_evolution": 2, "sample_stratified_hash": 2,
+    "st_stream_foreachbatch_upsert": 2, "st_stream_interval_join": 2,
+    "st_stream_sessions_complete": 2, "text_bm25_search": 2,
+    "text_boilerplate_ngrams": 2, "text_pii_scrub": 2,
+    "w6_rank_distributions": 2,
+    # --- latest green row: CORRECTNESS_r03 (43 names) ---
+    "asof_join_last_purchase": 3, "corpus_token_budget_pack": 3,
+    "dedup_cluster_canonical_portable": 3, "dedup_containment": 3,
+    "dedup_embedding_lsh": 3, "dedup_incremental_minhash_portable": 3,
+    "f11_chunk_documents": 3, "f12_f13_json_coalesce": 3,
+    "f14_f15_validation": 3, "f2_f3_price_and_surrogate": 3,
+    "f4_f5_dates_numbers": 3, "f6_f8_f9_text_kit": 3,
+    "j2_order_items_nested": 3, "o1_orderby_desc": 3, "o2_two_key_sort": 3,
+    "o4_topk_by_score": 3, "p10_validity_filter": 3,
+    "p4_conjunctive_ilike": 3, "p6_isin_status": 3, "p7_compound_key": 3,
+    "p9_client_search_filter": 3, "pct_approx_value": 3, "pct_exact_disc": 3,
+    "range_join_value_bands": 3, "s10_sorted_scan_pruning": 3,
+    "s1_s2_csv_roundtrip_golden_dialect": 3,
+    "s1_s2_csv_roundtrip_scraper_dialect": 3,
+    "s3_s4_json_envelope_roundtrip": 3, "set_intersect_except": 3,
+    "set_union_sources": 3, "st_stream_stateful_sessions": 3,
+    "st_stream_tumbling_exec": 3, "text_bpe_token_estimate": 3,
+    "text_fingerprint": 3, "text_gopher_repetition": 3, "text_langid": 3,
+    "text_quality_score": 3, "text_token_count": 3, "w1_last6_per_session": 3,
+    "w2_running_sum": 3, "w3_topn_per_group": 3, "w4_lag_delta": 3,
+    "w7_global_running_sum": 3,
+    # --- latest green row: CORRECTNESS_r04 (35 names) ---
+    "agg_countmin_portable": 4, "agg_hll_rollup": 4,
+    "anomaly_rolling_zscore": 4, "data_quality_report": 4,
+    "dedup_semantic_cell": 4, "feature_correlation": 4,
+    "feature_winsorize": 4, "graph_shortest_paths": 4,
+    "graph_triangle_count": 4, "join_fuzzy_blocked": 4,
+    "join_runtime_prefilter": 4, "join_scd2_asof": 4, "m6_scd2_history": 4,
+    "m7_table_diff": 4, "range_join_grid_bucketed": 4,
+    "range_join_interval_overlap": 4, "rollup_hierarchy": 4,
+    "s11_xml_roundtrip": 4, "s12_zorder_pruning": 4,
+    "s8_api_source_ingest": 4, "sample_group_topk": 4,
+    "sample_weighted_hash": 4, "split_leakage_safe": 4, "st_stream_dedup": 4,
+    "st_stream_interval_join_outer": 4, "st_stream_sliding_exec": 4,
+    "st_stream_static_enrich": 4, "st_stream_user_profile": 4,
+    "text_bm25_phrase": 4, "text_tfidf_keywords": 4, "text_vocab_build": 4,
+    "ts_gap_fill_locf": 4, "vec_centroid_per_label": 4,
+    "w7b_running_sum_single_exchange": 4, "w8_time_range_frame": 4,
+    # --- latest green row: CORRECTNESS_r05 (28 names) ---
+    "ann_hard_negatives": 5, "ann_index_incremental_upsert": 5,
+    "ann_ivf_index_incremental": 5, "ann_ivf_pruned_portable": 5,
+    "ann_ivf_topk_portable": 5, "ann_lsh_pruned_portable": 5,
+    "ann_lsh_topk_portable": 5, "asof_join_nearest": 5,
+    "corpus_shuffle_epoch": 5, "dedup_repeated_passages": 5,
+    "graph_k_core": 5, "graph_label_propagation": 5, "m8_cdc_apply": 5,
+    "mm_resize_plan": 5, "o5_keyset_pagination": 5,
+    "s13_compact_small_files": 5, "s8b_api_stream_ingest": 5,
+    "sample_quality_bins": 5, "set_ops_bag_semantics": 5,
+    "sql_api_revenue_by_nation": 5, "st_stream_ewma_exec": 5,
+    "ts_downsample_ohlc": 5, "ts_ewma_per_user": 5,
+    "v4_deterministic_embed": 5, "v6_conditional_format": 5,
+    "v8_embedding_qc": 5, "vec_quantize_int8": 5,
+    "w9_cumulative_distinct_users": 5,
+    # --- latest green row: CORRECTNESS_r06 (50 names) ---
+    "a1_order_totals": 6, "a2_count_by_group": 6, "a3_distinct_categories": 6,
+    "a4_dedup_last_wins": 6, "a5_dedup_normalized_content": 6,
+    "a6_string_agg": 6, "agg_approx_distinct": 6, "agg_cube": 6,
+    "agg_equidepth_histogram": 6, "agg_grouping_sets": 6,
+    "agg_mode_per_group": 6, "agg_pivot_unpivot": 6, "agg_rollup": 6,
+    "agg_value_histogram": 6, "ann_ivf_pruned_topk": 6, "ann_ivf_topk": 6,
+    "ann_lsh_pruned_topk": 6, "ann_lsh_topk": 6, "basket_pair_counts": 6,
+    "dedup_cluster_canonical": 6, "dedup_incremental_minhash": 6,
+    "dedup_minhash_lsh": 6, "dedup_simhash": 6, "dq_drift_chi_square": 6,
+    "f16_variant_semistructured": 6, "feature_zscore_stats": 6,
+    "graph_k_core_fixpoint": 6, "join_salted_hot_keys": 6,
+    "s14_corrupt_quarantine": 6, "s15_api_sink_roundtrip": 6,
+    "s8c_stream_restart_resume": 6, "sql_api_cte_rank": 6,
+    "sql_api_exists_in": 6, "sql_api_having": 6, "sql_api_parameterized": 6,
+    "sql_api_recursive_reachability": 6, "sql_api_window_topn": 6,
+    "st_stream_scd2_enrich": 6, "tpch_q10_returned_items": 6,
+    "tpch_q18_large_volume_customer": 6, "tpch_q1_pricing_summary": 6,
+    "tpch_q3_shipping_priority": 6, "tpch_q4_order_priority": 6,
+    "tpch_q5_local_supplier_volume": 6, "tpch_q6_forecast_revenue": 6,
+    "udtf_ngram_expand": 6, "v1_knn_cosine_top5": 6,
+    "v2_semantic_cache_probe": 6, "v3_cache_upsert": 6, "w5_ntile_buckets": 6,
+}
+
+# Kept for compatibility with tools that membership-test the verified
+# set (tools/plan_audit.py iterates all_queries() and does not, but
+# external snippets may).
+_VERIFIED: frozenset[str] = frozenset(_VERIFIED_ROUND)
 
 
 # Slow (multi-second, mostly real Structured-Streaming execs) queries to
 # run at the END of the unverified block so a time-budgeted driver checks
-# many cheap queries before them. Round 5: all former members earned
-# green rows in r04 and moved to _VERIFIED, so this only orders NEW
-# slow queries registered this round (add their names here).
+# many cheap queries before them. All r05/r06 members earned green rows
+# and are ordered by their stamps now; this only orders NEW slow queries
+# registered this round.
 _SLOW_TAIL: frozenset[str] = frozenset({
-    # r05 streaming execs: multi-micro-batch Python stream source
-    # drain; stateful EWMA stream.
-    "s8b_api_stream_ingest", "st_stream_ewma_exec",
-    # r06: two full stream drains across a checkpoint restart; the
-    # per-microbatch SCD2 temporal enrichment drain.
-    "s8c_stream_restart_resume", "st_stream_scd2_enrich",
+    # r07: full-outer interval stream drain (two watermark flushes).
+    "st_stream_interval_join_full",
 })
 
 
 def _driver_order(names: list[str]) -> list[str]:
     prio = [n for n in _PRIORITY if n in names]
     rest = [n for n in names if n not in prio]
-    unverified = [n for n in rest if n not in _VERIFIED]
+    unverified = [n for n in rest if n not in _VERIFIED_ROUND]
     cheap = [n for n in unverified if n not in _SLOW_TAIL]
     slow = [n for n in unverified if n in _SLOW_TAIL]
-    verified = [n for n in rest if n in _VERIFIED]
+    verified = sorted(
+        (n for n in rest if n in _VERIFIED_ROUND),
+        key=lambda n: (_VERIFIED_ROUND[n], n),
+    )
     return [*prio, *cheap, *slow, *verified]
 
 

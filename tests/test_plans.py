@@ -161,3 +161,121 @@ def test_zorder_layout_skips_on_both_dimensions(spark):
         narrow = [b for b in bands[key] if (b[1] - b[0]) < mx[key]]
         assert missing, f"{key}: no row group skippable for the box {bands[key]}"
         assert narrow, f"{key}: every row group spans the full range {bands[key]}"
+
+
+# ---------------------------------------------------------------------------
+# Round 7: optimizer-class probes for the TPC-H anchors (VERDICT r06
+# #1). The oracle hash certifies the ANSWERS; these pin the REWRITES —
+# a future Spark or code change that silently degrades the plan to a
+# per-row subquery, a post-join filter, or a nested loop fails here
+# even while the answer stays right.
+# ---------------------------------------------------------------------------
+
+
+def test_q17_correlated_scalar_decorrelates_to_agg_join(spark):
+    """The per-part AVG subquery must run ONCE as a keyed aggregate
+    joined back (equi-join on l_partkey with the quantity comparison as
+    residual) — not per outer row, and never via a nested loop."""
+    from sales_agent_graphdb_spark.queries.tpch import (
+        tpch_q17_small_quantity_revenue,
+    )
+
+    plan = _plan(tpch_q17_small_quantity_revenue(spark, SF_SMALL))
+    assert "avg(l_quantity" in plan, plan          # the decorrelated aggregate
+    assert "HashAggregate(keys=[l_partkey" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # exactly two lineitem scans: the fact side + the aggregate side
+    assert sum("lineitem" in l for l in plan.splitlines() if "FileScan" in l) == 2, plan
+
+
+def test_q2_correlated_max_decorrelates_float_safe(spark):
+    """The per-nation MAX subquery becomes one keyed aggregate joined
+    back; the double equality must go through Spark's normalized float
+    join keys (knownfloatingpointnormalized), not a residual filter —
+    proof the rewrite keeps the join hashable on a float key."""
+    from sales_agent_graphdb_spark.queries.tpch import (
+        tpch_q2_top_supplier_per_nation,
+    )
+
+    plan = _plan(tpch_q2_top_supplier_per_nation(spark, SF_SMALL))
+    assert "max(s_acctbal" in plan, plan
+    assert "HashAggregate(keys=[s_nationkey" in plan, plan
+    assert "knownfloatingpointnormalized" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark):
+    """CNF conversion must push each table's residue of the
+    OR-of-conjuncts to ITS scan: the quantity-band disjunction to the
+    lineitem PushedFilters, the brand/size disjunction to the part
+    PushedFilters — so neither full table reaches the join."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q19_disjunctive_or
+
+    plan = _plan(tpch_q19_disjunctive_or(spark, SF_SMALL))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "PushedFilters:" in l]
+    li = [l for l in scans if "l_quantity" in l]
+    pt = [l for l in scans if "p_brand" in l]
+    assert li and any("Or(" in l.split("PushedFilters:")[1] for l in li), plan
+    assert pt and any("Or(" in l.split("PushedFilters:")[1] for l in pt), plan
+
+
+def test_q21_stacked_semi_and_anti_join(spark):
+    """The EXISTS and NOT-EXISTS pair must plan as one LeftSemi and one
+    LeftAnti stacked on the same fact flow — the decorrelation Q21
+    exists to certify — with the top-20 as TakeOrderedAndProject."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q21_waiting_supplier
+
+    plan = _plan(tpch_q21_waiting_supplier(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """dpp_partition_pruned (VERDICT r06 #2) — the month-partitioned
+    fact scan must carry a dynamicpruningexpression partition filter
+    (runtime pruning from the dim subquery, reusing the broadcast),
+    and after execution the scan's own SQLMetrics must show it read
+    strictly fewer partitions than the layout holds (3 quarter months
+    of ~83)."""
+    from sales_agent_graphdb_spark.queries.sources_io import dpp_partition_pruned
+
+    df = dpp_partition_pruned(spark, SF_SMALL)
+    df.collect()  # metrics carry real values only after execution
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+
+    def _iter(node, seen):
+        nid = int(node.id())
+        if nid in seen:
+            return
+        seen.add(nid)
+        yield node
+        kids = node.children()
+        for i in range(kids.size()):
+            yield from _iter(kids.apply(i), seen)
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            yield from _iter(node.executedPlan(), seen)
+        elif cls.endswith("QueryStageExec"):
+            yield from _iter(node.plan(), seen)
+        elif cls == "ReusedExchangeExec":
+            yield from _iter(node.child(), seen)
+
+    pruned = []
+    for node in _iter(qe.executedPlan(), set()):
+        if node.getClass().getSimpleName() != "FileSourceScanExec":
+            continue
+        it = node.metrics().iterator()
+        m = {}
+        while it.hasNext():
+            kv = it.next()
+            m[kv._1()] = int(kv._2().value())
+        if "numPartitions" in m and "staticFilesNum" in m:
+            pruned.append(m)
+    assert pruned, "no partitioned scan with pruning metrics found"
+    m = pruned[0]
+    assert m["numPartitions"] == 3, m          # the 3 months of 1996-Q3
+    assert m["staticFilesNum"] > m["numFiles"], m  # pruning was real

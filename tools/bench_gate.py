@@ -28,7 +28,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _latest_baseline() -> tuple[str, dict]:
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    # Sort by the parsed round number, not lexicographically — r100
+    # would otherwise sort before r99, and an unpadded name would break.
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
     if not paths:
         sys.exit("no BENCH_r*.json baseline found")
     path = paths[-1]
