@@ -94,6 +94,16 @@ HEADLINE = [
     "sql_api_recursive_reachability",
     "s15_api_sink_roundtrip",
     "f16_variant_semistructured",
+    # Round 7: the optimizer-class TPC-H anchors, dynamic partition
+    # pruning, and the full-outer interval stream drain.
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q2_top_supplier_per_nation",
+    "tpch_q19_disjunctive_or",
+    "tpch_q21_waiting_supplier",
+    "tpch_q12_priority_classes",
+    "tpch_q14_promo_revenue",
+    "dpp_partition_pruned",
+    "st_stream_interval_join_full",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -107,6 +117,9 @@ WARM_FIRST = [
     # first call builds base index + performs the dynamic-overwrite merge;
     # the timed line is the maintained-index read/profile path
     "ann_index_incremental_upsert",
+    # first call writes the month-partitioned layout + calendar dim;
+    # the timed line is the DPP-pruned query over the existing layout
+    "dpp_partition_pruned",
 ]
 
 

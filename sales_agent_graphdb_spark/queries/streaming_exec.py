@@ -131,6 +131,28 @@ def st_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "st_stream_interval_join_full",
+    oracle="""
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           v.event_id AS view_id, p.event_id AS purchase_id
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    ORDER BY user_id, view_id, purchase_id
+    """,
+)
+def st_stream_interval_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — stream-stream FULL OUTER interval join (VERDICT r06 #5):
+    both sides' null rows are watermark-driven and sentinel-flushed, so
+    the drained result equals the complete batch FULL JOIN the oracle
+    states. Completes the stream-stream outer-join matrix: inner (r02)
+    + left outer (r04) + full outer. See
+    streaming/pipelines.py:interval_join_full_stream."""
+    return pipelines.interval_join_full_stream(spark, sf_dir)
+
+
+@register(
     "st_stream_sessions_complete",
     oracle="""
     WITH ordered AS (

@@ -311,6 +311,67 @@ def interval_join_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_full_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (the last outer-join
+    shape after inner + left outer): every view with its attributed
+    purchase, every unconverted view with NULL purchase, AND every
+    unattributed purchase with NULL view — the complete attribution
+    reconciliation both sides of a funnel audit need. Null flushes are
+    watermark-driven on BOTH sides: an unmatched view flushes when the
+    watermark passes view_ts + 1h, an unmatched purchase when it
+    passes buy_ts (its candidate views all precede it), so the state
+    store holds only each side's horizon and evicts symmetrically.
+
+    Bounded-run determinism: the shared per-user sentinel (10h past
+    the global max, surviving BOTH event-type filters) advances both
+    watermarks past every eviction bound, so the drain's no-data batch
+    flushes ALL remaining null rows on both sides and the streamed
+    result equals the complete batch FULL JOIN the oracle states.
+    Sentinel rows can only pair with the same user's sentinel on the
+    other side (equal ts; real events are >1h away in event time on
+    the wrong side of the bound), so they emit as matched pairs
+    identified by event_id -1 on both columns and are dropped after
+    the drain. At 100 TB/day both state sides shard by user_id."""
+    src_dir, stream = _sentinel_source(spark, sf_dir, sentinel_gap_s=36000)
+    try:
+        views = (
+            stream.filter(F.col("event_type").isin("view", "__sentinel__"))
+            .select(
+                F.col("user_id").alias("v_user_id"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
+        )
+        buys = (
+            stream.filter(F.col("event_type").isin("purchase", "__sentinel__"))
+            .select(
+                F.col("user_id").alias("b_user_id"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("buy_ts"),
+            )
+            .withWatermark("buy_ts", "2 hours")
+        )
+        joined = views.join(buys, interval_join_cond(), "fullOuter")
+        out = _run_to_memory(joined, "append")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+    # Sentinels always emit as same-user matched pairs (never against a
+    # real event), so event_id -1 on either column marks the whole row.
+    return (
+        out.filter(
+            (F.coalesce(F.col("view_id"), F.lit(0)) != -1)
+            & (F.coalesce(F.col("purchase_id"), F.lit(0)) != -1)
+        )
+        .select(
+            F.coalesce(F.col("v_user_id"), F.col("b_user_id")).alias("user_id"),
+            "view_id",
+            "purchase_id",
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
 def _make_session_fn_exact(gap_s: int):
     """Per-group stateful sessionizer (a self-contained closure:
     cloudpickle serializes it by VALUE, so executors need no package

@@ -279,3 +279,71 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark):
     m = pruned[0]
     assert m["numPartitions"] == 3, m          # the 3 months of 1996-Q3
     assert m["staticFilesNum"] > m["numFiles"], m  # pruning was real
+
+
+def test_cbo_stats_flip_join_strategy(spark):
+    """CBO stats consumption (operators/stats.py): the SAME
+    filtered-dim ⋈ fact join must plan as SortMergeJoin when the dim
+    table has no statistics (plan-time size = raw file size, above the
+    broadcast threshold) and as BroadcastHashJoin once
+    register_table_with_stats has run and spark.sql.cbo.enabled lets
+    FilterEstimation shrink the estimate below it — proof the ANALYZE
+    statistics (incl. equi-depth histograms) are consumed by the
+    planner, not merely computed. AQE is disabled inside the probe so
+    the decision under test is the PLAN-TIME one (AQE could rescue the
+    strategy only after materializing both shuffle sides)."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.operators.stats import (
+        register_table_with_stats,
+        table_stats,
+    )
+
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    orders = catalog.load_table(spark, SF_SMALL, "orders")
+
+    def join_plan():
+        t = spark.table("cbo_probe_orders").filter(
+            (F.col("o_orderstatus") == "P")
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        j = li.join(t, li.l_orderkey == t.o_orderkey)
+        return _plan(j)
+
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.cbo.enabled": spark.conf.get("spark.sql.cbo.enabled"),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # between the raw parquet size and the true filtered size
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024))
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+
+        spark.sql("DROP TABLE IF EXISTS cbo_probe_orders")
+        orders.write.mode("overwrite").saveAsTable("cbo_probe_orders")
+        before = join_plan()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, before
+
+        register_table_with_stats(
+            spark,
+            "cbo_probe_orders",
+            orders,
+            ["o_orderstatus", "o_orderpriority", "o_orderkey"],
+        )
+        assert table_stats(spark, "cbo_probe_orders"), "ANALYZE left no stats"
+        after = join_plan()
+        assert "BroadcastHashJoin" in after, after
+
+        # same stats, CBO estimation off -> back to file-size sizing
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        off = join_plan()
+        assert "SortMergeJoin" in off, off
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS cbo_probe_orders")

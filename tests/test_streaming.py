@@ -125,3 +125,30 @@ def test_transform_with_state_twin_gated_or_parity(spark):
     }
     v1 = {tuple(r) for r in pipelines.user_profile_stream(spark, SF).collect()}
     assert v2 == v1
+
+
+def test_full_outer_interval_join_covers_all_three_row_classes(spark):
+    """st_stream_interval_join_full — the oracle hash certifies values;
+    this pins NON-VACUITY of the full-outer semantics: the drained
+    stream must contain matched pairs, null-purchase views AND
+    null-view purchases (a left-outer regression would zero the third
+    class while still passing a left-join-shaped comparison), and no
+    sentinel rows may survive the drain filter."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.streaming import pipelines
+
+    out = pipelines.interval_join_full_stream(spark, SF)
+    counts = out.agg(
+        F.sum((F.col("purchase_id").isNull()).cast("int")).alias("null_buy"),
+        F.sum((F.col("view_id").isNull()).cast("int")).alias("null_view"),
+        F.sum(
+            (F.col("view_id").isNotNull() & F.col("purchase_id").isNotNull()).cast("int")
+        ).alias("matched"),
+        F.sum((F.col("view_id") == -1).cast("int")).alias("sentinel_v"),
+        F.sum((F.col("purchase_id") == -1).cast("int")).alias("sentinel_b"),
+    ).collect()[0]
+    assert counts.null_buy > 0, counts
+    assert counts.null_view > 0, counts
+    assert counts.matched > 0, counts
+    assert not counts.sentinel_v and not counts.sentinel_b, counts

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Scaling-curve evidence (VERDICT r06 #4): run the heaviest headline
+queries at sf0.01 and sf0.1 (10x the rows) and report the wall-clock
+and shuffle-bytes ratios against the 10x data ratio. Everything the
+repo claims linear should measure ~linear (ratio <= ~10 modulo the
+fixed per-query overhead that dominates small SFs and pushes ratios
+BELOW data growth); anything super-linear gets a named cause or a fix.
+
+Usage: python tools/scaling_curve.py [--queries a,b,c]
+Prints one JSON line per query + a summary; the table in SCALE.md is
+refreshed from this output per-round.
+
+Methodology notes: both SFs run in ONE Spark session back-to-back
+(same JVM warmup, same box), each query's frame is fully collected,
+and shuffle bytes come from the post-AQE SQLMetrics
+(tools/metrics_probe.py collect_metrics). localCheckpoint-ing queries
+(iterative graph ops) count only post-checkpoint stages — their
+shuffle numbers are floors, the wall number is complete.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from metrics_probe import collect_metrics  # noqa: E402
+
+from sales_agent_graphdb_spark.registry import all_queries  # noqa: E402
+from sales_agent_graphdb_spark.session import get_spark  # noqa: E402
+
+# The heaviest headline entries (BENCH_r06 ordering) spanning the
+# operator families whose scale behavior matters most: recursive SQL,
+# Python-boundary sink, LSH dedup, iterative graph (x2), containment
+# dedup, n-gram text, join+nest, DPP, and the big TPC-H join.
+DEFAULT = [
+    "sql_api_recursive_reachability",
+    "s15_api_sink_roundtrip",
+    "dedup_minhash_lsh",
+    "graph_connected_components",
+    "graph_k_core_fixpoint",
+    "dedup_containment",
+    "text_gopher_repetition",
+    "j2_order_nest_strform",
+    "dpp_partition_pruned",
+    "tpch_q5_local_supplier_volume",
+]
+
+SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+def main() -> int:
+    names = DEFAULT
+    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
+        names = sys.argv[2].split(",")
+    specs = all_queries()
+    spark = get_spark(app_name="scaling_curve", shuffle_partitions=32)
+    rows = []
+    for name in names:
+        spec = specs[name]
+        rec: dict = {"query": name}
+        for sf_dir in SFS:
+            tag = os.path.basename(sf_dir)
+            t0 = time.monotonic()
+            df = spec.fn(spark, sf_dir)
+            m = collect_metrics(df)  # collects the frame
+            wall = time.monotonic() - t0
+            rec[f"{tag}_wall_s"] = round(wall, 2)
+            rec[f"{tag}_shuffle_mb"] = round(m["shuffle_bytes_written"] / 1e6, 2)
+        rec["wall_ratio"] = round(rec["sf0.1_wall_s"] / max(rec["sf0.01_wall_s"], 1e-9), 1)
+        sm = rec["sf0.01_shuffle_mb"]
+        rec["shuffle_ratio"] = (
+            round(rec["sf0.1_shuffle_mb"] / sm, 1) if sm > 0.005 else None
+        )
+        rows.append(rec)
+        print(json.dumps(rec), flush=True)
+    worst = max(rows, key=lambda r: r["wall_ratio"])
+    print(json.dumps({
+        "summary": "sf0.01->sf0.1 is 10x rows",
+        "n_queries": len(rows),
+        "max_wall_ratio": worst["wall_ratio"],
+        "max_wall_query": worst["query"],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
