@@ -104,6 +104,12 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "dpp_partition_pruned",
     "st_stream_interval_join_full",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "sql_api_not_in_null_aware",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -808,3 +808,44 @@ def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFram
         "sqlapi_lineitem"
     )
     return spark.sql(_SQL_RCTE.format(li="sqlapi_lineitem"))
+
+
+# NOT IN with a NULLABLE subquery column — the anti-join variant with
+# SQL's hardest semantics: one NULL in the list makes NOT IN return
+# UNKNOWN for every non-matching row (i.e. an empty result), so the
+# engine cannot plan a plain anti join unless it can PROVE the list
+# null-free; over a nullable expression Spark must emit its null-aware
+# anti join (BroadcastHashJoin LeftAnti with isNullAware=true —
+# pinned in tests/test_plans.py). The CASE wrapper forces a nullable
+# type while never actually producing NULL at runtime, so the result
+# stays non-degenerate AND both engines' tri-valued logic is on the
+# hook: an engine that planned a plain anti join over a genuinely
+# null-containing list would return rows where SQL says none.
+_SQL_NOT_IN = """
+    SELECT c.c_custkey, c.c_name
+    FROM {cust} c
+    WHERE c.c_nationkey NOT IN (SELECT CASE WHEN n.n_name <> '' THEN n.n_nationkey END
+                                FROM {nat} n WHERE n.n_name LIKE 'NATION_1%')
+      AND c.c_mktsegment = 'MACHINERY'
+    ORDER BY c.c_custkey
+"""
+
+
+@register(
+    "sql_api_not_in_null_aware",
+    oracle=_SQL_NOT_IN.format(cust="customer", nat="nation"),
+)
+def sql_api_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — NOT IN over a nullable subquery column: the
+    null-aware anti join (the one anti-join shape sql_api_exists_in's
+    NOT EXISTS does NOT certify: NOT EXISTS ignores NULLs, NOT IN
+    must poison on them). Catalyst plans BroadcastHashJoin LeftAnti
+    with isNullAware=true; DuckDB runs its own null-aware rewrite —
+    matching outputs certify the tri-valued semantics agree. Scale:
+    the list side is a broadcast (null-aware anti join REQUIRES a
+    broadcastable right side in Spark — at 100 TB a huge NOT IN list
+    should be rewritten to NOT EXISTS + IS NOT NULL by the author,
+    which the optimizer can shuffle; that asymmetry is the design
+    reason this query exists as documentation)."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_NOT_IN.format(cust="sqlapi_customer", nat="sqlapi_nation"))

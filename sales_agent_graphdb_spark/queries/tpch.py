@@ -650,3 +650,204 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the lineitem scan; part joins broadcast at driver SFs."""
     _tpch_views(spark, sf_dir)
     return spark.sql(_Q14.format(li="tpch_lineitem", part="tpch_part"))
+
+
+# ---------------------------------------------------------------------------
+# Round 7, second wave: the remaining schema-feasible anchors, each a
+# class the registry hadn't certified from SQL text — Q7 (disjunctive
+# nation-pairing across two dim roles), Q8 (role-playing dimension:
+# nation joined twice under different roles + FILTER ratio), Q13
+# (LEFT-OUTER aggregate with a join-condition filter and zero-count
+# groups — the classic "customers with no orders still count" nuance),
+# Q15 (an aggregate CTE consumed twice: as join input and by its own
+# MAX subquery), Q22 (global scalar subquery + anti join + substring
+# classification). Same statement-is-oracle convention.
+# ---------------------------------------------------------------------------
+
+_Q7 = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM {sup} s
+    JOIN {li} l ON s.s_suppkey = l.l_suppkey
+    JOIN {ord} o ON o.o_orderkey = l.l_orderkey
+    JOIN {cust} c ON c.c_custkey = o.o_custkey
+    JOIN {nat} n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN {nat} n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=_Q7.format(sup="supplier", li="lineitem", ord="orders", cust="customer", nat="nation"),
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 — volume shipping between two trading nations, per
+    direction per ship year. The nation dim joins TWICE under
+    different roles (supplier's vs customer's), and the nation-pair
+    constraint is a DISJUNCTION over attributes of both roles — it
+    can only evaluate after both dim joins, so the optimizer's job is
+    keeping the two 25-row dims broadcast and the OR as a cheap
+    post-broadcast filter rather than materializing a cross-nation
+    fact blowup. Revenue exact-DECIMAL; year extraction is the only
+    non-key expression in the group key."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q7.format(
+        sup="tpch_supplier", li="tpch_lineitem", ord="tpch_orders",
+        cust="tpch_customer", nat="tpch_nation"))
+
+
+_Q8 = """
+    SELECT o_year,
+           CAST(CAST(SUM(volume) FILTER (WHERE supp_nation = 'NATION_3') AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM {part} p
+      JOIN {li} l ON p.p_partkey = l.l_partkey
+      JOIN {sup} s ON s.s_suppkey = l.l_suppkey
+      JOIN {ord} o ON o.o_orderkey = l.l_orderkey
+      JOIN {cust} c ON c.c_custkey = o.o_custkey
+      JOIN {nat} n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN {reg} r ON n1.n_regionkey = r.r_regionkey
+      JOIN {nat} n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') t
+    GROUP BY o_year ORDER BY o_year
+"""
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=_Q8.format(part="part", li="lineitem", sup="supplier", ord="orders",
+                      cust="customer", nat="nation", reg="region"),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 — national market share: one nation's slice of EUROPE
+    PROMO revenue per order year, from the 8-way star (nation joined
+    twice: the customer's nation routes through region for the market
+    filter, the supplier's nation is the share dimension). The
+    share is a FILTER-aggregate ratio over the SAME single pass —
+    note the volume stays at the product's NATURAL decimal precision
+    (no re-cast: a rescale to (18,2) would ROUND, and Spark's HALF_UP
+    vs DuckDB's banker's rounding diverge — the bug this query's
+    first draft actually caught). Dims broadcast; the only big
+    exchanges key the fact tables once each."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q8.format(
+        part="tpch_part", li="tpch_lineitem", sup="tpch_supplier",
+        ord="tpch_orders", cust="tpch_customer", nat="tpch_nation",
+        reg="tpch_region"))
+
+
+_Q13 = """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM {cust} c LEFT JOIN {ord} o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderstatus = 'P' AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle=_Q13.format(cust="customer", ord="orders"),
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 — customer order-count distribution: how many
+    customers placed N qualifying orders, INCLUDING N=0. The
+    outer-join-aggregate class: the status/priority filter must live
+    in the JOIN CONDITION (in WHERE it would turn the left join inner and
+    silently drop the zero-order customers), and COUNT(o_orderkey)
+    counts non-null matches so unmatched customers land in the c_count
+    = 0 bucket. The double aggregate re-shuffles |customers| rows then
+    |distinct counts| rows — both bounded well below the fact. The
+    per-customer count is itself cast to BIGINT so both engines feed
+    identical group keys into the second aggregate."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q13.format(cust="tpch_customer", ord="tpch_orders"))
+
+
+_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM {li}
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM {sup} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    ORDER BY suppkey
+"""
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=_Q15.format(li="lineitem", sup="supplier"),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 — top supplier: the quarter's revenue-per-supplier
+    aggregate (the view in the official form, a CTE here) consumed
+    TWICE — once as the join input and once by its own global MAX
+    scalar subquery — with the top row selected by exact-DECIMAL
+    equality, so ties would all surface (the official semantics; a
+    LIMIT 1 would hide them). The aggregate is map-side combinable on
+    l_suppkey; the MAX side reduces the same |suppliers|-row frame to
+    one value broadcast back as a scalar. Equality compares exact
+    decimals — no float boundary exists."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q15.format(li="tpch_lineitem", sup="tpch_supplier"))
+
+
+_Q22 = """
+    SELECT SUBSTRING(c.c_name, 17, 1) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM {cust} c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM {cust} c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND SUBSTRING(c.c_name, 17, 1) IN ('0','1','2','3','4','5','6')
+      AND NOT EXISTS (SELECT 1 FROM {ord} o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'P')
+    GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    oracle=_Q22.format(cust="customer", ord="orders"),
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 — global sales opportunity: above-average-balance
+    customers with no PROCESSING order, bucketed by a name-substring
+    code (position 17 varies in this testdata's name format; the
+    official c_phone country code doesn't exist). Three classes in one
+    statement: a GLOBAL (uncorrelated) scalar subquery — the AVG
+    computes once and broadcasts as a literal into the filter, never
+    per-row; a substring IN-list; and a correlated NOT EXISTS
+    decorrelating to a left-anti join on the customer key. The output
+    SUM goes through exact DECIMAL as always; the scalar AVG threshold
+    itself is a double whose low bits could in principle differ across
+    engines' summation orders, but the 2-dp acctbal grid sits far
+    (>=1e-6 relative) from the average on this fixed testdata, so the
+    comparison has no boundary row — verified at both driver SFs."""
+    _tpch_views(spark, sf_dir)
+    return spark.sql(_Q22.format(cust="tpch_customer", ord="tpch_orders"))

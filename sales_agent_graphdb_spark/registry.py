@@ -62,6 +62,13 @@ _PRIORITY: list[str] = [
     "dpp_partition_pruned",
     # Round 7: FULL OUTER interval stream-stream join (VERDICT r06 #5).
     "st_stream_interval_join_full",
+    # Round 7, second wave: remaining schema-feasible TPC-H anchors
+    # (role-playing dims, outer-join aggregate with zero groups,
+    # CTE-consumed-twice, global scalar subquery) + the null-aware
+    # NOT IN anti join.
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q22_global_sales_opportunity", "sql_api_not_in_null_aware",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -347,3 +347,50 @@ def test_cbo_stats_flip_join_strategy(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS cbo_probe_orders")
+
+
+def test_q13_left_outer_preserved_with_join_condition_filter(spark):
+    """Q13 — the priority filter must ride the LEFT OUTER join's
+    CONDITION (a WHERE placement would convert the join inner and drop
+    the zero-order customers Q13 exists to count). Pin the outer join
+    survives optimization and the filter is NOT below the join on the
+    customer side."""
+    from sales_agent_graphdb_spark.queries.tpch import (
+        tpch_q13_customer_distribution,
+    )
+
+    df = tpch_q13_customer_distribution(spark, SF_SMALL)
+    plan = _plan(df)
+    assert "LeftOuter" in plan, plan
+    # zero-count bucket present = outer semantics actually preserved
+    assert any(r.c_count == 0 for r in df.collect()), "no zero-order bucket"
+
+
+def test_q22_global_scalar_subquery_and_anti_join(spark):
+    """Q22 — the uncorrelated AVG must plan as a scalar subquery
+    (computed once, broadcast as a literal), the NOT EXISTS as a
+    left-anti join; no nested loop anywhere."""
+    from sales_agent_graphdb_spark.queries.tpch import (
+        tpch_q22_global_sales_opportunity,
+    )
+
+    plan = _plan(tpch_q22_global_sales_opportunity(spark, SF_SMALL))
+    assert "Subquery" in plan or "scalar-subquery" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """sql_api_not_in_null_aware — over a nullable list column Spark
+    must emit its null-aware anti join: BroadcastHashJoin LeftAnti
+    with the isNullAware flag (rendered as the trailing 'true' in the
+    node string). A plain anti join here would be a WRONG-ANSWER plan
+    the moment a NULL reached the list."""
+    from sales_agent_graphdb_spark.queries.relational import (
+        sql_api_not_in_null_aware,
+    )
+
+    plan = _plan(sql_api_not_in_null_aware(spark, SF_SMALL))
+    lines = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert lines, plan
+    assert any("BroadcastHashJoin" in l and l.rstrip().endswith("true") for l in lines), lines
