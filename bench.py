@@ -110,6 +110,7 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q22_global_sales_opportunity",
     "sql_api_not_in_null_aware",
+    "sql_api_lateral_topk",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -849,3 +849,44 @@ def sql_api_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason this query exists as documentation)."""
     _sqlapi_views(spark, sf_dir)
     return spark.sql(_SQL_NOT_IN.format(cust="sqlapi_customer", nat="sqlapi_nation"))
+
+
+# LATERAL correlated subquery with ORDER BY ... LIMIT — the "per-row
+# subtable" construct (SQL:1999 lateral derived table). A naive engine
+# re-executes the subquery per outer row; Catalyst DECORRELATES the
+# correlated LIMIT into a WindowGroupLimit (partial on the map side,
+# final after one hash exchange) + row_number window + equi-join —
+# i.e. the exact distributed per-group top-k rewrite w3_topn_per_group
+# hand-writes, derived automatically from lateral TEXT. Pinned in
+# tests/test_plans.py.
+_SQL_LATERAL = """
+    SELECT n.n_name AS nation, t.s_name AS supplier,
+           CAST(t.s_acctbal AS DOUBLE) AS acctbal
+    FROM {nat} n,
+    LATERAL (SELECT s.s_name, s.s_acctbal FROM {sup} s
+             WHERE s.s_nationkey = n.n_nationkey
+             ORDER BY s.s_acctbal DESC, s.s_name LIMIT 2) t
+    ORDER BY nation, acctbal DESC, supplier
+"""
+
+
+@register(
+    "sql_api_lateral_topk",
+    oracle=_SQL_LATERAL.format(nat="nation", sup="supplier"),
+)
+def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — LATERAL derived table: each nation's top-2
+    suppliers by account balance, written as a correlated lateral
+    subquery with its own ORDER BY/LIMIT (the form ORMs and analysts
+    reach for before they know window functions). Catalyst plans it as
+    WindowGroupLimit + row_number + one equi-join — per-partition
+    top-k pre-pruning before the shuffle, never a per-outer-row
+    re-execution and never a nested loop; DuckDB runs its own lateral
+    decorrelation, so the matching hash certifies both engines'
+    rewrites of the same text. Deterministic (acctbal, name) tiebreak
+    inside the LIMIT."""
+    _sqlapi_views(spark, sf_dir)
+    catalog.load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "sqlapi_supplier"
+    )
+    return spark.sql(_SQL_LATERAL.format(nat="sqlapi_nation", sup="sqlapi_supplier"))

@@ -69,6 +69,7 @@ _PRIORITY: list[str] = [
     "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
     "tpch_q22_global_sales_opportunity", "sql_api_not_in_null_aware",
+    "sql_api_lateral_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -394,3 +394,17 @@ def test_not_in_plans_null_aware_anti_join(spark):
     lines = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert lines, plan
     assert any("BroadcastHashJoin" in l and l.rstrip().endswith("true") for l in lines), lines
+
+
+def test_lateral_limit_decorrelates_to_window_group_limit(spark):
+    """sql_api_lateral_topk — the correlated LATERAL ... LIMIT 2 must
+    decorrelate to the distributed per-group top-k shape: a
+    WindowGroupLimit (map-side Partial + Final) feeding a row_number
+    window and ONE equi-join; zero nested loops, zero per-row
+    re-execution."""
+    from sales_agent_graphdb_spark.queries.relational import sql_api_lateral_topk
+
+    plan = _plan(sql_api_lateral_topk(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan, plan
+    assert "row_number" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan

@@ -55,6 +55,11 @@ PROBED = [
     "sql_api_window_topn",         # SQL text -> hash-partitioned window
     "tpch_q1_pricing_summary",     # scan-dominated: only group partials move
     "tpch_q5_local_supplier_volume",  # 6-way join: facts keyed once, dims broadcast
+    # Round 7 additions.
+    "tpch_q21_waiting_supplier",   # semi+anti stack on one fact flow
+    "tpch_q8_market_share",        # 8-way star, role-playing nation dim
+    "dpp_partition_pruned",        # runtime-pruned scan: 3/83 partitions
+    "sql_api_lateral_topk",        # lateral LIMIT -> WindowGroupLimit pre-prune
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
