@@ -111,6 +111,7 @@ HEADLINE = [
     "tpch_q22_global_sales_opportunity",
     "sql_api_not_in_null_aware",
     "sql_api_lateral_topk",
+    "dq_observe_one_pass",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

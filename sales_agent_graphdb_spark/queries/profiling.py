@@ -698,3 +698,53 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "dq_observe_one_pass",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+           CAST(MIN(l_shipdate) AS VARCHAR) AS min_ship,
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_flag_groups
+    FROM lineitem
+    """,
+)
+def dq_observe_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics via Spark's Observation API — QC computed
+    IN THE SAME PASS as the business aggregate, not by a second scan:
+    `df.observe(...)` attaches accumulator-backed aggregates
+    (row count, exact-DECIMAL total, null count, min timestamp) to the
+    frame, the business groupBy consumes the frame and triggers the
+    one job, and the observed values are read from the completed
+    action. At 100 TB this is the difference between QC that is free
+    (piggybacked accumulators on a scan you already paid for) and QC
+    that doubles your scan bill — the production pattern for ingest
+    validation ledgers. The returned row carries the observed metrics
+    PLUS the business result's group count, so the oracle (one SQL
+    pass over the same table) certifies both that the observation
+    values are exact and that the observation actually rode the
+    business query's execution."""
+    from pyspark.sql import Observation
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.min("l_shipdate").cast("string").alias("min_ship"),
+    )
+    business = observed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n_groups = len(business.collect())  # the action that fills obs
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["null_qty"], m["min_ship"], n_groups)],
+        "n_rows long, total_price double, null_qty long, min_ship string, n_flag_groups long",
+    )

@@ -890,3 +890,71 @@ def sql_api_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqlapi_supplier"
     )
     return spark.sql(_SQL_LATERAL.format(nat="sqlapi_nation", sup="sqlapi_supplier"))
+
+
+# GROUP BY ALL / ORDER BY ALL — the analyst-dialect shorthand both
+# engines now share (Spark 4 / DuckDB); certifies the resolution rule
+# (every non-aggregate select item becomes a group key, in select
+# order) agrees cross-dialect. Statement == oracle verbatim.
+_SQL_GBA = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM {li}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "sql_api_group_by_all",
+    oracle=_SQL_GBA.format(li="lineitem"),
+)
+def sql_api_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — GROUP BY ALL + ORDER BY ALL: the
+    dimensions-implied-by-projection shorthand. Certifies that both
+    engines resolve the same group keys (the two non-aggregate select
+    items) and the same total order (all select items, left to
+    right). Same plan as the explicit form: map-side-combinable
+    aggregate on the 6-value composite key."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_GBA.format(li="sqlapi_lineitem"))
+
+
+@register(
+    "sql_api_exec_immediate_vars",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def sql_api_exec_immediate_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — session VARIABLES + EXECUTE IMMEDIATE (Spark 4):
+    the dynamic-SQL surface done injection-safely — DECLARE VARIABLE /
+    SET VAR hold typed session state, and EXECUTE IMMEDIATE runs a
+    statement STRING with `?` placeholders bound via USING from the
+    variables (the pattern that replaces f-string SQL assembly in
+    §3.2-style services; a malicious value stays a typed literal, it
+    never concatenates into the text). The oracle is the fully inlined
+    statement, proving the two binding hops are semantically
+    invisible. Catalyst constant-folds the bound literals, so the
+    totalprice bound still prunes at the scan like a hardcoded one."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE sqlapi_minprice DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR sqlapi_minprice = 50000.0")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT o_orderpriority AS priority,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM sqlapi_orders
+           WHERE o_totalprice >= ? AND o_orderstatus = ''F''
+           GROUP BY o_orderpriority ORDER BY priority'
+        USING sqlapi_minprice
+        """
+    )

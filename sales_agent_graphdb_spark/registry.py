@@ -70,6 +70,10 @@ _PRIORITY: list[str] = [
     "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
     "tpch_q22_global_sales_opportunity", "sql_api_not_in_null_aware",
     "sql_api_lateral_topk",
+    # Round 7, third wave: one-pass observe() QC, GROUP BY ALL, and
+    # the EXECUTE IMMEDIATE + session-variable dynamic-SQL surface.
+    "dq_observe_one_pass", "sql_api_group_by_all",
+    "sql_api_exec_immediate_vars",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
