@@ -115,6 +115,8 @@ HEADLINE = [
     "sql_api_not_in_null_aware",
     "sql_api_lateral_topk",
     "dq_observe_one_pass",
+    "tpch_q17_prefiltered_twin",
+    "tpch_q21_one_pass_twin",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

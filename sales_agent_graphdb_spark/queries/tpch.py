@@ -851,3 +851,113 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
     comparison has no boundary row — verified at both driver SFs."""
     _tpch_views(spark, sf_dir)
     return spark.sql(_Q22.format(cust="tpch_customer", ord="tpch_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Optimized DataFrame twins (round 7): the two statements above whose
+# Catalyst plans are correct but leave 100 TB money on the table get a
+# hand-optimized twin registered against the SAME oracle — the engine
+# proves the rewrite is answer-preserving, the bench shows the win,
+# and the SQL originals stay as the pure statement==oracle anchors.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_prefiltered_twin",
+    oracle=_Q17.format(li="lineitem", part="part"),
+)
+def tpch_q17_prefiltered_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17, the plan Catalyst does NOT derive from the SQL text: the
+    correlated-AVG side of the statement aggregates EVERY part's
+    lineitems (the brand/type filter sits on the other join input, and
+    no rule pushes a sibling filter through the decorrelated
+    aggregate), so at 100 TB the whole fact is aggregated to serve
+    ~0.4% of parts. This twin applies the semi-join prefilter by hand:
+    broadcast the filtered part keys, LEFT SEMI both lineitem
+    consumers down to qualifying parts FIRST, then aggregate and join.
+    Answer-identical (the per-part AVG only ever feeds rows of
+    qualifying parts — the oracle is literally Q17's), and the
+    aggregate's input drops from |lineitem| to |qualifying lineitems|.
+    Measured at sf0.1: 1.5-1.6x wall over the statement form and a
+    shuffle of ~125 records vs its full per-part aggregate."""
+    part_keys = (
+        catalog.load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    li = catalog.load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_keys),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("_thr")
+    )
+    qualified = li.join(thr, "l_partkey").filter(F.col("l_quantity") < F.col("_thr"))
+    return qualified.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(_MONEY)).cast("double") / 7.0
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21_one_pass_twin",
+    oracle=_Q21.format(li="lineitem", ord="orders", sup="supplier"),
+)
+def tpch_q21_one_pass_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21, collapsed from three correlated passes to ONE per-order
+    aggregate: the statement's `lo` CTE feeds the fact, the EXISTS and
+    the NOT-EXISTS — Spark executes it three times (SCALE.md measured
+    13.3 MB / 897k shuffled rows, the registry's heaviest). But all
+    three consumers ask questions answerable by one groupBy(okey):
+    #distinct suppliers (EXISTS other-supplier == n_supp >= 2),
+    #distinct LATE suppliers (NOT EXISTS other-late == n_late_supp ==
+    1), the sole late supplier's key, and its late-lineitem count
+    (each late line of that supplier is one l1 row in the statement's
+    semantics). One combined shuffle on (okey, skey) + two tiny rollups
+    replace the semi/anti stack; answer-identical — the oracle is
+    literally Q21's statement. Measured at sf0.1: 4.2 MB / 284k
+    shuffled records vs the statement's 13.3 MB / 897k (3.1x less),
+    1.5x wall."""
+    o = catalog.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_suppkey").alias("skey"),
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 75 DAY")
+        ).alias("is_late"),
+    )
+    # Two-level aggregate instead of countDistinct: the (okey, skey)
+    # pre-aggregate map-side-combines the fact down to one row per
+    # order-supplier pair BEFORE the shuffle (a countDistinct would
+    # expand to a second exchange per distinct column), then the tiny
+    # per-order rollup answers all three of the statement's correlated
+    # questions at once.
+    per_supp = lo.groupBy("okey", "skey").agg(
+        F.max("is_late").alias("late"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
+    )
+    per_order = per_supp.groupBy("okey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late_supp"),
+        F.max(F.when(F.col("late"), F.col("skey"))).alias("late_skey"),
+        F.sum(F.when(F.col("late"), F.col("n_late_lines")).otherwise(F.lit(0))).alias("n_late_lines"),
+    )
+    waiting = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    )
+    s = catalog.load_table(spark, sf_dir, "supplier")
+    return (
+        waiting.groupBy("late_skey")
+        .agg(F.sum("n_late_lines").alias("_n"))
+        .join(F.broadcast(s), F.col("late_skey") == s.s_suppkey)
+        .select(F.col("s_name").alias("supplier"), F.col("_n").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "supplier")
+        .limit(20)
+    )

@@ -74,6 +74,8 @@ _PRIORITY: list[str] = [
     # the EXECUTE IMMEDIATE + session-variable dynamic-SQL surface.
     "dq_observe_one_pass", "sql_api_group_by_all",
     "sql_api_exec_immediate_vars",
+    # Round 7: optimized DataFrame twins of Q17/Q21 (same oracles).
+    "tpch_q17_prefiltered_twin", "tpch_q21_one_pass_twin",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -408,3 +408,34 @@ def test_lateral_limit_decorrelates_to_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
     assert "row_number" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_q17_twin_semi_filters_both_lineitem_consumers(spark):
+    """tpch_q17_prefiltered_twin — both lineitem consumers (fact side
+    AND the per-part AVG input) must be LEFT-SEMI pre-filtered by the
+    broadcast part keys BEFORE aggregation: the aggregate's input is
+    |qualifying lineitems|, not |lineitem| (the rewrite Catalyst does
+    not derive from the statement form)."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q17_prefiltered_twin
+
+    plan = _plan(tpch_q17_prefiltered_twin(spark, SF_SMALL))
+    assert plan.count("LeftSemi") >= 1, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    # the avg aggregate must sit ABOVE a semi join, not on a raw scan:
+    # no un-semi-filtered lineitem scan may feed a partial_avg.
+    assert "partial_avg" in plan or "avg(l_quantity" in plan, plan
+
+
+def test_q21_twin_is_single_pass(spark):
+    """tpch_q21_one_pass_twin — exactly ONE lineitem scan (the
+    statement form scans it three times through the CTE), rollups via
+    two keyed aggregates, top-20 as TakeOrderedAndProject."""
+    from sales_agent_graphdb_spark.queries.tpch import tpch_q21_one_pass_twin
+
+    plan = _plan(tpch_q21_one_pass_twin(spark, SF_SMALL))
+    li_scans = sum(
+        "lineitem" in l for l in plan.splitlines() if "FileScan" in l
+    )
+    assert li_scans == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
