@@ -267,3 +267,100 @@ def udtf_ngram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 udtf_ngram_expand.__doc__ = udtf_ngram_expand.__doc__.format(n=_UDTF_DOCS)
+
+
+@register(
+    "f17_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity % 5 = 0 THEN NULL
+                ELSE CAST(l_extendedprice AS DOUBLE)
+                     / CAST(l_quantity % 5 AS DOUBLE) END AS safe_div,
+           TRY_CAST(CAST(9223372036854775800 AS HUGEINT)
+                    + CAST(l_quantity AS BIGINT) AS BIGINT) AS safe_add,
+           TRY_CAST(CASE WHEN l_linenumber % 2 = 0 THEN 'x'
+                         ELSE CAST(l_orderkey AS VARCHAR) END AS INT) AS safe_int
+    FROM lineitem WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe (try_*) arithmetic — the error-tolerant scalar family a
+    100 TB ingest pipeline needs so one malformed row NULLs instead of
+    killing a 6-hour job: try_divide (planted zero denominators via
+    quantity%5), try_add (planted BIGINT overflow: 2^63-8 + quantity
+    overflows for quantity > 7), try_cast (planted non-numeric
+    strings). Row-level oracle: DuckDB lacks try_add/try_divide, so
+    the oracle states the SEMANTICS — guarded CASE for the division,
+    HUGEINT-widened addition re-narrowed via TRY_CAST for the
+    overflow — and the hash certifies Spark's try_* kit returns NULL
+    at exactly the planted failure rows and bit-identical values
+    elsewhere."""
+    e = catalog.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 100
+    )
+    return e.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"),
+            (F.col("l_quantity") % 5).cast("double"),
+        ).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775800), F.col("l_quantity").cast("long")
+        ).alias("safe_add"),
+        F.try_to_number(
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("x")).otherwise(
+                F.col("l_orderkey").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("int")
+        .alias("safe_int"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_F18_SQL = """
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM {cust})
+    SELECT lower(seg) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed
+    WHERE seg COLLATE UTF8_LCASE = 'Building'
+       OR seg COLLATE UTF8_LCASE >= 'HOUSEHOLD'
+    GROUP BY lower(seg) ORDER BY segment
+"""
+
+
+@register(
+    "f18_collation_compare",
+    oracle="""
+    WITH mixed AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer)
+    SELECT lower(seg) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM mixed
+    WHERE lower(seg) = lower('Building') OR lower(seg) >= lower('HOUSEHOLD')
+    GROUP BY lower(seg) ORDER BY segment
+    """,
+)
+def f18_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATION (Spark 4): case-insensitive equality AND range
+    comparison via `COLLATE UTF8_LCASE` over a planted mixed-case
+    column — the declarative form of the lower()-everywhere idiom
+    (which the oracle states, certifying the two are equivalent).
+    Collation matters at 100 TB because the collated comparison keeps
+    the ORIGINAL bytes (no materialized lower() copy of a string
+    column) and collation-aware hashing lets joins/groups on collated
+    keys shuffle correctly — here the filter feeds a case-merged
+    group count, so a collation bug splits or drops groups and the
+    hash goes red. The group key is projected through lower() so the
+    output representative is deterministic on both engines."""
+    catalog.load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "f18_customer"
+    )
+    return spark.sql(_F18_SQL.format(cust="f18_customer"))

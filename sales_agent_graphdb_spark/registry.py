@@ -76,6 +76,8 @@ _PRIORITY: list[str] = [
     "sql_api_exec_immediate_vars",
     # Round 7: optimized DataFrame twins of Q17/Q21 (same oracles).
     "tpch_q17_prefiltered_twin", "tpch_q21_one_pass_twin",
+    # Round 7: error-tolerant scalar kit + collation semantics.
+    "f17_try_arithmetic", "f18_collation_compare",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -165,3 +165,61 @@ def test_hot_key_salted_join_validations(spark):
         salted_join_hot_keys(fact, dim, "l_partkey", how="right")
     with _pytest.raises(ValueError):
         salted_join_hot_keys(fact, dim, "l_partkey", hot_frac=1.5)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's OptimizeSkewedJoin — the runtime complement to the manual
+    salting operators: with a 90%-hot key, many upstream mappers, and
+    thresholds scaled to this data size, the final plan must mark
+    SortMergeJoin(skew=true) and a skewed AQEShuffleRead on the fact
+    side.
+
+    The load-bearing subtlety this test documents: skew splits are
+    PartialReducerPartitionSpecs, i.e. MAPPER-RANGE slices of the hot
+    reducer partition — a stage with ONE mapper (this testdata's
+    single-row-group parquet) cannot be split at all, silently. The
+    .repartition(16) models the thousands of upstream tasks any real
+    100 TB stage has. That granularity bound is exactly why the
+    salting operators (operators/skew.py) remain first-class: salting
+    balances regardless of mapper layout, AQE only as finely as the
+    map side allows."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+
+    li = (
+        catalog.load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition(16)
+    )
+    fact = li.withColumn(
+        "l_partkey",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(1)).otherwise(F.col("l_partkey")),
+    ).withColumn("payload", F.sha2(F.col("l_orderkey").cast("string"), 256))
+    dim = catalog.load_table(spark, SF_SMALL, "part").select("p_partkey", "p_brand")
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # scaled to sf0.001: hot partition ~100s of KB, others ~KBs
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        j = fact.join(dim, fact.l_partkey == dim.p_partkey)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
