@@ -668,3 +668,84 @@ def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_k_core_fixpoint.__doc__ = graph_k_core_fixpoint.__doc__.format(
     k=_KCORE_FIX_K, guard=_KCORE_FIX_GUARD
 )
+
+
+_SSSP_SEED = 42
+_SSSP_HOPS = 3
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.l_partkey AS lo, b.l_partkey AS hi, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+sym AS (SELECT lo AS src, hi AS dst, 1.0 / cnt AS w FROM pairs
+        UNION ALL SELECT hi AS src, lo AS dst, 1.0 / cnt AS w FROM pairs),
+walk(node, dist, depth) AS (
+  SELECT CAST({_SSSP_SEED} AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS dist, 0 AS depth
+  UNION ALL
+  SELECT s.dst AS node, w.dist + s.w AS dist, w.depth + 1 AS depth
+  FROM walk w JOIN sym s ON s.src = w.node WHERE w.depth < {_SSSP_HOPS})
+SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@register("graph_sssp_bounded", oracle=_SSSP_ORACLE)
+def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths, bounded to {hops} hops —
+    the missing weighted variant next to the unweighted BFS
+    (graph_shortest_paths): edge weight = 1/co-purchase-count (more
+    co-purchases = closer), distance = min path-weight sum from part
+    {seed}. Implemented as {hops} Bellman-Ford relaxation rounds —
+    each round one frontier⋈edges equi-join + a min aggregate, the
+    same O(|E|)-per-round budget as every iterative operator here,
+    with NO path enumeration (state is one dist per node). The oracle
+    enumerates all ≤{hops}-hop paths via RECURSIVE CTE and takes the
+    MIN — exponential in depth, which is exactly why the engine side
+    must NOT do it that way; the bound keeps the oracle tractable.
+
+    Float exactness: a path's distance accumulates left-to-right in
+    BOTH engines (Bellman-Ford's dist+w at round k reuses the round
+    k-1 sum — the same grouping as the CTE's running sum), so MIN
+    compares bit-identical candidates. Weights are 1.0/cnt with cnt
+    from identical integer group counts.
+
+    At 100 TB: relaxation rounds are bounded frontier joins; the dist
+    state co-partitions with the edge list on the node key, and a
+    localCheckpoint per round truncates the lineage exactly like
+    k-core/CC."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    b = li.withColumnRenamed("l_partkey", "r_partkey")
+    pairs = (
+        li.join(b, "l_orderkey")
+        .filter(F.col("l_partkey") < F.col("r_partkey"))
+        .groupBy(F.col("l_partkey").alias("lo"), F.col("r_partkey").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (F.lit(1.0) / F.col("cnt")).alias("w")
+    edges = (
+        pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"), w)
+        .unionByName(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst"), w))
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame([(_SSSP_SEED, 0.0)], "node long, dist double")
+    for _ in range(_SSSP_HOPS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.orderBy("node")
+
+
+graph_sssp_bounded.__doc__ = graph_sssp_bounded.__doc__.format(
+    hops=_SSSP_HOPS, seed=_SSSP_SEED
+)

@@ -78,6 +78,9 @@ _PRIORITY: list[str] = [
     "tpch_q17_prefiltered_twin", "tpch_q21_one_pass_twin",
     # Round 7: error-tolerant scalar kit + collation semantics.
     "f17_try_arithmetic", "f18_collation_compare",
+    # Round 7: weighted bounded SSSP (Bellman-Ford vs path-enumeration
+    # oracle).
+    "graph_sssp_bounded",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -439,3 +439,63 @@ def test_q21_twin_is_single_pass(spark):
     assert li_scans == 1, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_window_spill_preserves_results(spark):
+    """Spill-awareness (the graceful-degradation contract at 100 TB):
+    force the window operator's row buffer to disk (spill threshold
+    500 rows against ~20k-row frames) and assert (a) the spill REALLY
+    happened — the node's spillSize SQLMetric is non-zero — and (b)
+    the running sums are bit-identical to the in-memory run. An
+    operator that silently drops or reorders rows under memory
+    pressure passes every green-path test; this is the red-path pin."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+
+    li = catalog.load_table(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    proj = ["l_returnflag", "l_orderkey", "l_linenumber"]
+
+    def run():
+        return li.select(*proj, F.sum("l_quantity").over(w).alias("run"))
+
+    base = sorted(map(repr, (tuple(r) for r in run().collect())))
+    try:
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "500")
+        spark.conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "500")
+        df = run()
+        df.collect()
+        spilled = 0
+        qe = df._jdf.queryExecution()
+
+        def _iter(node, seen):
+            nid = int(node.id())
+            if nid in seen:
+                return
+            seen.add(nid)
+            yield node
+            kids = node.children()
+            for i in range(kids.size()):
+                yield from _iter(kids.apply(i), seen)
+            cls = node.getClass().getSimpleName()
+            if cls == "AdaptiveSparkPlanExec":
+                yield from _iter(node.executedPlan(), seen)
+            elif cls.endswith("QueryStageExec"):
+                yield from _iter(node.plan(), seen)
+
+        for node in _iter(qe.executedPlan(), set()):
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "spillSize":
+                    spilled += max(0, int(kv._2().value()))
+        assert spilled > 0, "spill threshold did not trigger a real spill"
+        rows = sorted(map(repr, (tuple(r) for r in df.collect())))
+        assert rows == base
+    finally:
+        spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+        spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
