@@ -289,8 +289,10 @@ def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB ingest pipeline needs so one malformed row NULLs instead of
     killing a 6-hour job: try_divide (planted zero denominators via
     quantity%5), try_add (planted BIGINT overflow: 2^63-8 + quantity
-    overflows for quantity > 7), try_cast (planted non-numeric
-    strings). Row-level oracle: DuckDB lacks try_add/try_divide, so
+    overflows for quantity > 7), try_to_number (planted non-numeric
+    strings against an explicit format — the stricter cousin of
+    try_cast, NULL on parse failure). Row-level oracle: DuckDB lacks
+    try_add/try_divide/try_to_number, so
     the oracle states the SEMANTICS — guarded CASE for the division,
     HUGEINT-widened addition re-narrowed via TRY_CAST for the
     overflow — and the hash certifies Spark's try_* kit returns NULL
