@@ -117,6 +117,7 @@ HEADLINE = [
     "dq_observe_one_pass",
     "tpch_q17_prefiltered_twin",
     "tpch_q21_one_pass_twin",
+    "text_lm_perplexity_filter",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -643,3 +643,90 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tf_total",
         "df_docs",
     ).orderBy("token_id")
+
+
+from sales_agent_graphdb_spark.queries.curation import _TOKENS_SQL as _CORPUS_TOKENS_SQL  # noqa: E402
+
+_LM_FLAG = -3.5  # below = unusually improbable under the corpus LM
+
+_LM_ORACLE = """
+    WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    c1t AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (SELECT b.doc_id,
+                      CAST(ln((c12.c12 + 1.0) / (c1t.c1 + v.v)) AS DECIMAL(20,10)) AS lp
+               FROM big b JOIN c12 USING (w1, w2) JOIN c1t USING (w1) CROSS JOIN v)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_logp,
+           (CAST(CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS DOUBLE) < {flag}) AS flagged
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+""".format(toks=_CORPUS_TOKENS_SQL, flag=_LM_FLAG)
+
+
+@register(
+    "text_lm_perplexity_filter",
+    oracle=_LM_ORACLE,
+)
+def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filtering — the quality gate that
+    trains a language model ON the corpus and flags documents the
+    model finds improbable (boilerplate, gibberish, wrong-language
+    text score far from the corpus distribution): here an in-corpus
+    add-one-smoothed BIGRAM model, score = mean log P(w2|w1) per
+    document, flag below -3.5. Two aggregation passes over one
+    shared bigram frame build the model (c(w1,w2), c(w1), |V|); the
+    scoring join hits the same frame, so the corpus is tokenized
+    exactly once. At 100 TB: the model tables are vocabulary-bounded
+    (broadcastable for real vocabularies), the bigram shuffle is the
+    one corpus-sized exchange, and the flag threshold is a constant —
+    the production form swaps the in-corpus counts for a reference
+    KenLM without touching the plan shape.
+
+    Float exactness: each bigram's log-probability is quantized to
+    DECIMAL(20,10) BEFORE the per-document sum, so summation order
+    cannot move the mean; the ln inputs are identical integer-ratio
+    doubles on both engines (and ln itself matched bit-exactly, as in
+    the BM25 family)."""
+    docs = catalog.load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", alnum_tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, n - 1).alias("w1"), F.slice("t", 2, n - 1).alias("w2")
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))
+            .cast("decimal(20,10)")
+            .alias("lp"),
+        )
+    )
+    avg = (F.col("_slp") / F.col("n_bigrams")).alias("avg_logp")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp").cast("double").alias("_slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            avg,
+            ((F.col("_slp") / F.col("n_bigrams")) < _LM_FLAG).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )

@@ -81,6 +81,8 @@ _PRIORITY: list[str] = [
     # Round 7: weighted bounded SSSP (Bellman-Ford vs path-enumeration
     # oracle).
     "graph_sssp_bounded",
+    # Round 7: CCNet-style in-corpus LM perplexity quality gate.
+    "text_lm_perplexity_filter",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
