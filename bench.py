@@ -118,6 +118,7 @@ HEADLINE = [
     "tpch_q17_prefiltered_twin",
     "tpch_q21_one_pass_twin",
     "text_lm_perplexity_filter",
+    "attr_multi_touch_credit",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

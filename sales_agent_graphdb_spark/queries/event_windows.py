@@ -11,7 +11,7 @@ order can't skew the doubles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_agent_graphdb_spark import catalog
@@ -393,3 +393,97 @@ def w9_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.withColumn("cum_users", F.sum("new_users").over(w).cast("bigint"))
         .orderBy("day")
     )
+
+
+_ATTR_HOURS = 72
+
+
+@register(
+    "attr_multi_touch_credit",
+    oracle=f"""
+    WITH views AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+                   FROM events WHERE event_type = 'view'),
+    buys AS (SELECT user_id, event_id AS purchase_id, ts AS buy_ts, value AS val
+             FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT v.view_id, v.view_ts, b.purchase_id, b.val
+          FROM views v JOIN buys b ON v.user_id = b.user_id
+           AND v.view_ts BETWEEN b.buy_ts - INTERVAL {_ATTR_HOURS} HOUR AND b.buy_ts),
+    ranked AS (SELECT *,
+                      ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                         ORDER BY view_ts, view_id) AS rk,
+                      COUNT(*) OVER (PARTITION BY purchase_id) AS n FROM j),
+    cr AS (SELECT view_id,
+                  CAST(val * (CASE WHEN n = 1 THEN 1.0
+                                   WHEN n = 2 THEN 0.5
+                                   WHEN rk = 1 THEN 0.4
+                                   WHEN rk = n THEN 0.4
+                                   ELSE CAST(0.2 AS DOUBLE) / (n - 2)
+                              END) AS DECIMAL(20,8)) AS credit
+           FROM ranked)
+    SELECT view_id, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(credit) AS DOUBLE) AS credit
+    FROM cr GROUP BY view_id ORDER BY view_id
+    """,
+)
+def attr_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) MULTI-TOUCH ATTRIBUTION — the credit-
+    allocation class none of the funnel/cohort/session queries reach:
+    each purchase's value is distributed over the user's view touches
+    in the preceding {hours}h — 40% first touch, 40% last, 20% split
+    across the middles (1.0 / 0.5-0.5 for single/double-touch paths) —
+    and every view accumulates credit across all conversions it
+    assisted. One interval join (the verified attribution join shape)
+    + one per-purchase rank window + a per-view rollup; at 100 TB the
+    join and window both shard by user/purchase keys and nothing is
+    quadratic. Credit shares are computed with the same double
+    operations on both engines and quantized to DECIMAL(20,8) BEFORE
+    the cross-conversion sum, so summation order cannot move a
+    view's total."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value").alias("val"),
+    )
+    j = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & F.col("view_ts").between(
+            F.col("buy_ts") - F.expr(f"INTERVAL {_ATTR_HOURS} HOUR"), F.col("buy_ts")
+        ),
+    )
+    w = Window.partitionBy("purchase_id").orderBy("view_ts", "view_id")
+    ranked = j.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n"),
+    )
+    share = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("rk") == 1, F.lit(0.4))
+        .when(F.col("rk") == F.col("n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    cr = ranked.select(
+        "view_id", (F.col("val") * share).cast("decimal(20,8)").alias("credit")
+    )
+    return (
+        cr.groupBy("view_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("credit").cast("double").alias("credit"),
+        )
+        .orderBy("view_id")
+    )
+
+
+attr_multi_touch_credit.__doc__ = attr_multi_touch_credit.__doc__.format(
+    hours=_ATTR_HOURS
+)

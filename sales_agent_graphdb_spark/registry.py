@@ -83,6 +83,8 @@ _PRIORITY: list[str] = [
     "graph_sssp_bounded",
     # Round 7: CCNet-style in-corpus LM perplexity quality gate.
     "text_lm_perplexity_filter",
+    # Round 7: U-shaped multi-touch attribution (credit allocation).
+    "attr_multi_touch_credit",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
