@@ -325,3 +325,50 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "vec_id", "scale", mse.alias("mse"), max_err.alias("max_abs_err")
     ).orderBy("vec_id")
+
+
+_FILTER_LABELS = (3, 7)
+
+
+def _oracle_knn_filtered(k: int) -> str:
+    cos = sim.duckdb_cosine_sql("e.embedding", "q.embedding")
+    labels = ", ".join(str(l) for l in _FILTER_LABELS)
+    return f"""
+    SELECT e.vec_id, e.label, {cos} AS sim
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 AND e.label IN ({labels})
+    ORDER BY sim DESC, e.vec_id LIMIT {k}
+    """
+
+
+@register("ann_filtered_exact_topk", oracle=_oracle_knn_filtered(K))
+def ann_filtered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-5 nearest among vectors whose
+    metadata passes a predicate (label ∈ {labels}) — the constrained-
+    retrieval shape every production vector store must answer and the
+    classic ANN hard case: POST-filtering an index's top-k underfetches
+    whenever the filter is selective (k survivors of a filter that
+    keeps 20% need ~5k candidates fetched), so correct semantics are
+    defined by the PRE-FILTER form certified here: predicate pushed to
+    the scan (PushedFilters, pinned in tests/test_plans.py), cosine
+    scored map-side on the survivors only, top-k as
+    TakeOrderedAndProject. At 100 TB the same pre-filter composes with
+    the partition-pruned IVF path (filter cells first, then the
+    metadata predicate inside each probed cell); an indexed filtered
+    variant must OVERFETCH by 1/selectivity to match this baseline —
+    that contract is the docstring's warning to implementers."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(*_FILTER_LABELS)
+    )
+    qv = _query_vec(spark, sf_dir)
+    scored = emb.select(
+        "vec_id",
+        "label",
+        sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("sim"),
+    ).filter(F.col("vec_id") != 0)
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(K)
+
+
+ann_filtered_exact_topk.__doc__ = ann_filtered_exact_topk.__doc__.format(
+    labels=set(_FILTER_LABELS)
+)

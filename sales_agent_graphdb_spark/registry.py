@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
     "text_lm_perplexity_filter",
     # Round 7: U-shaped multi-touch attribution (credit allocation).
     "attr_multi_touch_credit",
+    # Round 7: filtered vector search (pre-filter semantics baseline).
+    "ann_filtered_exact_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -499,3 +499,17 @@ def test_window_spill_preserves_results(spark):
     finally:
         spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
         spark.conf.unset("spark.sql.windowExec.buffer.in.memory.threshold")
+
+
+def test_filtered_knn_pushes_predicate_before_scoring(spark):
+    """ann_filtered_exact_topk — the metadata predicate must reach the
+    embeddings SCAN (pre-filter: only survivors are scored), and the
+    top-k must plan as TakeOrderedAndProject. A post-filter plan
+    (score-then-filter) silently changes ANN semantics at selective
+    filters."""
+    from sales_agent_graphdb_spark.queries.vector import ann_filtered_exact_topk
+
+    plan = _plan(ann_filtered_exact_topk(spark, SF_SMALL))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "PushedFilters:" in l]
+    assert any("In(label" in l.split("PushedFilters:")[1] for l in scans), plan
+    assert "TakeOrderedAndProject" in plan, plan
