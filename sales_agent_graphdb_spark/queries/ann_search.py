@@ -445,3 +445,107 @@ def ann_ivf_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# VERDICT-STYLE ORACLE (the dedup-family pattern, chosen over raw-row
+# equality deliberately): at 16 cells a ~20%-selective filter spreads
+# the true filtered top-5 across most cells (measured: equality needs
+# 13/16 probed — no pruning left), so the honest contract for the
+# PRUNED filtered path is recall-at-k, not equality. The registered
+# output is (a) the EXACT filtered top-5 ids, computed IN-PLAN from
+# the unpruned index read and fully hash-checked by the oracle, plus
+# (b) a recall_ok boolean derived from the pruned path's overlap with
+# that exact set — falsifiable: a scoring/pruning bug collapses
+# recall or corrupts the exact side, and either reads red.
+@register(
+    "ann_filtered_ivf_topk",
+    oracle=None,  # bound below (needs vector.py's filter constants)
+)
+def ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the materialized IVF index — the indexed
+    counterpart of ann_filtered_exact_topk (queries/vector.py), the
+    shape real vector stores run: metadata RIDES THE INDEX (the
+    cell-partitioned table keeps `label`), so a probe is one scan with
+    PartitionFilters on the probed cells AND the pushed label
+    predicate — no join back to the corpus. Probe width doubles to
+    8/16 vs the unfiltered path's 4/16 (the overfetch contract the
+    baseline documents), and the verdict row states what that buys:
+    recall@5 ≥ 3 against the exact filtered top-5 at HALF the cells
+    read — the measured lesson being that selective filters degrade
+    IVF pruning (exactness here would need 13/16 cells), which is why
+    production filtered-ANN either widens probes adaptively or
+    partitions the index BY the filter column. The exact top-5 ids in
+    the output are computed in-plan from the unpruned index and are
+    the oracle-checked truth; recall_ok is derived from the pruned
+    path's actual output."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _index_path(sf_dir, "ivf")
+    cent_file = Path(path) / "_CENTROIDS.json"
+    cents = None
+    if _index_fresh(path, sf_dir):
+        try:
+            cents = np.asarray(json.loads(cent_file.read_text()))
+        except (OSError, ValueError):
+            cents = None
+    if cents is None:
+        cents = ann.write_ivf_index(spark, emb, path, n_cells=16, n_iter=3)
+        cent_file.write_text(json.dumps(cents.tolist()))
+        _mark_index(path, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    q = np.asarray(qv)
+    probe = [int(c) for c in np.argsort(-(cents @ q))[:8]]
+    from sales_agent_graphdb_spark.operators.similarity import cosine, lit_vector
+    from sales_agent_graphdb_spark.queries.vector import _FILTER_LABELS
+
+    idx = spark.read.parquet(path)
+    filt = F.col("label").isin(*_FILTER_LABELS) & (F.col("vec_id") != 0)
+    score = lambda df: df.select(  # noqa: E731
+        "vec_id", cosine(F.col("embedding"), lit_vector(qv)).alias("sim")
+    )
+    pruned_top = (
+        score(idx.filter(F.col("cell").isin(probe)).filter(filt))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+    exact_top = (
+        score(idx.filter(filt)).orderBy(F.col("sim").desc(), "vec_id").limit(5)
+    )
+    overlap = pruned_top.join(exact_top.select("vec_id"), "vec_id", "left_semi")
+    return (
+        exact_top.agg(
+            F.sort_array(F.collect_list("vec_id")).alias("exact_ids"),
+        )
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("_n")))
+        .select(
+            "exact_ids",
+            F.lit(8).alias("n_probed_cells"),
+            (F.col("_n") >= 3).alias("recall_ok"),
+        )
+    )
+
+
+def _bind_filtered_oracle() -> None:
+    from sales_agent_graphdb_spark import registry as _r
+    from sales_agent_graphdb_spark.queries.vector import _FILTER_LABELS
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    labels = ", ".join(str(l) for l in _FILTER_LABELS)
+    oracle = f"""
+    WITH exact AS (
+      SELECT e.vec_id, {cos} AS sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0 AND e.label IN ({labels})
+      ORDER BY sim DESC, e.vec_id LIMIT 5)
+    SELECT list_sort(list(vec_id)) AS exact_ids,
+           8 AS n_probed_cells,
+           TRUE AS recall_ok
+    FROM exact
+    """
+    spec = _r._REGISTRY["ann_filtered_ivf_topk"]
+    _r._REGISTRY["ann_filtered_ivf_topk"] = type(spec)(
+        spec.name, spec.fn, oracle, spec.doc
+    )
+
+
+_bind_filtered_oracle()

@@ -87,6 +87,7 @@ _PRIORITY: list[str] = [
     "attr_multi_touch_credit",
     # Round 7: filtered vector search (pre-filter semantics baseline).
     "ann_filtered_exact_topk",
+    "ann_filtered_ivf_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

