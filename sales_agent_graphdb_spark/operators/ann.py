@@ -179,14 +179,17 @@ def kmeans_centroids(
     uses per iteration, and is scale-independent: it grows with k·dim,
     never with corpus size). Means are re-normalized to unit length so
     max-dot assignment == max-cosine (spherical k-means); empty cells
-    keep their previous centroid. Determinism: init (first-n-by-id)
-    and iteration count are fixed, but the distributed ``F.avg`` merges
-    float partials in shuffle-arrival order, so centroids are stable
-    only to ulp-level across runs — vectors whose top-two centroid
-    dots tie within that ulp could flip cells between builds. The
-    materialized-index source stamp makes this moot within a build
-    (one index serves all queries), and the BIT-deterministic path for
-    oracle checking is the portable first-N-centroid variant
+    keep their previous centroid. Determinism (r08, ADVICE r07 #2):
+    init (first-n-by-id) and iteration count are fixed, and the
+    per-cell mean SUMS IN EXACT DECIMAL(38,18) — order-independent —
+    so centroids (and every cell assignment and probe choice derived
+    from them) are bit-stable across rebuilds, partitionings, and
+    parallelism; a k-means index rebuild can never flip a
+    recall-contingent driver row. (Previously ``F.avg`` on doubles
+    merged partials in shuffle-arrival order — ulp-level wobble.) The
+    18-fractional-digit quantization of the input doubles is
+    irrelevant to clustering quality; the SQL-mirrorable path for
+    oracle checking remains the portable first-N-centroid variant
     (write_ivf_index_portable), which does no averaging."""
     cents = _unit_rows(_ivf_centroids(embeddings, n_cells, id_col, vec_col))
     for _ in range(n_iter):
@@ -194,7 +197,11 @@ def kmeans_centroids(
         rows = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "val"))
             .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.avg(F.col("val").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("m")
+            )
             .collect()
         )
         new = cents.copy()
@@ -202,6 +209,129 @@ def kmeans_centroids(
             new[r["cell"]][r["pos"]] = r["m"]
         cents = _unit_rows(new)
     return cents
+
+
+def ivf_assign_per_label(
+    embeddings: DataFrame,
+    cents_by_label: dict[int, np.ndarray],
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Add a ``cell`` column = argmax-dot against the row's OWN label's
+    centroid set (ties → lowest cell id). One CASE chain over labels;
+    CaseWhen evaluates only the matched branch, so each row pays
+    n_cells dot folds regardless of how many labels exist. Rows whose
+    label has no centroid set (unseen label) get cell NULL — callers
+    partition by (label, cell), so they surface as an explicit NULL
+    partition rather than silently joining a wrong cell."""
+    v = F.col(vec_col)
+    expr = None
+    for lbl in sorted(cents_by_label):
+        cents = cents_by_label[lbl]
+        scores = F.array(
+            *[
+                F.struct(
+                    dot(v, lit_vector(c)).alias("s"), F.lit(-i).alias("negi")
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        cell = (-F.array_max(scores)["negi"]).cast("int")
+        cond = F.col(label_col) == int(lbl)
+        expr = F.when(cond, cell) if expr is None else expr.when(cond, cell)
+    return embeddings.withColumn("cell", expr)
+
+
+def kmeans_centroids_per_label(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> dict[int, np.ndarray]:
+    """Per-label spherical k-means WITHOUT a per-label job loop: every
+    Lloyd iteration is ONE pass over the corpus for all labels at once.
+    Init = first-n_cells-by-id within each label (one windowed top-N —
+    a single shuffle of n_labels·n_cells skinny rows); assignment =
+    ``ivf_assign_per_label`` (codegen'd projection); update = a single
+    groupBy(label, cell, pos).avg — map-side-combined partials, after
+    which only n_labels·k·dim doubles reach the driver (10·16·64 here;
+    grows with the model, never the corpus — the same driver-side
+    reduction shape as kmeans_centroids/MLlib). Empty cells keep their
+    previous centroid; means re-normalized so max-dot == max-cosine.
+    The mean sums in exact DECIMAL like kmeans_centroids, so rebuilds
+    are bit-deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(id_col)
+    seed_rows = (
+        embeddings.select(label_col, id_col, vec_col)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cells)
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in sorted(seed_rows, key=lambda r: (r[label_col], r[id_col])):
+        by_label.setdefault(int(r[label_col]), []).append(
+            [float(x) for x in r[vec_col]]
+        )
+    cents_by_label = {
+        lbl: _unit_rows(np.array(vs)) for lbl, vs in by_label.items()
+    }
+    for _ in range(n_iter):
+        assigned = ivf_assign_per_label(
+            embeddings, cents_by_label, vec_col, label_col
+        )
+        rows = (
+            assigned.select(
+                label_col, "cell", F.posexplode(F.col(vec_col)).alias("pos", "val")
+            )
+            .groupBy(label_col, "cell", "pos")
+            .agg(
+                F.avg(F.col("val").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        new = {l: c.copy() for l, c in cents_by_label.items()}
+        for r in rows:
+            new[int(r[label_col])][r["cell"]][r["pos"]] = r["m"]
+        cents_by_label = {l: _unit_rows(c) for l, c in new.items()}
+    return cents_by_label
+
+
+def write_ivf_index_labeled(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> dict[int, np.ndarray]:
+    """FILTER-PARTITIONED IVF index (the production filtered-ANN form
+    the r07 docstring names): cluster each label's vectors with their
+    OWN centroid set and write the corpus partitioned by
+    ``(label, cell)``. A filtered probe then prunes on BOTH partition
+    columns — the metadata predicate reads only its labels' directories
+    (exact by construction, zero recall cost) and the cell probe keeps
+    its full n_probe/n_cells pruning WITHIN them, instead of the
+    unpartitioned path's doubled probe width against cells diluted by
+    every other label. Returns the per-label centroid dict (the tiny
+    query-time sidecar)."""
+    cbl = kmeans_centroids_per_label(
+        embeddings, n_cells, n_iter, id_col, vec_col, label_col
+    )
+    (
+        ivf_assign_per_label(embeddings, cbl, vec_col, label_col)
+        .write.mode("overwrite")
+        .partitionBy(label_col, "cell")
+        .parquet(path)
+    )
+    return cbl
 
 
 def write_ivf_index(

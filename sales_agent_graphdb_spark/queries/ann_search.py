@@ -511,9 +511,15 @@ def ann_filtered_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         score(idx.filter(filt)).orderBy(F.col("sim").desc(), "vec_id").limit(5)
     )
     overlap = pruned_top.join(exact_top.select("vec_id"), "vec_id", "left_semi")
+    # exact_ids is a comma-joined STRING, not array<long>: the driver
+    # canonicalizes results through pandas sort_values/factorize, which
+    # cannot hash list cells (the r07 red row) — registered outputs
+    # must be scalar-only (enforced by tests/test_oracle_parity.py).
     return (
         exact_top.agg(
-            F.sort_array(F.collect_list("vec_id")).alias("exact_ids"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("vec_id"))
+            ).alias("exact_ids"),
         )
         .crossJoin(overlap.agg(F.count(F.lit(1)).alias("_n")))
         .select(
@@ -537,7 +543,7 @@ def _bind_filtered_oracle() -> None:
       FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
       WHERE e.vec_id <> 0 AND e.label IN ({labels})
       ORDER BY sim DESC, e.vec_id LIMIT 5)
-    SELECT list_sort(list(vec_id)) AS exact_ids,
+    SELECT array_to_string(list_sort(list(vec_id)), ',') AS exact_ids,
            8 AS n_probed_cells,
            TRUE AS recall_ok
     FROM exact
@@ -549,3 +555,108 @@ def _bind_filtered_oracle() -> None:
 
 
 _bind_filtered_oracle()
+
+
+@register(
+    "ann_filtered_partitioned_topk",
+    oracle=None,  # bound below (needs vector.py's filter constants)
+)
+def ann_filtered_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN over the LABEL-PARTITIONED IVF index — the
+    production filtered-search form ann_filtered_ivf_topk's docstring
+    names: the index is written partitioned by ``(label, cell)`` with
+    PER-LABEL k-means centroids (operators/ann.write_ivf_index_labeled),
+    so the metadata predicate is pure partition pruning (exact by
+    construction — label directories contain exactly the filtered
+    population) and the cell probe regains its 4/16 pruning WITHIN the
+    filtered labels, vs the unpartitioned path's 8/16 doubled probe
+    against label-diluted cells. Partitions read: 2 labels x 4 cells
+    = 8 of 160 directories ~= 5% of corpus rows, vs the unpartitioned
+    filtered path's 8/16 global cells ~= 50% of rows scanned.
+
+    Honest-contract note (measured, r08): the r07 VERDICT hoped label
+    partitioning would make the PRUNED top-5 fully equal the exact
+    filtered top-5; on this corpus it cannot — the filtered top-5 are
+    near-random-sim rows (the planted near-dups carry other labels),
+    and measured equality needs 7-8/8 (resp. 8-16/16) per-label cells
+    at sf0.001-0.1 even with per-label k-means, i.e. no pruning left.
+    What partitioning DOES buy, measured: recall@5 = 4/5 at probe
+    4/16 per label across all three SFs — ABOVE the unpartitioned
+    path's 3/5 floor at HALF its probe width and a tenth of its rows
+    read. So the oracle contract is: the output rows are the EXACT
+    filtered top-5 (vec_id, label, sim — computed in-plan from the
+    label-pruned-only read, fully hash-checked per row), plus a
+    recall_ok verdict from the pruned probe (floor 3, measured 4 —
+    slack 1 against k-means ulp wobble across rebuilds)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _index_path(sf_dir, "ivf_labeled")
+    cent_file = Path(path) / "_CENTROIDS_BY_LABEL.json"
+    cbl = None
+    if _index_fresh(path, sf_dir):
+        try:
+            cbl = {
+                int(k): np.asarray(v)
+                for k, v in json.loads(cent_file.read_text()).items()
+            }
+        except (OSError, ValueError):
+            cbl = None
+    if cbl is None:
+        cbl = ann.write_ivf_index_labeled(spark, emb, path, n_cells=16, n_iter=3)
+        cent_file.write_text(
+            json.dumps({str(k): v.tolist() for k, v in cbl.items()})
+        )
+        _mark_index(path, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    q = np.asarray(qv)
+    from sales_agent_graphdb_spark.operators.similarity import cosine, lit_vector
+    from sales_agent_graphdb_spark.queries.vector import _FILTER_LABELS
+
+    idx = spark.read.parquet(path)
+    probes = {
+        lbl: [int(c) for c in np.argsort(-(cbl[lbl] @ q))[:4]]
+        for lbl in _FILTER_LABELS
+    }
+    pruned_pred = None
+    for lbl, cells in sorted(probes.items()):
+        p = (F.col("label") == lbl) & F.col("cell").isin(cells)
+        pruned_pred = p if pruned_pred is None else (pruned_pred | p)
+    base = F.col("vec_id") != 0
+    score = lambda df: df.select(  # noqa: E731
+        "vec_id", "label", cosine(F.col("embedding"), lit_vector(qv)).alias("sim")
+    )
+    exact_top = (
+        score(idx.filter(F.col("label").isin(*_FILTER_LABELS)).filter(base))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+    pruned_top = (
+        score(idx.filter(pruned_pred).filter(base))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+    overlap = pruned_top.join(exact_top.select("vec_id"), "vec_id", "left_semi")
+    return exact_top.crossJoin(
+        overlap.agg((F.count(F.lit(1)) >= 3).alias("recall_ok"))
+    )
+
+
+def _bind_partitioned_oracle() -> None:
+    from sales_agent_graphdb_spark import registry as _r
+    from sales_agent_graphdb_spark.queries.vector import _FILTER_LABELS
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    labels = ", ".join(str(l) for l in _FILTER_LABELS)
+    oracle = f"""
+    SELECT e.vec_id, e.label, {cos} AS sim, TRUE AS recall_ok
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 AND e.label IN ({labels})
+    ORDER BY sim DESC, e.vec_id LIMIT 5
+    """
+    spec = _r._REGISTRY["ann_filtered_partitioned_topk"]
+    _r._REGISTRY["ann_filtered_partitioned_topk"] = type(spec)(
+        spec.name, spec.fn, oracle, spec.doc
+    )
+
+
+_bind_partitioned_oracle()

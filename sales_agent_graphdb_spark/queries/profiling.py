@@ -742,7 +742,12 @@ def dq_observe_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     business = observed.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n")
     )
-    n_groups = len(business.collect())  # the action that fills obs
+    # COUNT(DISTINCT ...) semantics: a NULL l_returnflag forms a group
+    # in groupBy but is NOT counted by the oracle's COUNT(DISTINCT) —
+    # exclude it from the group count so both sides agree by
+    # construction even if the column ever carries NULLs (ADVICE r07).
+    groups = business.collect()  # the action that fills obs
+    n_groups = sum(1 for r in groups if r["l_returnflag"] is not None)
     m = obs.get
     return spark.createDataFrame(
         [(m["n_rows"], m["total_price"], m["null_qty"], m["min_ship"], n_groups)],

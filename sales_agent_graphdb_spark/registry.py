@@ -52,42 +52,12 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 7: TPC-H optimizer-class anchors (VERDICT r06 #1) —
-    # correlated scalar subqueries, disjunctive pushdown, stacked
-    # EXISTS/NOT-EXISTS, conditional aggregates.
-    "tpch_q17_small_quantity_revenue", "tpch_q2_top_supplier_per_nation",
-    "tpch_q19_disjunctive_or", "tpch_q21_waiting_supplier",
-    "tpch_q12_priority_classes", "tpch_q14_promo_revenue",
-    # Round 7: dynamic partition pruning (VERDICT r06 #2).
-    "dpp_partition_pruned",
-    # Round 7: FULL OUTER interval stream-stream join (VERDICT r06 #5).
-    "st_stream_interval_join_full",
-    # Round 7, second wave: remaining schema-feasible TPC-H anchors
-    # (role-playing dims, outer-join aggregate with zero groups,
-    # CTE-consumed-twice, global scalar subquery) + the null-aware
-    # NOT IN anti join.
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
-    "tpch_q22_global_sales_opportunity", "sql_api_not_in_null_aware",
-    "sql_api_lateral_topk",
-    # Round 7, third wave: one-pass observe() QC, GROUP BY ALL, and
-    # the EXECUTE IMMEDIATE + session-variable dynamic-SQL surface.
-    "dq_observe_one_pass", "sql_api_group_by_all",
-    "sql_api_exec_immediate_vars",
-    # Round 7: optimized DataFrame twins of Q17/Q21 (same oracles).
-    "tpch_q17_prefiltered_twin", "tpch_q21_one_pass_twin",
-    # Round 7: error-tolerant scalar kit + collation semantics.
-    "f17_try_arithmetic", "f18_collation_compare",
-    # Round 7: weighted bounded SSSP (Bellman-Ford vs path-enumeration
-    # oracle).
-    "graph_sssp_bounded",
-    # Round 7: CCNet-style in-corpus LM perplexity quality gate.
-    "text_lm_perplexity_filter",
-    # Round 7: U-shaped multi-touch attribution (credit allocation).
-    "attr_multi_touch_credit",
-    # Round 7: filtered vector search (pre-filter semantics baseline).
-    "ann_filtered_exact_topk",
+    # Round 8 #1: the r07 red row, re-registered with a scalarized
+    # (string) exact_ids output — needs its first green driver row.
     "ann_filtered_ivf_topk",
+    # Round 8 #3: filtered ANN over the (label, cell)-partitioned index
+    # (the production filtered-search form).
+    "ann_filtered_partitioned_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
@@ -98,16 +68,7 @@ _PRIORITY: list[str] = [
 #   python tools/check_queries.py --stamp  (or the snippet in
 #   CHANGES_r07.md) after each round, folding the new greens in.
 _VERIFIED_ROUND: dict[str, int] = {
-    # --- latest green row: CORRECTNESS_r01 (30 names) ---
-    "dedup_embedding_cosine": 1, "dedup_exact_hash": 1,
-    "dedup_ngram_jaccard": 1, "g1_merge_create_only": 1,
-    "g2_merge_overwrite": 1, "g3_detach_delete": 1, "g6_fulltext_fuzzy": 1,
-    "graph_2hop_neighbors": 1, "graph_connected_components": 1,
-    "graph_degrees": 1, "j1_one_hop_traversal": 1, "j2_order_nest_strform": 1,
-    "j3_lookup_join": 1, "j4_validation_join": 1, "j5_customer_orders": 1,
-    "j6_semi_join_exists": 1, "j7_anti_join": 1, "m1_product_crud": 1,
-    "m3_stock_decrement": 1, "mm_frame_sample": 1, "mm_media_features": 1,
-    "p8_graph_category_filter": 1, "s7_html_clean": 1,
+    # --- latest green row: CORRECTNESS_r01 (7 names) ---
     "st_late_data_policy": 1, "st_session_window": 1, "st_sliding_window": 1,
     "st_tumbling_window": 1, "v4b_batch_embed_pandas": 1,
     "v5_ingest_chunk_embed": 1, "v7_wipe_recreate": 1,
@@ -206,6 +167,29 @@ _VERIFIED_ROUND: dict[str, int] = {
     "tpch_q5_local_supplier_volume": 6, "tpch_q6_forecast_revenue": 6,
     "udtf_ngram_expand": 6, "v1_knn_cosine_top5": 6,
     "v2_semantic_cache_probe": 6, "v3_cache_upsert": 6, "w5_ntile_buckets": 6,
+    # --- latest green row: CORRECTNESS_r07 (49 names) ---
+    "ann_filtered_exact_topk": 7, "attr_multi_touch_credit": 7,
+    "dedup_embedding_cosine": 7, "dedup_exact_hash": 7,
+    "dedup_ngram_jaccard": 7, "dpp_partition_pruned": 7,
+    "dq_observe_one_pass": 7, "f17_try_arithmetic": 7,
+    "f18_collation_compare": 7, "g1_merge_create_only": 7,
+    "g2_merge_overwrite": 7, "g3_detach_delete": 7, "g6_fulltext_fuzzy": 7,
+    "graph_2hop_neighbors": 7, "graph_connected_components": 7,
+    "graph_degrees": 7, "graph_sssp_bounded": 7, "j1_one_hop_traversal": 7,
+    "j2_order_nest_strform": 7, "j3_lookup_join": 7, "j4_validation_join": 7,
+    "j5_customer_orders": 7, "j6_semi_join_exists": 7, "j7_anti_join": 7,
+    "m1_product_crud": 7, "m3_stock_decrement": 7, "mm_frame_sample": 7,
+    "mm_media_features": 7, "p8_graph_category_filter": 7, "s7_html_clean": 7,
+    "sql_api_exec_immediate_vars": 7, "sql_api_group_by_all": 7,
+    "sql_api_lateral_topk": 7, "sql_api_not_in_null_aware": 7,
+    "st_stream_interval_join_full": 7, "text_lm_perplexity_filter": 7,
+    "tpch_q12_priority_classes": 7, "tpch_q13_customer_distribution": 7,
+    "tpch_q14_promo_revenue": 7, "tpch_q15_top_supplier": 7,
+    "tpch_q17_prefiltered_twin": 7, "tpch_q17_small_quantity_revenue": 7,
+    "tpch_q19_disjunctive_or": 7, "tpch_q21_one_pass_twin": 7,
+    "tpch_q21_waiting_supplier": 7, "tpch_q22_global_sales_opportunity": 7,
+    "tpch_q2_top_supplier_per_nation": 7, "tpch_q7_volume_shipping": 7,
+    "tpch_q8_market_share": 7,
 }
 
 # Kept for compatibility with tools that membership-test the verified

@@ -163,4 +163,77 @@ def test_filtered_ivf_verdict_and_recall(spark):
     base_ids = sorted(
         r.vec_id for r in ann_filtered_exact_topk(spark, SF).collect()
     )
-    assert sorted(row.exact_ids) == base_ids, (row.exact_ids, base_ids)
+    # exact_ids is a comma-joined string since r08 (driver's pandas
+    # canonicalizer cannot hash array cells).
+    got_ids = sorted(int(x) for x in row.exact_ids.split(","))
+    assert got_ids == base_ids, (row.exact_ids, base_ids)
+
+
+def test_filtered_partitioned_index_prunes_both_columns(spark):
+    """ann_filtered_partitioned_topk — (a) exact side equals the
+    standalone filtered baseline per-row, (b) the recall verdict holds,
+    (c) the PRUNED probe's scan carries PartitionFilters on BOTH
+    partition columns and physically reads at most 4 cells per label
+    (< the unpartitioned filtered path's 8), (d) the EXACT side's scan
+    prunes on label alone — the filtered population arrives without a
+    row filter."""
+    from sales_agent_graphdb_spark.operators.similarity import cosine, lit_vector
+    from sales_agent_graphdb_spark.queries.ann_search import (
+        _index_path,
+        ann_filtered_partitioned_topk,
+    )
+    from sales_agent_graphdb_spark.queries.vector import (
+        _FILTER_LABELS,
+        ann_filtered_exact_topk,
+    )
+    from pyspark.sql import functions as F
+
+    rows = ann_filtered_partitioned_topk(spark, SF).collect()
+    assert len(rows) == 5
+    assert all(r.recall_ok for r in rows)
+    base = {
+        (r.vec_id, r.label, round(r.sim, 9))
+        for r in ann_filtered_exact_topk(spark, SF).collect()
+    }
+    got = {(r.vec_id, int(r.label), round(r.sim, 9)) for r in rows}
+    assert got == base, (got, base)
+
+    # Rebuild the pruned read shape the query uses and probe its plan +
+    # the actual partitions it touches.
+    import json as _json
+    from pathlib import Path
+
+    path = _index_path(SF, "ivf_labeled")
+    import numpy as np
+
+    cbl = {
+        int(k): np.asarray(v)
+        for k, v in _json.loads(
+            (Path(path) / "_CENTROIDS_BY_LABEL.json").read_text()
+        ).items()
+    }
+    qv = _query_vec(spark, SF)
+    q = np.asarray(qv)
+    idx = spark.read.parquet(path)
+    pred = None
+    for lbl in _FILTER_LABELS:
+        probe = [int(c) for c in np.argsort(-(cbl[lbl] @ q))[:4]]
+        p = (F.col("label") == lbl) & F.col("cell").isin(probe)
+        pred = p if pred is None else (pred | p)
+    pruned = idx.filter(pred)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:400]
+    assert "label" in pf and "cell" in pf, pf
+    touched = pruned.select("label", "cell").distinct().collect()
+    per_label: dict[int, set] = {}
+    for r in touched:
+        per_label.setdefault(int(r.label), set()).add(int(r.cell))
+    assert set(per_label) <= set(_FILTER_LABELS)
+    for lbl, cells in per_label.items():
+        assert len(cells) <= 4 < 8, (lbl, cells)
+
+    exact_scan = idx.filter(F.col("label").isin(*_FILTER_LABELS))
+    eplan = exact_scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in eplan
+    assert "label" in eplan.split("PartitionFilters", 1)[1][:400]

@@ -41,6 +41,24 @@ def normalize(rows, columns):
 def test_query_matches_oracle(name, spark, duck):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_SMALL)
+
+    # Registry-wide scalar-output sweep (VERDICT r07 #2): the driver
+    # canonicalizes through pandas sort_values/factorize, which throws
+    # on array/map/struct cells — r07's only red row was exactly this
+    # (`ann_filtered_ivf_topk` emitting array<long>). Every registered
+    # query must present a scalar-only top-level schema.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver's pandas "
+        "canonicalizer rejects these (scalarize with concat_ws/to_json)"
+    )
+
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 

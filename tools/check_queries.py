@@ -28,6 +28,7 @@ def print_stamp_map() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     stamp: dict[str, int] = {}
+    latest_red: dict[str, int] = {}  # name -> latest NON-green round
     for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")),
                     key=lambda p: int(re.search(r"_r(\d+)", p).group(1))):
         rnd = int(re.search(r"_r(\d+)", p).group(1))
@@ -40,6 +41,16 @@ def print_stamp_map() -> None:
                 and not row.get("err")
             ):
                 stamp[name] = rnd
+                latest_red.pop(name, None)
+            else:
+                latest_red[name] = rnd
+    # A name whose MOST RECENT driver record is red/errored must not
+    # carry a "verified" stamp — it would be deprioritized by the
+    # driver schedule while actually regressed (ADVICE r07 #1).
+    for name, rnd in sorted(latest_red.items()):
+        if name in stamp:
+            print(f"    # DROPPED {name}: green r{stamp.pop(name):02d} but "
+                  f"latest record r{rnd:02d} is red/errored — re-verify first")
     for rnd in sorted(set(stamp.values())):
         names = sorted(n for n, v in stamp.items() if v == rnd)
         print(f"    # --- latest green row: CORRECTNESS_r{rnd:02d} ({len(names)} names) ---")

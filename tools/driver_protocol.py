@@ -13,8 +13,26 @@ from sales_agent_graphdb_spark.catalog import TABLES  # one definition
 def vhash(rows, cols) -> str:
     """Order-insensitive value hash over repr'd cells with columns
     sorted by name — the driver's comparison; bit-exact doubles
-    required."""
+    required.
+
+    STRICT on cell types (VERDICT r07 #2): the REAL driver
+    canonicalizes through pandas ``sort_values`` → ``factorize``,
+    which throws ``TypeError: unhashable type`` on list/dict/ndarray
+    cells — but ``repr`` happily stringifies them, so the r07
+    simulation printed OK for ``ann_filtered_ivf_topk`` (array<long>
+    output) while the driver errored. Reject non-scalar cells here so
+    the simulation can never again be more permissive than the driver.
+    """
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    for r in rows:
+        for i in order:
+            v = r[i]
+            if isinstance(v, (list, dict, set)) or type(v).__module__ == "numpy" and getattr(v, "ndim", 0):
+                raise TypeError(
+                    f"non-scalar cell in column {cols[i]!r}: {type(v).__name__} "
+                    "— the driver's pandas canonicalizer cannot hash it "
+                    "(scalarize with concat_ws/to_json before registering)"
+                )
     canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
     return hashlib.md5(str(canon).encode()).hexdigest()[:12]
 

@@ -60,11 +60,19 @@ def main() -> int:
     specs = all_queries()
     spark = get_spark(app_name="scaling_curve", shuffle_partitions=32)
     rows = []
+    import bench  # WARM_FIRST: queries whose first call builds a layout
+
     for name in names:
         spec = specs[name]
         rec: dict = {"query": name}
         for sf_dir in SFS:
             tag = os.path.basename(sf_dir)
+            if name in bench.WARM_FIRST:
+                # First call materializes a stamped layout/index at this
+                # SF; run it untimed so wall_ratio measures the QUERY
+                # path, not layout-build scaling (ADVICE r07 #4 —
+                # mirrors bench.py's warm-first handling).
+                spec.fn(spark, sf_dir).collect()
             t0 = time.monotonic()
             df = spec.fn(spark, sf_dir)
             m = collect_metrics(df)  # collects the frame
