@@ -119,8 +119,11 @@ HEADLINE = [
     "tpch_q21_one_pass_twin",
     "text_lm_perplexity_filter",
     "attr_multi_touch_credit",
-    # Round 8: filtered ANN over the (label, cell)-partitioned index.
+    # Round 8: filtered ANN over the (label, cell)-partitioned index,
+    # native runtime bloom-filter injection, exchange reuse.
     "ann_filtered_partitioned_topk",
+    "join_runtime_bloom_native",
+    "agg_exchange_reuse_mom",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

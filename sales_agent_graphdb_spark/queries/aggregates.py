@@ -471,3 +471,49 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("status", F.col("prio").alias("mode_priority"), F.col("n").alias("n_orders"))
         .orderBy("status")
     )
+
+
+@register(
+    "agg_exchange_reuse_mom",
+    oracle="""
+    WITH m AS (SELECT date_trunc('month', o_orderdate) AS m,
+                      SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+               FROM orders GROUP BY 1)
+    SELECT strftime(cur.m, '%Y-%m') AS month,
+           CAST(cur.rev AS DOUBLE) AS revenue,
+           CAST(prev.rev AS DOUBLE) AS prev_revenue,
+           CAST(cur.rev - prev.rev AS DOUBLE) AS delta
+    FROM m cur JOIN m prev ON cur.m = prev.m + INTERVAL 1 MONTH
+    ORDER BY month
+    """,
+)
+def agg_exchange_reuse_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue via a SELF-JOIN of one aggregate —
+    the EXCHANGE-REUSE optimizer anchor: both join inputs are the
+    identical monthly-revenue subplan, and Spark's physical planner
+    deduplicates them — the aggregation's shuffle is COMPUTED ONCE and
+    the second consumer becomes a ReusedExchange over the same shuffle
+    files (pinned post-execution in tests/test_plans.py; AQE
+    materializes the reuse as the stages finish). At 100 TB this is
+    the difference between scanning + shuffling the fact once vs twice
+    whenever a query references the same derived frame from two
+    places — free with declarative plans, impossible to express if
+    each consumer had hand-scheduled its own scan. The window-function
+    form of MoM (one exchange by construction) is the w4_lag_delta
+    family; this anchor certifies the JOIN form costs the same scan
+    count. Exact-DECIMAL month sums; the plain self-join SQL is the
+    oracle."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    j = cur.join(
+        prev, F.col("cur.m") == F.col("prev.m") + F.expr("interval 1 month")
+    )
+    return j.select(
+        F.date_format("cur.m", "yyyy-MM").alias("month"),
+        F.col("cur.rev").cast("double").alias("revenue"),
+        F.col("prev.rev").cast("double").alias("prev_revenue"),
+        (F.col("cur.rev") - F.col("prev.rev")).cast("double").alias("delta"),
+    ).orderBy("month")

@@ -360,3 +360,92 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id", "canon_key")
     )
+
+
+@register(
+    "join_runtime_bloom_native",
+    oracle="""
+    SELECT CAST(p.p_size AS INTEGER) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2))
+                       - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#13'
+    GROUP BY size ORDER BY size
+    """,
+)
+def join_runtime_bloom_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE runtime bloom-filter injection
+    (InjectRuntimeFilter) on the same brand-filtered fact/dim join as
+    join_runtime_prefilter — the built-in counterpart of that query's
+    hand-rolled md5-bucket semi-join: the optimizer plants a
+    BloomFilterAggregate over the FILTERED dim's join keys and rewrites
+    the fact side to `might_contain(bloom-subquery, xxhash64(key))` IN
+    THE SCAN FILTER, so ~98% of fact rows drop at the map stage before the
+    SortMergeJoin shuffle — the no-false-negative guarantee makes the
+    rewrite invisible in the result, certified by the PLAIN-join
+    oracle (same one as the manual twin).
+
+    Injection is threshold-gated for exactly the regime this models:
+    the application side must be scan-heavy (default threshold 10 GB)
+    and the creation side small — at test SFs the fact is far below
+    that, so the thresholds are lowered and broadcast disabled FOR
+    THIS PLAN ONLY: the frame is materialized eagerly
+    (localCheckpoint) while the confs are active and every conf is
+    restored in `finally`, so nothing leaks into the session's other
+    queries. tests/test_plans.py pins `might_contain` + the
+    bloom_filter_agg subquery in the plan and the SMJ above it. At
+    100 TB the
+    defaults fire on their own; the manual md5-bucket twin stays
+    first-class for engines/versions where the rule declines
+    (its docstring documents that contract)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = catalog.load_table(spark, sf_dir, "part")
+    sel = part.filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey", "p_size"
+    )
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = li.join(sel, li.l_partkey == sel.p_partkey)
+        out = (
+            joined.groupBy(F.col("p_size").cast("int").alias("size"))
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (
+                        F.lit(1).cast("decimal(18,2)")
+                        - F.col("l_discount").cast("decimal(18,2)")
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("size")
+            .localCheckpoint()  # eager: plan + execution under the confs
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+    return out

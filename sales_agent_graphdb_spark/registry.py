@@ -58,6 +58,9 @@ _PRIORITY: list[str] = [
     # Round 8 #3: filtered ANN over the (label, cell)-partitioned index
     # (the production filtered-search form).
     "ann_filtered_partitioned_topk",
+    # Round 8, second wave: native runtime bloom-filter injection and
+    # the exchange-reuse (self-joined aggregate) optimizer anchors.
+    "join_runtime_bloom_native", "agg_exchange_reuse_mom",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -513,3 +513,64 @@ def test_filtered_knn_pushes_predicate_before_scoring(spark):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l and "PushedFilters:" in l]
     assert any("In(label" in l.split("PushedFilters:")[1] for l in scans), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom_native — Spark's InjectRuntimeFilter must
+    plant might_contain(bloom-subquery, xxhash64(key)) on the fact
+    side of the SortMergeJoin when the thresholds admit it. The
+    registered query materializes under the confs and restores them;
+    this probe rebuilds the same join under the same confs to read the
+    PRE-checkpoint plan, then verifies conf restoration."""
+    from pyspark.sql import functions as F
+    from sales_agent_graphdb_spark import catalog
+
+    k_app = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    k_bc = "spark.sql.autoBroadcastJoinThreshold"
+    before = (spark.conf.get(k_app), spark.conf.get(k_bc))
+    try:
+        spark.conf.set(k_app, "0")
+        spark.conf.set(k_bc, "-1")
+        li = catalog.load_table(spark, SF_SMALL, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        )
+        sel = (
+            catalog.load_table(spark, SF_SMALL, "part")
+            .filter(F.col("p_brand") == "Brand#13")
+            .select("p_partkey", "p_size")
+        )
+        joined = li.join(sel, li.l_partkey == sel.p_partkey)
+        opt = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set(k_app, before[0])
+        spark.conf.set(k_bc, before[1])
+
+    # The registered query must leave the session confs untouched.
+    from sales_agent_graphdb_spark.queries.scale_joins import (
+        join_runtime_bloom_native,
+    )
+
+    pre = (spark.conf.get(k_app), spark.conf.get(k_bc))
+    rows = join_runtime_bloom_native(spark, SF_SMALL).collect()
+    assert rows, "bloom-native join returned no rows"
+    assert (spark.conf.get(k_app), spark.conf.get(k_bc)) == pre
+
+
+def test_exchange_reuse_self_joined_aggregate(spark):
+    """agg_exchange_reuse_mom — the two consumers of the monthly
+    aggregate must share ONE shuffle: after execution the physical
+    plan carries a ReusedExchange (AQE materializes the reuse as the
+    identical stages dedupe)."""
+    from sales_agent_graphdb_spark.queries.aggregates import (
+        agg_exchange_reuse_mom,
+    )
+
+    df = agg_exchange_reuse_mom(spark, SF_SMALL)
+    rows = df.collect()
+    assert len(rows) > 10
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan

@@ -52,20 +52,42 @@ DEFAULT = [
 
 SFS = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+# --decade2 (VERDICT r07 #7): one more decade, sf0.1 -> synthetic
+# ~10x (tools/gen_synth_decade.py), for the 5 heaviest families. The
+# sf0.01->0.1 curve is overhead-dominated; this decade is the
+# load-bearing one for the linearity claims. Perf-only data — the
+# correctness oracles never run against it.
+DECADE2 = [
+    "graph_k_core_fixpoint",
+    "dedup_containment",
+    "dedup_minhash_lsh",
+    "ann_ivf_pruned_topk",
+    "range_join_interval_overlap",
+]
+
 
 def main() -> int:
     names = DEFAULT
-    if len(sys.argv) > 2 and sys.argv[1] == "--queries":
-        names = sys.argv[2].split(",")
+    sfs = SFS
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--decade2":
+        from gen_synth_decade import ensure
+
+        names = DECADE2
+        sfs = ("/root/testdata/sf0.1", ensure())
+        argv = argv[1:]
+    if len(argv) > 1 and argv[0] == "--queries":
+        names = argv[1].split(",")
     specs = all_queries()
     spark = get_spark(app_name="scaling_curve", shuffle_partitions=32)
     rows = []
     import bench  # WARM_FIRST: queries whose first call builds a layout
 
+    tags = [os.path.basename(d) for d in sfs]
     for name in names:
         spec = specs[name]
         rec: dict = {"query": name}
-        for sf_dir in SFS:
+        for sf_dir in sfs:
             tag = os.path.basename(sf_dir)
             if name in bench.WARM_FIRST:
                 # First call materializes a stamped layout/index at this
@@ -79,16 +101,19 @@ def main() -> int:
             wall = time.monotonic() - t0
             rec[f"{tag}_wall_s"] = round(wall, 2)
             rec[f"{tag}_shuffle_mb"] = round(m["shuffle_bytes_written"] / 1e6, 2)
-        rec["wall_ratio"] = round(rec["sf0.1_wall_s"] / max(rec["sf0.01_wall_s"], 1e-9), 1)
-        sm = rec["sf0.01_shuffle_mb"]
+        lo, hi = tags
+        rec["wall_ratio"] = round(
+            rec[f"{hi}_wall_s"] / max(rec[f"{lo}_wall_s"], 1e-9), 1
+        )
+        sm = rec[f"{lo}_shuffle_mb"]
         rec["shuffle_ratio"] = (
-            round(rec["sf0.1_shuffle_mb"] / sm, 1) if sm > 0.005 else None
+            round(rec[f"{hi}_shuffle_mb"] / sm, 1) if sm > 0.005 else None
         )
         rows.append(rec)
         print(json.dumps(rec), flush=True)
     worst = max(rows, key=lambda r: r["wall_ratio"])
     print(json.dumps({
-        "summary": "sf0.01->sf0.1 is 10x rows",
+        "summary": f"{tags[0]}->{tags[1]} is ~10x rows",
         "n_queries": len(rows),
         "max_wall_ratio": worst["wall_ratio"],
         "max_wall_query": worst["query"],
