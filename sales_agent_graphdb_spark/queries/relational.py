@@ -958,3 +958,104 @@ def sql_api_exec_immediate_vars(spark: SparkSession, sf_dir: str) -> DataFrame:
         USING sqlapi_minprice
         """
     )
+
+
+# SQL scalar UDF (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN
+# expr`): the catalog-registered reusable-expression surface. The body
+# is pure SQL, so Catalyst INLINES it at analysis — the plan is
+# identical to writing the expression by hand (no Python boundary, no
+# black box; whole-stage codegen applies) — which is exactly why this
+# is the right first reach for shared business logic at 100 TB, before
+# any Python UDF. The body keeps the product at natural DECIMAL
+# precision (never rescaled — engines round differently) and the
+# oracle inlines the same expression, certifying the UDF indirection
+# invisible.
+_SQL_UDF_BODY = (
+    "CAST(p AS DECIMAL(18,2)) * (1 - CAST(d AS DECIMAL(18,2)))"
+)
+
+
+@register(
+    "sql_api_sql_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def sql_api_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — SQL scalar UDF (see _SQL_UDF_BODY comment):
+    CREATE TEMPORARY FUNCTION with a SQL body, inlined by the analyzer
+    so the aggregate below plans exactly like the handwritten
+    expression (DECIMAL product summed exactly, one cast to double at
+    the end)."""
+    _sqlapi_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION sqlapi_disc_price"
+        f"(p DOUBLE, d DOUBLE) RETURNS DECIMAL(38,4) RETURN {_SQL_UDF_BODY}"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(sqlapi_disc_price(l_extendedprice, l_discount))
+                    AS DOUBLE) AS revenue
+        FROM sqlapi_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+# Lateral column aliases (Spark 3.4+/DuckDB): a select item referencing
+# an EARLIER alias in the same list — the spreadsheet-style derivation
+# chain analysts write. Statement == oracle verbatim; the DECIMAL
+# chain stays at natural precision (price_d scale 2, tax scale 4,
+# total scale 4) so both engines emit bit-identical Decimals.
+_SQL_LCA = """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+           price_d * CAST(0.05 AS DECIMAL(4,2)) AS tax,
+           price_d + tax AS total
+    FROM {o} WHERE o_orderkey < 100 ORDER BY o_orderkey
+"""
+
+
+@register(
+    "sql_api_lateral_column_alias",
+    oracle=_SQL_LCA.format(o="orders"),
+)
+def sql_api_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — lateral column aliases: `tax` references the
+    `price_d` alias and `total` references BOTH, all in one select
+    list (no subquery nesting). Certifies both engines resolve the
+    chain left-to-right identically; Catalyst rewrites to nested
+    projections, so the plan is still one codegen'd pass over the
+    scan."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_LCA.format(o="sqlapi_orders"))
+
+
+@register(
+    "sql_api_identifier_clause",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def sql_api_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — IDENTIFIER(:param) clause: the injection-safe
+    DYNAMIC OBJECT NAME surface (Spark 4), completing the dynamic-SQL
+    kit next to named-parameter binding (sql_api_parameterized) and
+    EXECUTE IMMEDIATE (sql_api_exec_immediate_vars): a table name
+    arrives as a typed string parameter and the analyzer resolves it
+    as an identifier — it can NEVER splice arbitrary SQL text the way
+    f-string table names can. The oracle is the statement with the
+    name inlined, proving the indirection invisible."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderstatus ORDER BY status
+        """,
+        args={"tbl": "sqlapi_orders"},
+    )

@@ -61,6 +61,10 @@ _PRIORITY: list[str] = [
     # Round 8, second wave: native runtime bloom-filter injection and
     # the exchange-reuse (self-joined aggregate) optimizer anchors.
     "join_runtime_bloom_native", "agg_exchange_reuse_mom",
+    # Round 8, third wave: SQL front-end 14 -> 17 statements (SQL
+    # scalar UDF, lateral column aliases, IDENTIFIER clause).
+    "sql_api_sql_udf", "sql_api_lateral_column_alias",
+    "sql_api_identifier_clause",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
