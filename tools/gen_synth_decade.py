@@ -36,7 +36,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VERSION = 1
+VERSION = 2  # v2: + region/nation/customer/supplier/part/orders dims
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     ".scratch",
@@ -148,9 +148,64 @@ def generate() -> None:
     })
     pq.write_table(tbl, os.path.join(OUT, "events.parquet"))
 
+    # --- dims (so any registered query can run at this decade) ------
+    pq.write_table(pa.table({
+        "r_regionkey": np.arange(5, dtype=np.int32),
+        "r_name": [f"REGION{i}" for i in range(5)],
+    }), os.path.join(OUT, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": np.arange(25, dtype=np.int32),
+        "n_name": [f"NATION{i}" for i in range(25)],
+        "n_regionkey": (np.arange(25) % 5).astype(np.int32),
+    }), os.path.join(OUT, "nation.parquet"))
+    n_cust = 150_000
+    pq.write_table(pa.table({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+        "c_nationkey": rng.integers(0, 25, n_cust, dtype=np.int32),
+        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+        "c_mktsegment": pa.array(np.array(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+        )[rng.integers(0, 5, n_cust)]),
+    }), os.path.join(OUT, "customer.parquet"))
+    n_supp = 10_000
+    pq.write_table(pa.table({
+        "s_suppkey": np.arange(n_supp, dtype=np.int64),
+        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+        "s_nationkey": rng.integers(0, 25, n_supp, dtype=np.int32),
+        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+    }), os.path.join(OUT, "supplier.parquet"))
+    brands = [f"Brand#{i}{j}" for i in range(1, 6) for j in range(1, 6)]
+    types = [f"TYPE {i}" for i in range(25)]
+    pq.write_table(pa.table({
+        "p_partkey": np.arange(N_PARTS, dtype=np.int64),
+        "p_name": [f"part name {i}" for i in range(N_PARTS)],
+        "p_brand": pa.array(np.array(brands)[rng.integers(0, len(brands), N_PARTS)]),
+        "p_type": pa.array(np.array(types)[rng.integers(0, len(types), N_PARTS)]),
+        "p_size": rng.integers(1, 51, N_PARTS).astype(np.int32),
+        "p_retailprice": np.round(rng.uniform(900.0, 2000.0, N_PARTS), 2),
+    }), os.path.join(OUT, "part.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": np.arange(N_ORDERS, dtype=np.int64),
+        "o_custkey": rng.integers(0, n_cust, N_ORDERS, dtype=np.int64),
+        "o_orderstatus": pa.array(
+            np.array(["F", "O", "P"])[rng.integers(0, 3, N_ORDERS)]
+        ),
+        "o_totalprice": np.round(rng.uniform(850.0, 560000.0, N_ORDERS), 2),
+        "o_orderdate": pa.array(
+            (np.datetime64("2024-01-01")
+             + rng.integers(0, N_DAYS * 86400, N_ORDERS).astype("timedelta64[s]")
+             ).astype("datetime64[us]")
+        ),
+        "o_orderpriority": pa.array(np.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        )[rng.integers(0, 5, N_ORDERS)]),
+    }), os.path.join(OUT, "orders.parquet"))
+
     json.dump(
         {"version": VERSION, "lineitem": n, "documents": N_DOCS,
-         "embeddings": N_VECS, "events": N_EVENTS, "seed": 42},
+         "embeddings": N_VECS, "events": N_EVENTS, "customer": n_cust,
+         "orders": N_ORDERS, "seed": 42},
         open(_stamp_path(), "w"),
     )
 

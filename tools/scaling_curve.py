@@ -63,6 +63,14 @@ DECADE2 = [
     "dedup_minhash_lsh",
     "ann_ivf_pruned_topk",
     "range_join_interval_overlap",
+    # r08 second wave: five more families over the same four synthetic
+    # tables — the big TPC-H aggregate, the exact distributed ntile,
+    # interval-join attribution, the bigram LM, and BM25 ranking.
+    "tpch_q1_pricing_summary",
+    "w5_ntile_buckets",
+    "attr_multi_touch_credit",
+    "text_lm_perplexity_filter",
+    "text_bm25_search",
 ]
 
 
