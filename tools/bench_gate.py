@@ -42,10 +42,25 @@ def _latest_baseline() -> tuple[str, dict]:
     # either the raw line or the envelope's tail.
     if "queries" in doc:
         return path, doc
-    m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
-    if not m:
+    tail = doc.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
+    if m:
+        return path, json.loads(m.group(0))
+    # Driver envelopes truncate to the LAST ~2000 chars, cutting the
+    # bench line's head off — recover the partial per-query dict (the
+    # "recoverable common subset"): every `"name": float` pair in the
+    # tail except the envelope's own scalar keys.
+    skip = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+    queries = {
+        k: float(v)
+        for k, v in re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+        if k not in skip
+    }
+    if not queries:
         sys.exit(f"{path}: no bench line found in envelope")
-    return path, json.loads(m.group(0))
+    print(f"note: {os.path.basename(path)} tail truncated — comparing "
+          f"against its recoverable {len(queries)}-query subset")
+    return path, {"queries": queries}
 
 
 def _current(argv: list[str]) -> dict:
