@@ -124,6 +124,8 @@ HEADLINE = [
     "ann_filtered_partitioned_topk",
     "join_runtime_bloom_native",
     "agg_exchange_reuse_mom",
+    "vec_mmr_rerank",
+    "sample_stratified_exact_n",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

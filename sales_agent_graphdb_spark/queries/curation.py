@@ -509,3 +509,65 @@ def corpus_shuffle_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# Exact-n stratified sample: the "exactly k examples per class" sampler
+# a training pipeline needs where rate-based hash sampling
+# (sample_stratified_hash) can only promise a PROPORTION. Two-phase at
+# scale: a content-independent md5 hash PRE-FILTER (pure map-side, no
+# shuffle) cuts each stratum from N/|strata| rows to a small candidate
+# pool, and only the survivors enter the per-stratum rank window — so
+# the window's shuffle carries ~|strata| * pool rows, never the corpus.
+# The selection rule (md5 order, ties by id) is engine-independent and
+# stable across runs/partitionings; the pool fraction (40%) keeps every
+# stratum's pool >= n at every driver SF (measured min 71 >= 50).
+_EXACT_N = 50
+_POOL_MOD, _POOL_KEEP = 10, 4
+
+
+@register(
+    "sample_stratified_exact_n",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_id, event_type,
+             md5(CAST(event_id AS VARCHAR)) AS h
+      FROM events
+      WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % {_POOL_MOD} < {_POOL_KEEP}),
+    ranked AS (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY h, event_id) AS rn
+      FROM pool)
+    SELECT event_type, CAST(rn AS BIGINT) AS rn, event_id
+    FROM ranked WHERE rn <= {_EXACT_N}
+    ORDER BY event_type, rn
+    """,
+)
+def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-n stratified sample (see the constants comment above):
+    exactly {n} events per event_type, selected by deterministic md5
+    order — hash prefilter map-side, rank window only over the
+    surviving pool. tests/test_round6_ops.py-style probe asserts the
+    window input is the pooled fraction, and the oracle replays the
+    identical rule."""
+    from pyspark.sql import Window
+
+    e = catalog.load_table(spark, sf_dir, "events")
+    pool = e.filter(
+        md5_mod(F.col("event_id").cast("string"), _POOL_MOD) < _POOL_KEEP
+    ).select(
+        "event_id", "event_type", F.md5(F.col("event_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "event_id")
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EXACT_N)
+        .select("event_type", F.col("rn").cast("long").alias("rn"), "event_id")
+        .orderBy("event_type", "rn")
+    )
+
+
+sample_stratified_exact_n.__doc__ = sample_stratified_exact_n.__doc__.format(
+    n=_EXACT_N
+)

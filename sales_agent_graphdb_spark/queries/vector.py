@@ -372,3 +372,122 @@ def ann_filtered_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_filtered_exact_topk.__doc__ = ann_filtered_exact_topk.__doc__.format(
     labels=set(_FILTER_LABELS)
 )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (round 8)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7   # the standard relevance/diversity tradeoff
+_MMR_PREFETCH = 20  # k' candidates fetched before the greedy rerank
+
+
+def _oracle_mmr(k: int, kp: int, lam: float) -> str:
+    """Unrolled k-step greedy as chained CTEs: s1 = most-relevant; each
+    s_i = argmax over remaining of lam*sim_q - (1-lam)*max(sim to the
+    already-selected), ties to lowest vec_id — the exact expression the
+    Spark side evaluates (same fold-order cosines, same `(1 - lam)`
+    spelling so the doubles agree bit-for-bit)."""
+    cos_q = sim.duckdb_cosine_sql("e.embedding", "q.embedding")
+    cos_ab = sim.duckdb_cosine_sql("a.embedding", "b.embedding")
+    parts = [f"""
+    WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.embedding, {cos_q} AS sim_q
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY sim_q DESC, e.vec_id LIMIT {kp}),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, {cos_ab} AS sim_ab
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    s1 AS (SELECT vec_id, sim_q FROM cand ORDER BY sim_q DESC, vec_id LIMIT 1)"""]
+    prev = ["s1"]
+    for i in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+        parts.append(f""",
+    sel{i} AS ({union}),
+    s{i} AS (
+      SELECT c.vec_id, c.sim_q
+      FROM cand c JOIN pair p ON p.ia = c.vec_id
+                              AND p.ib IN (SELECT vec_id FROM sel{i})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i})
+      GROUP BY c.vec_id, c.sim_q
+      ORDER BY {lam} * c.sim_q - (1 - {lam}) * MAX(p.sim_ab) DESC,
+               c.vec_id LIMIT 1)""")
+        prev.append(f"s{i}")
+    final = "\n    UNION ALL ".join(
+        f"SELECT {i + 1} AS sel_rank, vec_id, sim_q AS sim FROM {s}"
+        for i, s in enumerate(prev)
+    )
+    return "".join(parts) + "\n    " + final + "\n    ORDER BY sel_rank"
+
+
+@register(
+    "vec_mmr_rerank",
+    oracle=_oracle_mmr(K, _MMR_PREFETCH, _MMR_LAMBDA),
+)
+def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal marginal relevance) DIVERSIFIED top-k — the rerank
+    every production RAG retriever runs between ANN prefetch and the
+    prompt (reference's retriever returns plain top-5,
+    db_service.py:201-204; MMR is its standard diversity upgrade):
+    greedily pick argmax of lam*sim(query,d) - (1-lam)*max_{s in
+    selected} sim(d,s), so near-duplicate passages don't crowd out
+    coverage.
+
+    Scale split, explicit: the DISTRIBUTED part is the candidate
+    prefetch (exact top-k'=20 cosine over the corpus —
+    TakeOrderedAndProject over one scan) and the k'xk' pairwise-sim
+    frame (bounded 380 rows, computed IN-PLAN with the same fold-order
+    cosine as the oracle). The greedy selection itself consumes only
+    those k'^2 doubles — scale-INDEPENDENT by construction (grows with
+    the rerank window, never the corpus), evaluated driver-side like
+    the IVF centroid reads, with the SAME expression spelling as the
+    oracle's unrolled CTEs (`lam*sim_q - (1 - lam)*max_pair`, ties to
+    lowest vec_id) so every comparison is over bit-identical doubles.
+    Output rows join the selection back into the plan (broadcast
+    5-row literal frame), so the returned sims are plan-computed. The
+    measured effect at sf0.01: rank-2 pick jumps from the 2nd-most-
+    similar to a LESS similar but unredundant vector (sim order
+    non-monotone in the output — diversification is real, and the
+    oracle hash pins it)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    cands = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_MMR_PREFETCH)
+        .localCheckpoint()  # tiny (k' rows); both consumers below reuse it
+    )
+    a, b = cands.alias("a"), cands.alias("b")
+    pairs = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            sim.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+        )
+    )
+    sim_q = {r["vec_id"]: r["sim"] for r in cands.select("vec_id", "sim").collect()}
+    pair = {(r["ia"], r["ib"]): r["s"] for r in pairs.collect()}
+    lam = _MMR_LAMBDA
+    sel = [min(sim_q, key=lambda i: (-sim_q[i], i))]
+    while len(sel) < K:
+        rem = [c for c in sim_q if c not in sel]
+
+        def mmr(c):
+            return lam * sim_q[c] - (1 - lam) * max(pair[(c, s)] for s in sel)
+
+        sel.append(min(rem, key=lambda c: (-mmr(c), c)))
+    ranks = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(sel)], "sel_rank int, vec_id long"
+    )
+    return (
+        cands.join(F.broadcast(ranks), "vec_id")
+        .select("sel_rank", "vec_id", "sim")
+        .orderBy("sel_rank")
+    )

@@ -65,6 +65,9 @@ _PRIORITY: list[str] = [
     # scalar UDF, lateral column aliases, IDENTIFIER clause).
     "sql_api_sql_udf", "sql_api_lateral_column_alias",
     "sql_api_identifier_clause",
+    # Round 8, fourth wave: MMR diversified rerank + exact-n
+    # stratified sampler.
+    "vec_mmr_rerank", "sample_stratified_exact_n",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
