@@ -126,6 +126,7 @@ HEADLINE = [
     "agg_exchange_reuse_mom",
     "vec_mmr_rerank",
     "sample_stratified_exact_n",
+    "anomaly_mad_robust_z",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

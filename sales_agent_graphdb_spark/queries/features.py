@@ -191,3 +191,75 @@ def feature_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.inline(F.array(*[corr_struct(x, y) for x, y in _CORR_PAIRS]))
     ).orderBy("col_x", "col_y")
+
+# Robust outlier stats: median / MAD / modified z-score flags. The
+# classic robust alternative to mean/stddev z-scores
+# (feature_zscore_stats, anomaly_rolling_zscore): a handful of extreme
+# values cannot move the median or the MAD, so the threshold stays
+# meaningful under contamination — exactly the property a data-quality
+# gate needs on raw event streams. 1.4826 is the standard
+# normal-consistency constant (modified z = 0.6745*(x-med)/MAD; flag
+# at |z| > 3.5 <=> |x-med| > 3.5*1.4826*MAD). Both medians are
+# percentile_disc / quantile_disc — a DISCRETE pick of an actual data
+# value (no interpolation arithmetic), which the two engines resolve
+# identically (verified: lower-middle at even counts), so every double
+# in the comparison chain is bit-shared.
+_MAD_K = 1.4826
+_MAD_CUT = 3.5
+
+_MAD_SQL = """
+    WITH m AS (
+      SELECT event_type, {pdisc_value} AS med
+      FROM {ev} GROUP BY event_type),
+    d AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dev
+      FROM {ev} e JOIN m USING (event_type)),
+    s AS (
+      SELECT event_type, any_value(med) AS med, {pdisc_dev} AS mad
+      FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(any_value(s.med) AS DOUBLE) AS med,
+           CAST(any_value(s.mad) AS DOUBLE) AS mad,
+           CAST(SUM(CASE WHEN d.dev > {cut} * {k} * s.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@register(
+    "anomaly_mad_robust_z",
+    oracle=_MAD_SQL.format(
+        ev="events",
+        pdisc_value="quantile_disc(value, 0.5)",
+        pdisc_dev="quantile_disc(dev, 0.5)",
+        cut=_MAD_CUT,
+        k=_MAD_K,
+    ),
+)
+def anomaly_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier profile (see the _MAD_K comment):
+    median, MAD, and the count of modified-z outliers at the standard
+    3.5 cut. Three grouped passes over the fact (median, MAD over
+    deviations, flag count), each a per-type aggregate; the 5-row
+    med/MAD frames broadcast back onto the fact. Scale note: EXACT
+    percentile_disc buffers a group's values in its aggregate state —
+    this operator is the family's exactness anchor; at 100 TB the
+    same shape runs on approx_percentile or the equi-depth histogram
+    (agg_equidepth_histogram), trading the bit-exact median for fixed
+    memory, and the flag-count pass is unchanged."""
+    catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "mad_events"
+    )
+    return spark.sql(
+        _MAD_SQL.format(
+            ev="mad_events",
+            pdisc_value=(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)"
+            ),
+            pdisc_dev="percentile_disc(0.5) WITHIN GROUP (ORDER BY dev)",
+            cut=_MAD_CUT,
+            k=_MAD_K,
+        )
+    )

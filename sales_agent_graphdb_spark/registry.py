@@ -66,8 +66,9 @@ _PRIORITY: list[str] = [
     "sql_api_sql_udf", "sql_api_lateral_column_alias",
     "sql_api_identifier_clause",
     # Round 8, fourth wave: MMR diversified rerank + exact-n
-    # stratified sampler.
+    # stratified sampler + robust MAD outlier profile.
     "vec_mmr_rerank", "sample_stratified_exact_n",
+    "anomaly_mad_robust_z",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
