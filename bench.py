@@ -127,6 +127,9 @@ HEADLINE = [
     "vec_mmr_rerank",
     "sample_stratified_exact_n",
     "anomaly_mad_robust_z",
+    # runs after ann_ivf_pruned_topk (warmed), so the shared k-means
+    # index already exists; its own cost is the probe + tiny counters
+    "ann_filtered_adaptive_topk",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -660,3 +660,118 @@ def _bind_partitioned_oracle() -> None:
 
 
 _bind_partitioned_oracle()
+
+
+# The filter labels for the ADAPTIVE path: a ~50%-selective predicate
+# (labels 0-4), the regime where a fixed 4/16 probe underfetches but
+# the 1/selectivity overfetch rule still prunes (vs the r07 lesson
+# that a 20%-selective filter drives the rule to a full scan at 16
+# cells — which is exactly what the rule is SUPPOSED to do there, and
+# why the label-partitioned index is the selective-filter form).
+_ADAPTIVE_LABELS = (0, 1, 2, 3, 4)
+_ADAPTIVE_BASE_PROBE = 4
+
+
+@register(
+    "ann_filtered_adaptive_topk",
+    oracle=None,  # bound below
+)
+def ann_filtered_adaptive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN with ADAPTIVE probe widening — the third
+    production filtered-search form, completing the pair the r07
+    docstring names (overfetch adaptively / partition by the filter):
+    probe width = ceil(base_probe / selectivity), capped at n_cells,
+    with selectivity measured by one tiny two-counter aggregate over
+    the corpus (integer arithmetic end-to-end — `(4*total + cnt - 1)
+    div cnt` — so both engines derive the SAME width from the same
+    data, no float boundary). At the ~50%-selective filter here that
+    is 8-9/16 cells, and the overfetch buys FULL recall: measured
+    overlap 5/5 at sf0.001/0.01/0.1 (floor pinned at 4 for one notch
+    of slack). The deterministic-DECIMAL k-means (r08) makes the
+    index rebuild-stable, so the verdict cannot flip on a rebuild.
+    Output contract as the ivf/partitioned siblings: the exact
+    filtered top-5 ids (computed in-plan from the unpruned index
+    read, hash-checked) + the adaptively-chosen width + recall_ok."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    path = _index_path(sf_dir, "ivf")
+    cent_file = Path(path) / "_CENTROIDS.json"
+    cents = None
+    if _index_fresh(path, sf_dir):
+        try:
+            cents = np.asarray(json.loads(cent_file.read_text()))
+        except (OSError, ValueError):
+            cents = None
+    if cents is None:
+        cents = ann.write_ivf_index(spark, emb, path, n_cells=16, n_iter=3)
+        cent_file.write_text(json.dumps(cents.tolist()))
+        _mark_index(path, sf_dir)
+    qv = _query_vec(spark, sf_dir)
+    q = np.asarray(qv)
+    row = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("label").isin(*_ADAPTIVE_LABELS)).alias("c"),
+    ).collect()[0]
+    total, cnt = int(row["n"]), int(row["c"])
+    probe_n = min(16, (_ADAPTIVE_BASE_PROBE * total + cnt - 1) // cnt)
+    probe = [int(c) for c in np.argsort(-(cents @ q))[:probe_n]]
+    from sales_agent_graphdb_spark.operators.similarity import cosine, lit_vector
+
+    idx = spark.read.parquet(path)
+    filt = F.col("label").isin(*_ADAPTIVE_LABELS) & (F.col("vec_id") != 0)
+    score = lambda df: df.select(  # noqa: E731
+        "vec_id", cosine(F.col("embedding"), lit_vector(qv)).alias("sim")
+    )
+    pruned_top = (
+        score(idx.filter(F.col("cell").isin(probe)).filter(filt))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(5)
+    )
+    exact_top = (
+        score(idx.filter(filt)).orderBy(F.col("sim").desc(), "vec_id").limit(5)
+    )
+    overlap = pruned_top.join(exact_top.select("vec_id"), "vec_id", "left_semi")
+    return (
+        exact_top.agg(
+            F.concat_ws(
+                ",", F.sort_array(F.collect_list("vec_id"))
+            ).alias("exact_ids"),
+        )
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("_n")))
+        .select(
+            "exact_ids",
+            F.lit(probe_n).alias("n_probed_cells"),
+            (F.col("_n") >= 4).alias("recall_ok"),
+        )
+    )
+
+
+def _bind_adaptive_oracle() -> None:
+    from sales_agent_graphdb_spark import registry as _r
+    from sales_agent_graphdb_spark.operators.similarity import duckdb_cosine_sql
+
+    cos = duckdb_cosine_sql("e.embedding", "q.embedding")
+    labels = ", ".join(str(l) for l in _ADAPTIVE_LABELS)
+    b = _ADAPTIVE_BASE_PROBE
+    oracle = f"""
+    WITH c AS (
+      SELECT COUNT(*) AS total,
+             COUNT(*) FILTER (WHERE label IN ({labels})) AS cnt
+      FROM embeddings),
+    exact AS (
+      SELECT e.vec_id, {cos} AS sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0 AND e.label IN ({labels})
+      ORDER BY sim DESC, e.vec_id LIMIT 5)
+    SELECT array_to_string(list_sort(list(vec_id)), ',') AS exact_ids,
+           (SELECT CAST(LEAST(16, ({b} * total + cnt - 1) // cnt) AS INT)
+            FROM c) AS n_probed_cells,
+           TRUE AS recall_ok
+    FROM exact
+    """
+    spec = _r._REGISTRY["ann_filtered_adaptive_topk"]
+    _r._REGISTRY["ann_filtered_adaptive_topk"] = type(spec)(
+        spec.name, spec.fn, oracle, spec.doc
+    )
+
+
+_bind_adaptive_oracle()

@@ -69,6 +69,9 @@ _PRIORITY: list[str] = [
     # stratified sampler + robust MAD outlier profile.
     "vec_mmr_rerank", "sample_stratified_exact_n",
     "anomaly_mad_robust_z",
+    # Round 8, fifth wave: adaptive-overfetch filtered ANN (the other
+    # production form the r07 docstring names).
+    "ann_filtered_adaptive_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -104,3 +104,44 @@ def test_exact_n_sampler_counts_and_pooling(spark):
     # PARTIAL per-partition top-n BEFORE the stratum shuffle — the
     # window exchange carries at most n rows per (partition, stratum).
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_adaptive_filtered_ann_width_and_recall(spark):
+    """ann_filtered_adaptive_topk — the adaptive width must equal the
+    integer overfetch formula on the measured selectivity, stay
+    strictly between the fixed probe (4) and the full scan (16) at
+    this filter, and the verdict row must hold with its exact side
+    equal to a directly-computed filtered top-5."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.operators import similarity as sim
+    from sales_agent_graphdb_spark.queries.ann_search import (
+        _ADAPTIVE_BASE_PROBE,
+        _ADAPTIVE_LABELS,
+        ann_filtered_adaptive_topk,
+    )
+    from sales_agent_graphdb_spark.queries.vector import _query_vec
+
+    row = ann_filtered_adaptive_topk(spark, SF_SMALL).collect()[0]
+    emb = catalog.load_table(spark, SF_SMALL, "embeddings")
+    r = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("label").isin(*_ADAPTIVE_LABELS)).alias("c"),
+    ).collect()[0]
+    want = min(16, (_ADAPTIVE_BASE_PROBE * int(r["n"]) + int(r["c"]) - 1) // int(r["c"]))
+    assert row.n_probed_cells == want
+    assert 4 < row.n_probed_cells < 16
+    assert row.recall_ok, row
+
+    qv = _query_vec(spark, SF_SMALL)
+    exact = (
+        emb.filter(F.col("label").isin(*_ADAPTIVE_LABELS) & (F.col("vec_id") != 0))
+        .select("vec_id", sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("s"))
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    assert sorted(int(x) for x in row.exact_ids.split(",")) == sorted(
+        e.vec_id for e in exact
+    )
