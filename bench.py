@@ -130,6 +130,15 @@ HEADLINE = [
     # runs after ann_ivf_pruned_topk (warmed), so the shared k-means
     # index already exists; its own cost is the probe + tiny counters
     "ann_filtered_adaptive_topk",
+    # Round 8, sixth wave: batch sessionization, A-ES weighted
+    # reservoir, JL random projection.
+    "sessionize_gap_batch",
+    "sample_weighted_reservoir",
+    "vec_random_projection_topk",
+    # Round 8, seventh wave.
+    "text_entropy_filter",
+    "pct_weighted_median",
+    "s16_nested_schema_pruning",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -149,6 +158,9 @@ WARM_FIRST = [
     # first call builds the (label, cell)-partitioned IVF index;
     # the timed line is the doubly-pruned probe over it
     "ann_filtered_partitioned_topk",
+    # first call materializes the nested-orders layout; the timed line
+    # is the pruned-scan aggregate over the existing layout
+    "s16_nested_schema_pruning",
     # NOT an index build — measured r08 (VERDICT r07 #5): w5's first
     # execution pays ~3-5 s of plan-shape-bound one-time cost (Janino
     # whole-stage-codegen compile of the prefix-sum/window plan +

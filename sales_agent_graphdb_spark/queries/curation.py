@@ -571,3 +571,82 @@ def sample_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_stratified_exact_n.__doc__ = sample_stratified_exact_n.__doc__.format(
     n=_EXACT_N
 )
+
+
+# A-ES (Efraimidis–Spirakis) weighted reservoir: key = ln(u) / w with
+# u ~ U(0,1) derived from the shared 52-bit md5 hash — deterministic,
+# engine-portable, and exactly the distributed form of weighted
+# sampling WITHOUT replacement (the top-k by key IS the reservoir).
+# The key is quantized to 9 dp before ranking so a 1-ulp ln() drift
+# between the JVM and DuckDB's libm can never flip the rank-k
+# boundary; equal quantized keys fall back to doc_id on both engines.
+_RES_K = 200
+_RES_SALT = "res8"
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROUND(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_RES_SALT}'), 1, 13)) AS BIGINT) + 1.0)
+                  / 4503599627370498.0)
+               / GREATEST(CAST(n_chars AS DOUBLE), 1.0), 9) AS k
+      FROM documents),
+    topk AS (
+      SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT {_RES_K})
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM topk GROUP BY lang, source ORDER BY lang, source
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED reservoir sample without replacement (Efraimidis–
+    Spirakis A-ES), weight = document length: each doc draws a
+    deterministic uniform u from the shared 52-bit md5 hash (h+1 over
+    2^52+2, strictly inside (0,1)) and keys itself ln(u)/w; the global
+    top-{k} by key is EXACTLY a weighted sample without replacement —
+    the length-biased pick a token-budgeted corpus build wants
+    (sample_weighted_hash is the Bernoulli/expected-rate twin; this is
+    the exact-k twin). Output is the per-(lang, source) composition of
+    the reservoir — the mix a curator actually inspects.
+
+    Scale: one scan, map-side key arithmetic, global top-k via
+    TakeOrderedAndProject (every partition keeps its local {k}, the
+    driver merges k-sized heaps — NO global sort, no shuffle of the
+    corpus). At 100 TB the reservoir never materializes more than
+    n_partitions x {k} rows; the same key doubles as a streaming
+    reservoir (keep the running top-k per micro-batch).
+
+    Portability: u and w are bit-identical on both engines (md5-derived
+    integer, exact double division); ln() may differ by 1 ulp between
+    the JVM and libm, so the key is ROUNDed to 9 dp BEFORE ranking with
+    doc_id as the total-order tiebreak — the selected set is then
+    identical by construction."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    u = (h52(F.col("doc_id").cast("string"), _RES_SALT) + F.lit(1.0)) / F.lit(
+        H52_SPAN + 2.0
+    )
+    key = F.round(
+        F.log(u) / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)), 9
+    )
+    topk = (
+        d.select("doc_id", "lang", "source", "n_chars", key.alias("k"))
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(_RES_K)
+    )
+    return (
+        topk.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+sample_weighted_reservoir.__doc__ = sample_weighted_reservoir.__doc__.format(
+    k=_RES_K
+)

@@ -487,3 +487,96 @@ def attr_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
 attr_multi_touch_credit.__doc__ = attr_multi_touch_credit.__doc__.format(
     hours=_ATTR_HOURS
 )
+
+
+_GAP_S = 1800  # 30-minute inactivity gap, the classic web-analytics cut
+
+
+@register(
+    "sessionize_gap_batch",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > {_GAP_S}
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o),
+    per AS (
+      SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_ev,
+             date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+      FROM s GROUP BY user_id, sess)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(MAX(n_ev) AS BIGINT) AS max_session_events,
+           CAST(SUM(dur_s) AS BIGINT) AS total_session_seconds
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH gap-based sessionization — derive sessions from raw event
+    timestamps with a {gap}s inactivity cut (the batch twin of
+    st_session_window / st_stream_stateful_sessions, which consume the
+    stream shapes; here there is no session id in the data — the
+    boundary IS the computation, the lag-flag + running-sum idiom).
+    Per user: a session starts at the first event or after a >{gap}s
+    silence; flag = (gap > cut), session ordinal = running sum of
+    flags; then a two-level rollup to per-user session stats. All
+    integer arithmetic (epoch-second diffs, counts) — no float drift
+    surface at all.
+
+    Scale: ONE shuffle (hash by user_id for the sort-window); the
+    session ordinal and both aggregations are computed inside that
+    partitioning (groupBy(user_id, sess) is a refinement of the window
+    partition and AQE coalesces it locally; the final per-user rollup
+    is a sub-key reduction). No state larger than a user's event list
+    is ever co-resident; at 100 TB this is the standard sessionize
+    shape — skew only if one user owns a partition-sized history, the
+    salting twins (join_salted_*) cover that regime.
+
+    Ties on ts are broken by event_id on BOTH engines; equal-ts pairs
+    have gap 0 < cut so session assignment is tiebreak-invariant.
+    """
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(gap_s.isNull() | (gap_s > _GAP_S), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    per = sess.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        ),
+    )
+    return (
+        per.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("n_ev").alias("max_session_events"),
+            F.sum("dur_s").alias("total_session_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+sessionize_gap_batch.__doc__ = sessionize_gap_batch.__doc__.format(gap=_GAP_S)

@@ -995,3 +995,87 @@ def dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: NESTED schema pruning — the scan-cost lever for struct-typed
+# lakes (event payloads, API envelopes, multimodal metadata): Spark's
+# SchemaPruning rule must narrow the parquet ReadSchema to only the
+# struct FIELDS the query touches, not whole structs.
+# ---------------------------------------------------------------------------
+
+
+def nested_orders_path(sf_dir: str) -> str:
+    return _scratch(sf_dir, "orders_nested")
+
+
+def build_nested_orders(spark: SparkSession, sf_dir: str) -> None:
+    """Ingest side (stamped, reused): rewrite orders as a nested
+    document — customer struct<custkey, priority>, money struct<total,
+    bucket>, status kept top-level — the shape an event lake or API
+    envelope lands in (j2_order_items_nested nests at QUERY time; this
+    materializes the nest so the SCAN must prune it)."""
+    from sales_agent_graphdb_spark.sources import stamp
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    root = nested_orders_path(sf_dir)
+    if stamp.is_fresh(root, src):
+        return
+    o = catalog.load_table(spark, sf_dir, "orders")
+    (
+        o.select(
+            "o_orderkey",
+            F.struct(
+                F.col("o_custkey").alias("custkey"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("customer"),
+            F.struct(
+                F.col("o_totalprice").alias("total"),
+                (F.floor(F.col("o_totalprice") / 50000)).alias("bucket"),
+            ).alias("money"),
+            "o_orderstatus",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    stamp.mark(root, src)
+
+
+@register(
+    "s16_nested_schema_pruning",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY 1 ORDER BY priority
+    """,
+)
+def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED schema pruning (S-ext): aggregate over TWO struct fields
+    (customer.priority, money.total) of the materialized nested
+    orders, with a top-level filter — Spark's SchemaPruning must
+    narrow the parquet ReadSchema to struct<priority:string> and
+    struct<total:double>, leaving customer.custkey and money.bucket
+    UNREAD (pinned in tests/test_plans.py: ReadSchema lists exactly
+    the two touched fields; at 100 TB a payload struct is most of the
+    row's bytes and pruning it is the difference between scanning the
+    lake and scanning two skinny columns). The oracle computes the
+    same answer from the ORIGINAL flat orders, so the hash also
+    certifies the nested rewrite lost nothing."""
+    build_nested_orders(spark, sf_dir)
+    n = spark.read.parquet(nested_orders_path(sf_dir))
+    return (
+        n.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("customer.priority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("money.total").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("priority")
+    )

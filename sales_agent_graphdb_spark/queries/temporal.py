@@ -844,3 +844,72 @@ def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction.alias("direction"),
         F.least(bk_d, fw_d).cast("bigint").alias("delta_us"),
     ).orderBy("event_id")
+
+
+@register(
+    "pct_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem)
+    SELECT l_returnflag,
+           CAST(MAX(total) AS BIGINT) AS total_weight,
+           MIN(CASE WHEN 2 * (cum - w) < total AND 2 * cum >= total
+                    THEN v END) AS weighted_median
+    FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def pct_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median — the 50% point of the price distribution where
+    each row counts l_quantity times (the units-weighted price a
+    pricing analyst actually wants; pct_exact_disc is the unweighted
+    row-median twin). Selection rule shared bit-for-bit by both
+    engines: order by (price, orderkey, linenumber) within the group,
+    cumulative weight in EXACT BIGINT (quantities are integral —
+    verified 0 fractional at all SFs), and the median is the unique
+    row where the running weight crosses half the total, tested as
+    2*(cum-w) < total <= 2*cum — pure integer comparisons, NO
+    division, no float anywhere until the picked value itself.
+
+    Scale: one hash shuffle by group for the sort-window (the same
+    single-exchange shape as pct_exact_disc); the crossing test is a
+    per-row predicate on the running sum — no second pass, no
+    re-join of the total (window total rides the same sort). At
+    100 TB per-group weighted quantiles this exact form is the
+    calibration anchor; the fixed-memory path is the weighted
+    equi-depth sketch (agg_equidepth_histogram's family)."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    w_ord = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum(F.col("l_quantity").cast("bigint"))
+        .over(W.partitionBy("l_returnflag"))
+        .alias("total"),
+    )
+    pick = F.when(
+        (2 * (F.col("cum") - F.col("w")) < F.col("total"))
+        & (2 * F.col("cum") >= F.col("total")),
+        F.col("v"),
+    )
+    return (
+        r.groupBy("l_returnflag")
+        .agg(
+            F.max("total").alias("total_weight"),
+            F.min(pick).alias("weighted_median"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -730,3 +730,105 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Word-entropy quality filter. Low unigram entropy = repetitive /
+# boilerplate / keyword-stuffed text; the standard cheap companion to
+# the Gopher repetition rules. Identity used on both engines:
+#   H = ln(n) - (1/n) * SUM(c * ln(c))        (natural-log entropy)
+# The data-sized SUM runs over per-word terms c*ln(c) quantized to
+# DECIMAL(38,18) BEFORE summing, so distributed summation order cannot
+# move the result; the closed form is then evaluated in doubles over an
+# identical expression tree and rounded to 6 dp.
+# ---------------------------------------------------------------------------
+_ENTROPY_FLAG = 2.0  # nats; measured (2026-08): sf0.01 min 1.64 / p05
+# 2.43 / median 3.09 / max 3.35 — the 2.0 cut flags 1, 2, and 20 docs
+# at sf0.001/0.01/0.1, non-vacuous at every SF
+
+
+@register(
+    "text_entropy_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_CORPUS_TOKENS_SQL} AS w
+      FROM documents),
+    words AS (
+      SELECT doc_id, lang, unnest(w) AS word FROM toks),
+    wc AS (
+      SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY doc_id, lang, word),
+    ent AS (
+      SELECT doc_id, lang,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c * ln(c) AS DECIMAL(38,18))) AS DOUBLE) AS slc
+      FROM wc GROUP BY doc_id, lang),
+    h AS (
+      SELECT doc_id, lang,
+             ROUND(ln(n) - slc / n, 6) AS entropy
+      FROM ent)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN entropy < {_ENTROPY_FLAG} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(CAST(entropy AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_entropy
+    FROM h GROUP BY lang ORDER BY lang
+    """,
+)
+def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram WORD-ENTROPY quality filter — flags repetitive /
+    boilerplate documents whose token distribution carries too little
+    information (< {flag} nats), the cheap information-theoretic
+    companion to text_gopher_repetition's rule list. Per doc:
+    H = ln(n) - SUM(c*ln(c))/n over alnum word counts (the shared
+    corpus tokenizer); output is the per-lang rollup a curator reads
+    (doc count, flagged count, 6-dp mean entropy).
+
+    Scale: tokenize + explode is map-side; ONE shuffle by (doc_id,
+    word) for the count, one sub-key reduction to doc level (each
+    doc's word list never co-resident — the explode is streamed), one
+    skinny rollup by lang. Every data-sized float sum is quantized to
+    DECIMAL before aggregation (order-independent); the per-doc closed
+    form and the final mean are identical double expression trees on
+    both engines, rounded to 6 dp."""
+    from sales_agent_graphdb_spark.queries.curation import alnum_tokens
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(alnum_tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("doc_id", "lang", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ent = wc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") * F.log("c")).cast("decimal(38,18)"))
+        .cast("double")
+        .alias("slc"),
+    )
+    h = ent.select(
+        "lang",
+        F.round(F.log("n") - F.col("slc") / F.col("n"), 6).alias("entropy"),
+    )
+    return (
+        h.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("entropy") < _ENTROPY_FLAG, 1).otherwise(0)
+            ).alias("n_flagged"),
+            F.round(
+                F.sum(F.col("entropy").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+text_entropy_filter.__doc__ = text_entropy_filter.__doc__.format(
+    flag=_ENTROPY_FLAG
+)

@@ -491,3 +491,124 @@ def vec_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sel_rank", "vec_id", "sim")
         .orderBy("sel_rank")
     )
+
+
+# Johnson–Lindenstrauss random projection: 64 -> _JL_DIM dims through a
+# fixed ±1 sign matrix (Achlioptas 2003's database-friendly variant,
+# density 1). The matrix is generated ONCE from a seeded stdlib
+# Mersenne Twister (platform-stable) and inlined into BOTH plans as
+# literals, so the two engines run the identical expression tree —
+# there is no RNG at query time anywhere.
+_JL_DIM = 8
+_JL_IN_DIM = 64
+_JL_K = 5
+
+
+def _jl_signs() -> list[list[float]]:
+    import random
+
+    rng = random.Random(0x0A8)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(_JL_IN_DIM)]
+        for _ in range(_JL_DIM)
+    ]
+
+
+def _jl_project_py(vec: list[float], signs: list[list[float]]) -> list[float]:
+    # strict left fold, same order as operators.similarity.dot
+    out = []
+    for row in signs:
+        acc = 0.0
+        for s, v in zip(row, vec):
+            acc = acc + (v * s)
+        out.append(acc)
+    return out
+
+
+def _jl_oracle() -> str:
+    signs = _jl_signs()
+
+    def proj_sql(vec: str) -> str:
+        comps = []
+        for row in signs:
+            lits = "[" + ", ".join(f"{s:.1f}" for s in row) + "]"
+            comps.append(
+                f"list_sum(list_transform(list_zip({vec}, {lits}),"
+                f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+            )
+        return "[" + ", ".join(comps) + "]"
+
+    cos_p = sim.duckdb_cosine_sql("p.pv", "q.pv")
+    cos_t = sim.duckdb_cosine_sql("p.embedding", "q.embedding")
+    return f"""
+    WITH proj AS (
+      SELECT vec_id, embedding, {proj_sql('embedding')} AS pv
+      FROM embeddings),
+    q AS (SELECT embedding, pv FROM proj WHERE vec_id = 0)
+    SELECT p.vec_id,
+           ROUND({cos_p}, 6) AS proj_sim,
+           ROUND({cos_t}, 6) AS true_sim
+    FROM proj p, q
+    WHERE p.vec_id <> 0
+    ORDER BY {cos_p} DESC, p.vec_id LIMIT {_JL_K}
+    """
+
+
+@register("vec_random_projection_topk", oracle=_jl_oracle())
+def vec_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-PROJECTION (Johnson–Lindenstrauss) top-k — dimensionality
+    reduction as a retrieval prefilter: every 64-dim embedding is
+    projected to 8 dims through a fixed ±1 sign matrix (each projected
+    component is ONE dot() fold against a literal sign row — 8 fused
+    JVM folds per row, whole-stage codegen, no Python), and the top-5
+    by PROJECTED cosine is returned with both the projected and the
+    true cosine per hit, so the distortion the JL lemma bounds is
+    visible in the result itself.
+
+    Scale: the projection is map-side column math on the scan — at
+    100 TB it cuts vector bytes 8x BEFORE any index build or shuffle
+    (project once, write the skinny column next to the full one;
+    distance-threshold tasks — dedup cuts, clustering — then read
+    1/8th the bytes). Top-k is TakeOrderedAndProject — no global
+    sort. The matrix rides the plan as literals: no broadcast, no
+    side file, bit-reproducible across engines, rebuilds, and
+    cluster sizes.
+
+    Measured pushback (2026-08, this corpus): what survives at d=8 is
+    the JL NORM guarantee — squared-norm ratio unbiased (mean
+    0.97-1.00 at every SF, pinned in tests) — not top-k ORDER: the
+    embeddings are near-random with neighbor/bulk cosine gap ~0.1,
+    smaller than d=8 distortion, so projected top-5 recall vs the
+    true top-5 is 0-2/5 and the worst true neighbor sits at projected
+    rank 1307/2000 at sf0.1 (measured at d=16 too — not a width
+    problem). So this query's CONTRACT is the deterministic projected
+    top-k itself (both engines replay the identical rule — exact
+    equality, no recall oracle), with true_sim exposed per hit so the
+    distortion is visible; on signal-bearing corpora the same plan is
+    the standard shortlist generator, and the ann_* family (IVF/LSH
+    on FULL vectors) remains the production recall path here.
+
+    The query's own projection is computed driver-side with the
+    IDENTICAL strict left fold (exact ±1 products, IEEE adds — bit-
+    equal to the in-engine fold); sims round to 6 dp on both sides."""
+    signs = _jl_signs()
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    pv = F.array(
+        *[sim.dot(F.col("embedding"), sim.lit_vector(row)) for row in signs]
+    )
+    qv = _query_vec(spark, sf_dir)
+    q_pv = _jl_project_py(qv, signs)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        sim.cosine(pv, sim.lit_vector(q_pv)).alias("ps"),
+        sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("ts"),
+    )
+    return (
+        scored.orderBy(F.col("ps").desc(), "vec_id")
+        .limit(_JL_K)
+        .select(
+            "vec_id",
+            F.round("ps", 6).alias("proj_sim"),
+            F.round("ts", 6).alias("true_sim"),
+        )
+    )

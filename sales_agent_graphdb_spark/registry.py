@@ -72,6 +72,14 @@ _PRIORITY: list[str] = [
     # Round 8, fifth wave: adaptive-overfetch filtered ANN (the other
     # production form the r07 docstring names).
     "ann_filtered_adaptive_topk",
+    # Round 8, sixth wave: batch gap sessionization, A-ES weighted
+    # reservoir sampling, JL random-projection prefilter.
+    "sessionize_gap_batch", "sample_weighted_reservoir",
+    "vec_random_projection_topk",
+    # Round 8, seventh wave: word-entropy quality filter, weighted
+    # median, nested-struct schema pruning.
+    "text_entropy_filter", "pct_weighted_median",
+    "s16_nested_schema_pruning",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -574,3 +574,22 @@ def test_exchange_reuse_self_joined_aggregate(spark):
     assert len(rows) > 10
     plan = _plan(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan
+
+
+def test_nested_schema_pruning_readschema(spark):
+    """s16_nested_schema_pruning — the parquet ReadSchema must narrow
+    each struct to ONLY the touched field: customer:struct<priority>
+    (custkey unread) and money:struct<total> (bucket unread), with the
+    status filter pushed to the scan."""
+    from sales_agent_graphdb_spark.queries.sources_io import (
+        s16_nested_schema_pruning,
+    )
+
+    df = s16_nested_schema_pruning(spark, SF_SMALL)
+    plan = _plan(df)
+    assert (
+        "ReadSchema: struct<customer:struct<priority:string>,"
+        "money:struct<total:double>,o_orderstatus:string>" in plan
+    ), plan
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    assert "custkey" not in plan.split("ReadSchema")[1], plan
