@@ -139,6 +139,10 @@ HEADLINE = [
     "text_entropy_filter",
     "pct_weighted_median",
     "s16_nested_schema_pruning",
+    # Round 8, eighth wave.
+    "agg_kmv_intersection",
+    "mm_audio_segment_plan",
+    "sql_api_pivot_stmt",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -517,3 +517,207 @@ def agg_exchange_reuse_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev.rev").cast("double").alias("prev_revenue"),
         (F.col("cur.rev") - F.col("prev.rev")).cast("double").alias("delta"),
     ).orderBy("month")
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) sketch with SET-INTERSECTION
+# estimation — the sketch class HLL cannot provide (HLL unions; it
+# cannot intersect). Estimator (Beyer et al. 2007): keep the k smallest
+# normalized hashes per set; for the union's k-mins U_k with k-th
+# smallest value K: |A∪B| ≈ (k-1)/K, Jaccard ≈ |U_k ∩ kmv(A) ∩
+# kmv(B)|/k (any member of U_k is necessarily in kmv(A) or kmv(B), so
+# sketch membership IS set membership there), and |A∩B| ≈ J·|A∪B|.
+# Hashes come from the shared 52-bit md5 (engine-portable,
+# deterministic) so BOTH engines build bit-identical sketches and the
+# whole estimate chain is hash-checked — the estimator's randomness is
+# frozen, the oracle replays it exactly.
+#
+# The two audiences are PER-USER behavioral segments with genuine
+# partial overlap (measured sf0.1: |A|=401 spenders, |B|=689 heavy
+# viewers, 180 common → J≈0.20; a naive per-event-type split is
+# vacuous here — every user has every type). Membership thresholds
+# compare EXACT DECIMAL sums / BIGINT counts, so distributed
+# summation order can never flip a borderline user between engines.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+_KMV_SPEND = 800  # spender: per-user purchase value above this
+_KMV_VIEWS = 14  # heavy viewer: at least this many view events
+_KMV_SALT = "kmv8"
+_H52_DENOM = 4503599627370496.0  # 2^52
+
+
+@register(
+    "agg_kmv_intersection",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(20,6)) ELSE 0 END) AS pval,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS vn
+      FROM events GROUP BY user_id),
+    members AS (
+      SELECT 'A' AS tag, user_id FROM per WHERE pval > {_KMV_SPEND}
+      UNION ALL
+      SELECT 'B' AS tag, user_id FROM per WHERE vn >= {_KMV_VIEWS}),
+    hashed AS (
+      SELECT tag, user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '{_KMV_SALT}'), 1, 13)) AS BIGINT)
+               / {_H52_DENOM} AS h
+      FROM members),
+    sk AS (  -- per-set KMV sketch: the k smallest hashes
+      SELECT tag, h
+      FROM (SELECT tag, h,
+                   row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+            FROM hashed)
+      WHERE rn <= {_KMV_K}),
+    uk AS (  -- k-mins of the merged sketch = k-mins of the union
+      SELECT h, in_a, in_b, rn, COUNT(*) OVER () AS m
+      FROM (SELECT h,
+                   MAX(CASE WHEN tag = 'A' THEN 1 ELSE 0 END) AS in_a,
+                   MAX(CASE WHEN tag = 'B' THEN 1 ELSE 0 END) AS in_b,
+                   row_number() OVER (ORDER BY h) AS rn
+            FROM sk GROUP BY h)
+      WHERE rn <= {_KMV_K}),
+    est AS (
+      SELECT MAX(m) AS m,
+             MAX(CASE WHEN rn = m THEN h END) AS kth,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS both_n
+      FROM uk),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN tag = 'A'
+                                      THEN user_id END) AS BIGINT) AS exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN tag = 'B'
+                                      THEN user_id END) AS BIGINT) AS exact_b,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM members),
+    ix AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+        SELECT user_id FROM members GROUP BY user_id HAVING COUNT(*) = 2))
+    SELECT {_KMV_K} AS k, ex.exact_a, ex.exact_b, ex.exact_union,
+           ix.exact_inter,
+           ROUND(CASE WHEN est.m < {_KMV_K} THEN CAST(est.m AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) / est.kth END, 6) AS union_est,
+           ROUND(est.both_n / est.m, 6) AS jaccard_est,
+           ROUND((est.both_n / est.m)
+                 * (CASE WHEN est.m < {_KMV_K} THEN CAST(est.m AS DOUBLE)
+                         ELSE ({_KMV_K} - 1) / est.kth END), 6) AS inter_est
+    FROM est, ex, ix
+    """,
+)
+def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-style sketch with INTERSECTION estimation over two
+    behavioral audiences — spenders (per-user purchase value >
+    {spend}, exact DECIMAL) and heavy viewers (>= {views} view
+    events) — the overlap question ("how many big spenders are also
+    heavy viewers?") that HLL (agg_hll_rollup) structurally cannot
+    answer. Exact counts ride along so the output itself exhibits the
+    sketch error; the estimator's hash randomness is the shared
+    md5-52 uniform, frozen and replayed by the oracle, so every
+    double in the chain is bit-identical across engines. The three
+    SFs exercise all regimes: both sets under k (everything exact,
+    sf0.001), one side sketched (sf0.01), full sketch estimation
+    (sf0.1: 401/689/180 true, J≈0.20).
+
+    Scale: per-set sketches are (k smallest)-per-group — row_number
+    over a hash order with rn <= k lowers to WindowGroupLimit, so
+    each map partition forwards AT MOST k rows per set and the
+    exchange carries O(partitions·k), never the audience itself.
+    Merging sketches is a k-row operation; at 100 TB the same shape
+    runs per (day, segment) with sketches persisted as BOTH mergeable
+    state and intersection-capable state — union by re-k-min,
+    intersect by this estimator — while exact COUNT(DISTINCT) pays a
+    full shuffle of every distinct member (kept here only as the
+    error witness)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(20,6)"),
+            ).otherwise(F.lit(0).cast("decimal(20,6)"))
+        ).alias("pval"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("vn"),
+    )
+    members = (
+        per.filter(F.col("pval") > _KMV_SPEND)
+        .select(F.lit("A").alias("tag"), "user_id")
+        .unionAll(
+            per.filter(F.col("vn") >= _KMV_VIEWS).select(
+                F.lit("B").alias("tag"), "user_id"
+            )
+        )
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(_KMV_SALT))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_H52_DENOM)
+    )
+    sk = (
+        members.select("tag", h.alias("h"))
+        .withColumn("rn", F.row_number().over(W.partitionBy("tag").orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("tag", "h")
+    )
+    uk = (
+        sk.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("tag") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("tag") == "B", 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        # m AFTER the k-cut, matching the oracle: min(k, merged size)
+        .withColumn("m", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    est = uk.agg(
+        F.max("rn").alias("m"),
+        F.max(F.when(F.col("rn") == F.col("m"), F.col("h"))).alias("kth"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0))
+        .cast("double")
+        .alias("both_n"),
+    )
+    ex = members.agg(
+        F.countDistinct(F.when(F.col("tag") == "A", F.col("user_id"))).alias(
+            "exact_a"
+        ),
+        F.countDistinct(F.when(F.col("tag") == "B", F.col("user_id"))).alias(
+            "exact_b"
+        ),
+        F.countDistinct("user_id").alias("exact_union"),
+    )
+    ix = (
+        members.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 2)
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    union_est = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / F.col("kth")
+    )
+    jac = F.col("both_n") / F.col("m")
+    return (
+        est.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(ix))
+        .select(
+            F.lit(_KMV_K).alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            F.round(union_est, 6).alias("union_est"),
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * union_est, 6).alias("inter_est"),
+        )
+    )
+
+
+agg_kmv_intersection.__doc__ = agg_kmv_intersection.__doc__.format(
+    spend=_KMV_SPEND, views=_KMV_VIEWS
+)

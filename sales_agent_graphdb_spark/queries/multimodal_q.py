@@ -149,3 +149,42 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the payload bytes crossed Arrow unchanged."""
     media = _media(spark, sf_dir).filter(F.col("meta.media_type") == "image/jpeg")
     return multimodal.resize_plan_arrow(media).orderBy("doc_id")
+
+
+@register(
+    "mm_audio_segment_plan",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id, n_chars * 40 AS dur,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 3 = 1),
+    segs AS (
+      SELECT doc_id, dur, n_bytes, unnest(range(0, ((dur - 1) // 5000) + 1)) AS seg_no
+      FROM audio)
+    SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no,
+           CAST(seg_no * 5000 AS BIGINT) AS seg_start_ms,
+           CAST(LEAST(seg_no * 5000 + 5000, dur) - seg_no * 5000 AS BIGINT)
+             AS seg_len_ms,
+           CAST(FLOOR(n_bytes * (seg_no * 5000) / dur) AS BIGINT) AS byte_start,
+           CAST(FLOOR(n_bytes * LEAST(seg_no * 5000 + 5000, dur) / dur)
+                - FLOOR(n_bytes * (seg_no * 5000) / dur) AS BIGINT) AS seg_bytes
+    FROM segs ORDER BY doc_id, seg_no
+    """,
+)
+def mm_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-duration AUDIO windowing (5 s segments) over the opaque
+    payload: metadata filter prunes to audio rows before the explode,
+    segment boundaries and proportional byte ranges are pure integer
+    JVM arithmetic (see sources/multimodal.audio_segments — the
+    codec-aware cut is the honest decode stub; the windowed
+    segmentation, byte math, and explode shape are the engine's part
+    and fully oracle-checked: duration_ms = n_chars·40 by the
+    synthesize rule, byte length = utf-8 octets)."""
+    return (
+        multimodal.audio_segments(_media(spark, sf_dir))
+        .select(
+            "doc_id", "seg_no", "seg_start_ms", "seg_len_ms",
+            "byte_start", "seg_bytes",
+        )
+        .orderBy("doc_id", "seg_no")
+    )

@@ -1059,3 +1059,49 @@ def sql_api_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "sqlapi_orders"},
     )
+
+
+@register(
+    "sql_api_pivot_stmt",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS total_p
+    FROM orders GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def sql_api_pivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — the PIVOT statement (18th statement class):
+    status columns rotated out of rows inside pure SQL. Spark lowers
+    PIVOT to exactly the conditional-aggregation plan the oracle
+    spells out (one map-side-combinable aggregate over the group key —
+    pivot_first per value, no join, no second pass), so the statement
+    is a front-end convenience with zero plan cost; the DataFrame
+    twin is agg_pivot_unpivot. DECIMAL sums inside, one cast to
+    double per cell outside — groups missing a status stay NULL on
+    both engines."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    return spark.sql(
+        """
+        SELECT priority,
+               CAST(f AS DOUBLE) AS total_f,
+               CAST(o AS DOUBLE) AS total_o,
+               CAST(p AS DOUBLE) AS total_p
+        FROM (
+          SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          FROM sqlapi_orders
+        )
+        PIVOT (SUM(price) FOR status IN ('F' AS f, 'O' AS o, 'P' AS p))
+        ORDER BY priority
+        """
+    )

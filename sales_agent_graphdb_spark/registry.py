@@ -80,6 +80,10 @@ _PRIORITY: list[str] = [
     # median, nested-struct schema pruning.
     "text_entropy_filter", "pct_weighted_median",
     "s16_nested_schema_pruning",
+    # Round 8, eighth wave: KMV intersection sketch, audio
+    # segmentation plan, SQL PIVOT statement.
+    "agg_kmv_intersection", "mm_audio_segment_plan",
+    "sql_api_pivot_stmt",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

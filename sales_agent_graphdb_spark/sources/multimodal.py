@@ -224,3 +224,46 @@ def resize_plan_arrow(media: DataFrame, target: int = 224) -> DataFrame:
             )
 
     return media.mapInPandas(plan, schema=RESIZE_SCHEMA)
+
+
+SEGMENT_MS = 5_000  # fixed-duration audio analysis window
+
+
+def audio_segments(media: DataFrame, seg_ms: int = SEGMENT_MS) -> DataFrame:
+    """Audio SEGMENTATION plan, JVM-side: audio rows only (metadata
+    predicate — the binary column is untouched until the byte-range
+    math), one row per fixed-duration window of ``meta.duration_ms``,
+    each segment mapped to its proportional byte range of the payload
+    (what a WAV/PCM pipeline does before handing windows to a feature
+    extractor; the codec-aware slice is the stubbed decode step, the
+    windowing/partitioning/byte arithmetic here is the real engine
+    work). All integer arithmetic: seg boundaries in ms, byte offsets
+    floor(n_bytes·t/dur) — deterministic, oracle-replayable.
+
+    Scale: sequence→explode streams segments out of each row (a task
+    never materializes a doc's full segment list), the audio filter
+    prunes the scan BEFORE the explode, and downstream feature stages
+    inherit ~uniform segment sizes — the skew-free unit of work a
+    100 TB audio corpus needs."""
+    dur = F.col("meta.duration_ms")
+    n = F.octet_length("payload").cast("long")
+    segs = media.filter(F.col("meta.media_type") == "audio/wav").select(
+        "doc_id",
+        dur.alias("dur"),
+        n.alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0), ((dur - 1) / seg_ms).cast("long"))
+        ).alias("seg_no"),
+    )
+    start_ms = F.col("seg_no") * seg_ms
+    end_ms = F.least(start_ms + seg_ms, F.col("dur"))
+    b0 = F.floor(F.col("n_bytes") * start_ms / F.col("dur"))
+    b1 = F.floor(F.col("n_bytes") * end_ms / F.col("dur"))
+    return segs.select(
+        "doc_id",
+        F.col("seg_no").cast("long").alias("seg_no"),
+        start_ms.cast("long").alias("seg_start_ms"),
+        (end_ms - start_ms).cast("long").alias("seg_len_ms"),
+        b0.cast("long").alias("byte_start"),
+        (b1 - b0).cast("long").alias("seg_bytes"),
+    )

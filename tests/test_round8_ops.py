@@ -304,3 +304,84 @@ def test_weighted_median_crossing_rule(spark):
                 break
         assert got[flag].total_weight == total
         assert got[flag].weighted_median == med, flag
+
+
+def test_kmv_regimes_and_plan(spark):
+    """agg_kmv_intersection — (a) exact regime at sf0.001 (both sets
+    under k: union_est equals exact_union exactly, intersection too),
+    (b) sketch regime at sf0.01: measured relative error 2.1% union /
+    5.5% inter — pinned under 15%/30% (k=64 ⇒ ~1/sqrt(62) ≈ 12.7%
+    standard error), (c) the per-set sketch lowers to WindowGroupLimit
+    so the exchange carries at most k rows per partition per set."""
+    from sales_agent_graphdb_spark.queries.aggregates import agg_kmv_intersection
+
+    r = agg_kmv_intersection(spark, SF_SMALL).collect()[0]
+    assert r.union_est == float(r.exact_union)
+    assert r.inter_est == float(r.exact_inter)
+
+    df = agg_kmv_intersection(spark, SF_MEDIUM)
+    r = df.collect()[0]
+    assert abs(r.union_est - r.exact_union) / r.exact_union < 0.15, r
+    assert abs(r.inter_est - r.exact_inter) / max(r.exact_inter, 1) < 0.30, r
+    assert 0.0 < r.jaccard_est < 1.0, r
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_audio_segments_conservation(spark):
+    """mm_audio_segment_plan — per doc: segment count = ceil(dur/5s),
+    segment lengths tile the duration exactly, byte ranges tile the
+    payload exactly (no gap, no overlap), and only audio docs
+    (doc_id % 3 == 1) appear."""
+    from collections import defaultdict
+
+    from sales_agent_graphdb_spark.queries.multimodal_q import (
+        mm_audio_segment_plan,
+    )
+
+    rows = mm_audio_segment_plan(spark, SF_SMALL).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.doc_id % 3 == 1
+        by_doc[r.doc_id].append(r)
+    for doc, segs in by_doc.items():
+        segs.sort(key=lambda r: r.seg_no)
+        assert [s.seg_no for s in segs] == list(range(len(segs)))
+        total_ms = sum(s.seg_len_ms for s in segs)
+        assert segs[-1].seg_start_ms + segs[-1].seg_len_ms == total_ms
+        assert len(segs) == (total_ms + 4999) // 5000
+        total_bytes = sum(s.seg_bytes for s in segs)
+        assert segs[0].byte_start == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b.byte_start == a.byte_start + a.seg_bytes
+        assert total_bytes == segs[-1].byte_start + segs[-1].seg_bytes
+
+
+def test_sql_pivot_statement_matches_dataframe_pivot(spark):
+    """sql_api_pivot_stmt — the SQL PIVOT statement must equal the
+    DataFrame groupBy().pivot() twin row-for-row."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.relational import sql_api_pivot_stmt
+
+    got = {
+        r.priority: (r.total_f, r.total_o, r.total_p)
+        for r in sql_api_pivot_stmt(spark, SF_SMALL).collect()
+    }
+    o = catalog.load_table(spark, SF_SMALL, "orders")
+    tw = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    want = {
+        r.priority: (
+            float(r.F) if r.F is not None else None,
+            float(r.O) if r.O is not None else None,
+            float(r.P) if r.P is not None else None,
+        )
+        for r in tw.collect()
+    }
+    assert got == want
