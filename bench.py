@@ -143,6 +143,10 @@ HEADLINE = [
     "agg_kmv_intersection",
     "mm_audio_segment_plan",
     "sql_api_pivot_stmt",
+    # Round 8, ninth wave.
+    "agg_kmv_incremental",
+    "s17_snapshot_time_travel",
+    "agg_scalar_subquery_reuse",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -165,6 +169,9 @@ WARM_FIRST = [
     # first call materializes the nested-orders layout; the timed line
     # is the pruned-scan aggregate over the existing layout
     "s16_nested_schema_pruning",
+    # first call writes the v1/v2 snapshot directories + manifest; the
+    # timed line is the two-snapshot manifest read
+    "s17_snapshot_time_travel",
     # NOT an index build — measured r08 (VERDICT r07 #5): w5's first
     # execution pays ~3-5 s of plan-shape-bound one-time cost (Janino
     # whole-stage-codegen compile of the prefix-sum/window plan +

@@ -721,3 +721,127 @@ def agg_kmv_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_kmv_intersection.__doc__ = agg_kmv_intersection.__doc__.format(
     spend=_KMV_SPEND, views=_KMV_VIEWS
 )
+
+
+# KMV mergeability: kmv(X ∪ Y) == k-min(kmv(X) ∪ kmv(Y)) — the
+# algebraic property that makes the sketch maintainable incrementally
+# (per-batch sketches fold into the running sketch; nothing is ever
+# recomputed from history). The query PROVES it on data by building
+# both sides and emitting the mismatch count (merge_ok), alongside the
+# merged estimate and the exact count as the error witness.
+_KMV_BATCH_MOD = 7  # "new arrivals": user_id % 7 == 0
+
+
+@register(
+    "agg_kmv_incremental",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    hashed AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '{_KMV_SALT}'), 1, 13)) AS BIGINT)
+               / {_H52_DENOM} AS h,
+             CASE WHEN user_id % {_KMV_BATCH_MOD} = 0 THEN 'batch'
+                  ELSE 'old' END AS part
+      FROM users),
+    sk_part AS (  -- per-partition sketches (old corpus / new batch)
+      SELECT part, h
+      FROM (SELECT part, h,
+                   row_number() OVER (PARTITION BY part ORDER BY h) AS rn
+            FROM hashed)
+      WHERE rn <= {_KMV_K}),
+    merged AS (  -- fold the two sketches: k smallest of their union
+      SELECT h
+      FROM (SELECT DISTINCT h FROM sk_part)
+      ORDER BY h LIMIT {_KMV_K}),
+    direct AS (  -- ground truth: sketch built from the full corpus
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM hashed)
+      WHERE rn <= {_KMV_K}),
+    cmp AS (
+      SELECT (SELECT COUNT(*) FROM (SELECT h FROM merged EXCEPT
+                                    SELECT h FROM direct))
+           + (SELECT COUNT(*) FROM (SELECT h FROM direct EXCEPT
+                                    SELECT h FROM merged)) AS n_mismatch),
+    est AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth FROM merged),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_users FROM users)
+    SELECT {_KMV_K} AS k, est.m, ex.exact_users,
+           ROUND(CASE WHEN est.m < {_KMV_K} THEN CAST(est.m AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) / est.kth END, 6) AS union_est,
+           (cmp.n_mismatch = 0) AS merge_ok
+    FROM est, ex, cmp
+    """,
+)
+def agg_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL KMV maintenance — the mergeability proof: the
+    distinct-user sketch folded from two independently-built partial
+    sketches (standing corpus vs 'new arrivals', user_id %
+    {mod} == 0) must equal the sketch built directly from the full
+    corpus, hash-for-hash (merge_ok) — the property that lets a
+    100 TB pipeline keep ONE k-row state per (segment, day) and fold
+    each micro-batch's k-row sketch into it (the agg_hll_rollup /
+    dedup_incremental_minhash maintenance pattern, now for the
+    intersection-capable sketch). Emits the merged estimate with the
+    exact count as the ride-along error witness; everything derives
+    from the shared md5-52 uniform, so the oracle replays the fold
+    bit-for-bit.
+
+    Scale: each partial sketch is WindowGroupLimit-bounded (k rows per
+    map partition reach the exchange); the fold itself touches 2k
+    rows. The EXCEPT-based equality check is sketch-sized (k rows a
+    side), not data-sized."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(_KMV_SALT))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_H52_DENOM)
+    )
+    hashed = users.select(
+        h.alias("h"),
+        F.when(F.col("user_id") % _KMV_BATCH_MOD == 0, "batch")
+        .otherwise("old")
+        .alias("part"),
+    )
+    sk_part = (
+        hashed.withColumn(
+            "rn", F.row_number().over(W.partitionBy("part").orderBy("h"))
+        )
+        .filter(F.col("rn") <= _KMV_K)
+        .select("part", "h")
+    )
+    merged = sk_part.select("h").distinct().orderBy("h").limit(_KMV_K)
+    direct = (
+        hashed.withColumn("rn", F.row_number().over(W.orderBy("h")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("h")
+    )
+    n_mismatch = (
+        merged.exceptAll(direct).count() + direct.exceptAll(merged).count()
+    )
+    est = merged.agg(
+        F.count(F.lit(1)).alias("m"), F.max("h").alias("kth")
+    )
+    ex = users.agg(F.count(F.lit(1)).alias("exact_users"))
+    union_est = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1)) / F.col("kth")
+    )
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.lit(_KMV_K).alias("k"),
+        "m",
+        "exact_users",
+        F.round(union_est, 6).alias("union_est"),
+        F.lit(n_mismatch == 0).alias("merge_ok"),
+    )
+
+
+agg_kmv_incremental.__doc__ = agg_kmv_incremental.__doc__.format(
+    mod=_KMV_BATCH_MOD
+)

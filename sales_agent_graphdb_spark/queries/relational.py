@@ -1105,3 +1105,44 @@ def sql_api_pivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority
         """
     )
+
+
+@register(
+    "agg_scalar_subquery_reuse",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           ROUND(MAX(o_totalprice)
+                 / (SELECT MAX(o_totalprice) FROM orders), 6)
+             AS top_share
+    FROM orders
+    WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def agg_scalar_subquery_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-SUBQUERY REUSE anchor: the same `(SELECT MAX(...))`
+    appears in the WHERE filter and in the projection, and Spark's
+    ReuseSubquery rule executes it ONCE — the second occurrence is a
+    ReusedSubquery over the first's result (pinned in
+    tests/test_plans.py). The reference's cascading Cypher templates
+    re-issue such statistics per clause; here the plan itself
+    deduplicates them. MAX is order-insensitive (exact double), so
+    both halves of the predicate chain are bit-identical on both
+    engines; at 100 TB the reuse halves the statistic's scan cost and
+    the filter half prunes before the group-by shuffle."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_big,
+               ROUND(MAX(o_totalprice)
+                     / (SELECT MAX(o_totalprice) FROM sqlapi_orders), 6)
+                 AS top_share
+        FROM sqlapi_orders
+        WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM sqlapi_orders) / 2
+        GROUP BY o_orderpriority ORDER BY priority
+        """
+    )

@@ -1079,3 +1079,120 @@ def s16_nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: snapshot versioning / time travel — copy-on-write snapshot
+# reads over a versioned parquet layout (the lakehouse capability
+# m7_table_diff / m8_cdc_apply compute INTO; here the snapshots are
+# materialized and BOTH remain readable — v1 is immutable under the
+# v2 write).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_root(sf_dir: str) -> str:
+    return _scratch(sf_dir, "orders_versioned")
+
+
+_TT_CANCEL_MOD = 13  # v2 change feed: every 13th order flips to 'X'
+_TT_DELETE_MOD = 17  # ... and every 17th order is deleted
+
+
+def build_order_snapshots(spark: SparkSession, sf_dir: str) -> None:
+    """Ingest side (stamped, reused): write snapshot v1 = the base
+    orders projection, then v2 = v1 with a deterministic change feed
+    applied (cancellations + deletions) as a FULL new snapshot
+    directory — copy-on-write, v1's files untouched. A _MANIFEST
+    file records the version list (what a table format's metadata
+    layer provides; the reader resolves 'as of v1' through it)."""
+    import json as _json
+
+    from sales_agent_graphdb_spark.sources import stamp
+
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    root = snapshot_root(sf_dir)
+    if stamp.is_fresh(root, src):
+        return
+    o = catalog.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    o.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v1"))
+    v2 = o.filter(F.col("o_orderkey") % _TT_DELETE_MOD != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % _TT_CANCEL_MOD == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    v2.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v2"))
+    with open(os.path.join(root, "_MANIFEST.json"), "w") as f:
+        _json.dump({"versions": ["v1", "v2"], "current": "v2"}, f)
+    stamp.mark(root, src)
+
+
+def read_snapshot(spark: SparkSession, sf_dir: str, version: str | None = None) -> DataFrame:
+    """Time-travel reader: resolve a version (default = manifest
+    current) and read ONLY that snapshot directory."""
+    import json as _json
+
+    root = snapshot_root(sf_dir)
+    with open(os.path.join(root, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    v = version or manifest["current"]
+    if v not in manifest["versions"]:
+        raise ValueError(f"unknown snapshot version: {v}")
+    return spark.read.parquet(os.path.join(root, v))
+
+
+@register(
+    "s17_snapshot_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {_TT_CANCEL_MOD} = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_totalprice
+      FROM orders WHERE o_orderkey % {_TT_DELETE_MOD} <> 0),
+    snaps AS (
+      SELECT 'v1' AS version, * FROM v1
+      UNION ALL SELECT 'v2', * FROM v2)
+    SELECT version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderstatus = 'X' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cancelled,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
+    FROM snaps GROUP BY version ORDER BY version
+    """,
+)
+def s17_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT time travel (S-ext): both versions of the versioned
+    orders table read THROUGH the manifest reader — v1 'as of' the
+    original ingest, v2 after the change feed (copy-on-write; the v2
+    write never touches v1's files, so historical reads stay exact
+    forever). The oracle recomputes both snapshots from the ORIGINAL
+    orders, so the hash certifies (a) v1 is still bit-exact after the
+    v2 write and (b) v2 applied exactly the declared change feed. At
+    100 TB the same manifest indirection is incremental-snapshot
+    metadata (a table format); full-copy v2 here stands in for the
+    file-level reuse those formats add — the READ path, which is what
+    this query exercises, is identical."""
+    build_order_snapshots(spark, sf_dir)
+    v1 = read_snapshot(spark, sf_dir, "v1").withColumn("version", F.lit("v1"))
+    v2 = read_snapshot(spark, sf_dir, "v2").withColumn("version", F.lit("v2"))
+    return (
+        v1.unionByName(v2)
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "X", 1).otherwise(0)
+            ).alias("n_cancelled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("version")
+    )

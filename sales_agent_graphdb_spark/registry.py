@@ -84,6 +84,10 @@ _PRIORITY: list[str] = [
     # segmentation plan, SQL PIVOT statement.
     "agg_kmv_intersection", "mm_audio_segment_plan",
     "sql_api_pivot_stmt",
+    # Round 8, ninth wave: incremental KMV fold, snapshot time travel,
+    # scalar-subquery reuse anchor.
+    "agg_kmv_incremental", "s17_snapshot_time_travel",
+    "agg_scalar_subquery_reuse",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

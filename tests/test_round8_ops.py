@@ -385,3 +385,72 @@ def test_sql_pivot_statement_matches_dataframe_pivot(spark):
         for r in tw.collect()
     }
     assert got == want
+
+
+def test_kmv_incremental_merge_ok_and_regimes(spark):
+    """agg_kmv_incremental — merge_ok must hold (fold of partial
+    sketches == direct sketch) at both small SFs, with the estimate
+    exact when users < k and sketch-accurate when users > k."""
+    from sales_agent_graphdb_spark.queries.aggregates import agg_kmv_incremental
+
+    r = agg_kmv_incremental(spark, SF_SMALL).collect()[0]
+    assert r.merge_ok
+    assert r.union_est == float(r.exact_users)  # 15 users < k
+
+    r = agg_kmv_incremental(spark, SF_MEDIUM).collect()[0]
+    assert r.merge_ok
+    assert r.m == r.k
+    assert abs(r.union_est - r.exact_users) / r.exact_users < 0.15, r
+
+
+def test_snapshot_immutability(spark):
+    """s17_snapshot_time_travel — v1 must remain bit-exact after the
+    v2 write: re-reading v1 through the manifest equals the base
+    projection; v2 reflects exactly the declared change feed."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.sources_io import (
+        _TT_CANCEL_MOD,
+        _TT_DELETE_MOD,
+        build_order_snapshots,
+        read_snapshot,
+        s17_snapshot_time_travel,
+    )
+
+    rows = {r.version: r for r in s17_snapshot_time_travel(spark, SF_SMALL).collect()}
+    o = catalog.load_table(spark, SF_SMALL, "orders")
+    n = o.count()
+    assert rows["v1"].n_rows == n
+    assert rows["v2"].n_rows == o.filter(
+        F.col("o_orderkey") % _TT_DELETE_MOD != 0
+    ).count()
+    assert rows["v2"].n_cancelled >= o.filter(
+        (F.col("o_orderkey") % _TT_CANCEL_MOD == 0)
+        & (F.col("o_orderkey") % _TT_DELETE_MOD != 0)
+    ).count()
+
+    build_order_snapshots(spark, SF_SMALL)
+    v1 = read_snapshot(spark, SF_SMALL, "v1")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    assert v1.exceptAll(base).count() == 0
+    assert base.exceptAll(v1).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_snapshot(spark, SF_SMALL, "v9")
+
+
+def test_scalar_subquery_reused_once(spark):
+    """agg_scalar_subquery_reuse — the executed plan must carry a
+    ReusedSubquery node (the MAX statistic computed once, consumed
+    twice)."""
+    from sales_agent_graphdb_spark.queries.relational import (
+        agg_scalar_subquery_reuse,
+    )
+
+    df = agg_scalar_subquery_reuse(spark, SF_SMALL)
+    df.collect()  # reuse is visible in the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedSubquery" in plan, plan

@@ -62,6 +62,7 @@ ALLOW_BNLJ = {
     "ann_filtered_partitioned_topk",  # 5 exact rows x one-row recall-verdict crossJoin
     "ann_filtered_adaptive_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
     "agg_kmv_intersection",  # one-row estimate x one-row exact-counts crossJoins
+    "agg_kmv_incremental",  # one-row estimate x one-row exact-count crossJoin
     # r06 planted-pair verdict queries: 60 deterministic planted rows
     # crossJoined with a ONE-ROW broadcast verdict frame (the
     # agg_approx_distinct bounds-verdict pattern) — bounded by the
