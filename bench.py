@@ -147,6 +147,10 @@ HEADLINE = [
     "agg_kmv_incremental",
     "s17_snapshot_time_travel",
     "agg_scalar_subquery_reuse",
+    # Round 8, tenth wave (st_stream_kmv_maintain is a real 3-batch
+    # stream drain — correctness surface, not a throughput line, like
+    # the other streaming exec twins).
+    "w10_gaps_islands_streak",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -332,3 +332,34 @@ def st_stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     a plain stream-static join would misattribute every event before a
     dimension change. See streaming/pipelines.py:scd2_enrich_stream."""
     return pipelines.scd2_enrich_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_kmv_maintain",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    hashed AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'kmv8'), 1, 13)) AS BIGINT)
+               / 4503599627370496.0 AS h
+      FROM users),
+    direct AS (
+      SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                     FROM hashed)
+      WHERE rn <= 64),
+    est AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, MAX(h) AS kth FROM direct),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_users FROM users)
+    SELECT 64 AS k, est.m, ex.exact_users,
+           ROUND(CASE WHEN est.m < 64 THEN CAST(est.m AS DOUBLE)
+                      ELSE 63 / est.kth END, 6) AS union_est
+    FROM est, ex
+    """,
+)
+def st_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — STREAMING sketch maintenance: a foreachBatch pipeline
+    folds each microbatch's k-row KMV sketch into a standing k-row
+    state table (mergeability proved on data by agg_kmv_incremental);
+    the drained state must equal the sketch built directly from the
+    full corpus, which the oracle rebuilds — the driver hash-checks
+    the whole streaming fold, estimate included. O(k) state per
+    stream forever. See streaming/pipelines.py:kmv_sketch_stream."""
+    return pipelines.kmv_sketch_stream(spark, sf_dir)

@@ -398,3 +398,71 @@ def anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > 3.0)
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "w10_gaps_islands_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) AS streak_start
+      FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           MIN(CASE WHEN len = ml THEN streak_start END) AS streak_start,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM (SELECT *, MAX(len) OVER (PARTITION BY user_id) AS ml FROM streaks)
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def w10_gaps_islands_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS — longest consecutive-DAY activity streak per
+    user (the retention metric sessionize_gap_batch's second-scale
+    sessions can't express): distinct activity days, then the classic
+    island key `day - row_number()` (constant within a consecutive
+    run, distinct across gaps), a per-island rollup, and the per-user
+    maximum with its earliest start date as the tiebreak. All date /
+    integer arithmetic — no float surface.
+
+    Scale: the distinct-days reduction happens FIRST (map-side
+    combine; the day table is |users|·|active days|, orders of
+    magnitude smaller than events), then one hash-by-user shuffle
+    carries the window and both rollups — the same single-exchange
+    residency as sessionize_gap_batch. Ties between equal-length
+    streaks resolve by earliest start on both engines."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            "d",
+            F.row_number()
+            .over(W.partitionBy("user_id").orderBy("d"))
+            .cast("int"),
+        ).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    with_max = streaks.withColumn(
+        "ml", F.max("len").over(W.partitionBy("user_id"))
+    )
+    return (
+        with_max.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak_days"),
+            F.min(
+                F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+            ).alias("streak_start"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )

@@ -88,6 +88,9 @@ _PRIORITY: list[str] = [
     # scalar-subquery reuse anchor.
     "agg_kmv_incremental", "s17_snapshot_time_travel",
     "agg_scalar_subquery_reuse",
+    # Round 8, tenth wave: gaps-and-islands streaks + streaming KMV
+    # sketch maintenance.
+    "w10_gaps_islands_streak", "st_stream_kmv_maintain",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -1076,3 +1076,114 @@ def scd2_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV sketch maintenance — the stream twin of
+# agg_kmv_incremental: each microbatch's k-row sketch folds into a
+# standing k-row state table, so distinct-cardinality (and, via
+# agg_kmv_intersection's estimator, audience overlap) stays queryable
+# at any moment with O(k) state — no per-member state, no rescan.
+# ---------------------------------------------------------------------------
+
+_KMV_STREAM_K = 64
+_KMV_STREAM_SALT = "kmv8"  # shared with queries/aggregates.py sketches
+_KMV_STREAM_DENOM = 4503599627370496.0  # 2^52
+
+
+def _kmv_h(col):  # noqa: ANN001, ANN202
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(_KMV_STREAM_SALT))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_KMV_STREAM_DENOM)
+    )
+
+
+def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch KMV maintenance: 3 microbatches each build their
+    own k-row sketch and FOLD it into the standing sketch table
+    (read → union → distinct → k-min → overwrite, with the applied-
+    batch idempotency markers of foreachbatch_upsert_stream). KMV
+    mergeability (proved on data by agg_kmv_incremental) guarantees
+    the drained state equals the sketch built directly from the full
+    corpus — which the DuckDB oracle rebuilds, so the driver
+    hash-checks the entire streaming fold. State is k rows REGARDLESS
+    of stream length: at 100 TB this is the always-on distinct /
+    overlap dashboard with O(k) memory per (segment, window)."""
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = os.path.join(SCRATCH, f"kmv_src_{run_id}")
+    tbl_dir = os.path.join(SCRATCH, f"kmv_tbl_{run_id}")
+    applied_dir = os.path.join(tbl_dir, "_applied_batches")
+
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    ev.select("user_id").repartition(3).write.mode("overwrite").parquet(src_dir)
+    batch_schema = spark.read.parquet(src_dir).schema
+
+    def fold(batch_df, batch_id):  # noqa: ANN001
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # idempotent replay
+        batch_sk = (
+            batch_df.select(_kmv_h(F.col("user_id")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_STREAM_K)
+        )
+        if os.path.exists(os.path.join(tbl_dir, "_SUCCESS")):
+            existing = batch_df.sparkSession.read.parquet(tbl_dir)
+            merged = existing.unionByName(batch_sk)
+        else:
+            merged = batch_sk
+        out = (
+            merged.select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_STREAM_K)
+            .localCheckpoint(eager=True)  # detach from the table being overwritten
+        )
+        out.write.mode("overwrite").parquet(tbl_dir)
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*.parquet")
+    )
+    ckpt = os.path.join(SCRATCH, f"ckpt_kmv_{run_id}")
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sk = spark.read.parquet(tbl_dir)
+    est = sk.agg(F.count(F.lit(1)).alias("m"), F.max("h").alias("kth"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    union_est = F.when(
+        F.col("m") < _KMV_STREAM_K, F.col("m").cast("double")
+    ).otherwise(F.lit(float(_KMV_STREAM_K - 1)) / F.col("kth"))
+    final = (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_KMV_STREAM_K).alias("k"),
+            "m",
+            "exact_users",
+            F.round(union_est, 6).alias("union_est"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return final

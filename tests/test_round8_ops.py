@@ -454,3 +454,54 @@ def test_scalar_subquery_reused_once(spark):
     df.collect()  # reuse is visible in the executed plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedSubquery" in plan, plan
+
+
+def test_gaps_islands_streak_replay(spark):
+    """w10_gaps_islands_streak — replay the island computation in pure
+    Python for every user at sf0.001 and compare all four columns."""
+    from datetime import timedelta
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.windows import w10_gaps_islands_streak
+
+    got = {
+        r.user_id: r for r in w10_gaps_islands_streak(spark, SF_SMALL).collect()
+    }
+    ev = catalog.load_table(spark, SF_SMALL, "events").select("user_id", "ts").collect()
+    days = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(r.ts.date())
+    for uid, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start, length = ds[0], 1
+        for a, b in zip(ds, ds[1:]):
+            if b - a == timedelta(days=1):
+                length += 1
+            else:
+                streaks.append((length, start))
+                start, length = b, 1
+        streaks.append((length, start))
+        best = max(s[0] for s in streaks)
+        first_best = min(s[1] for s in streaks if s[0] == best)
+        g = got[uid]
+        assert g.longest_streak_days == best, uid
+        assert g.streak_start == first_best, uid
+        assert g.n_streaks == len(streaks), uid
+
+
+def test_stream_kmv_equals_batch_sketch(spark):
+    """st_stream_kmv_maintain — the streamed fold must reach the same
+    estimate as the batch incremental fold (same users, same hash,
+    same k): union_est and m equal agg_kmv_incremental's, and the
+    sketch is full (m == k) at sf0.01 where users > k."""
+    from sales_agent_graphdb_spark.queries.aggregates import agg_kmv_incremental
+    from sales_agent_graphdb_spark.queries.streaming_exec import (
+        st_stream_kmv_maintain,
+    )
+
+    s = st_stream_kmv_maintain(spark, SF_MEDIUM).collect()[0]
+    b = agg_kmv_incremental(spark, SF_MEDIUM).collect()[0]
+    assert s.m == b.m == s.k
+    assert s.union_est == b.union_est
+    assert s.exact_users == b.exact_users
