@@ -151,6 +151,10 @@ HEADLINE = [
     # stream drain — correctness surface, not a throughput line, like
     # the other streaming exec twins).
     "w10_gaps_islands_streak",
+    # Round 8, eleventh wave.
+    "graph_node_jaccard",
+    "anomaly_seasonal_baseline",
+    "sql_api_unpivot_stmt",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

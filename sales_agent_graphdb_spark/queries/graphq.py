@@ -749,3 +749,76 @@ def graph_sssp_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_sssp_bounded.__doc__ = graph_sssp_bounded.__doc__.format(
     hops=_SSSP_HOPS, seed=_SSSP_SEED
 )
+
+
+@register(
+    "graph_node_jaccard",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    deg AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS d FROM ob GROUP BY brand),
+    co AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY brand_a, brand_b)
+    SELECT co.brand_a, co.brand_b, co.n_common,
+           ROUND(CAST(co.n_common AS DOUBLE)
+                 / (da.d + db.d - co.n_common), 6) AS jaccard
+    FROM co
+    JOIN deg da ON co.brand_a = da.brand
+    JOIN deg db ON co.brand_b = db.brand
+    ORDER BY jaccard DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NODE SIMILARITY (Jaccard over neighborhoods) — the link-
+    prediction primitive (Neo4j GDS nodeSimilarity's exact form):
+    for each brand pair sharing an order, |N(a) ∩ N(b)| /
+    |N(a) ∪ N(b)| over their order-neighborhoods in the order↔brand
+    bipartite graph; top-20 most-similar pairs. Builds on
+    graph_brand_projection's co-occurrence join (the intersection) +
+    one broadcast-joined degree table (inclusion-exclusion gives the
+    union without a second pair pass).
+
+    Scale: the pair join is inverted-index shaped — keyed by okey, so
+    cost is Σ_orders(brands_per_order²), bounded by basket width,
+    NEVER |brands|² (the dedup_*'s candidate-pair discipline); the
+    degree table is |nodes|-sized and broadcast. Jaccard is one
+    integer-derived division rounded to 6 dp on both engines."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    deg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("d"))
+    a, b = ob.alias("a"), ob.alias("b")
+    co = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("brand").alias("brand_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("brand").alias("brand_b"), F.col("d").alias("db"))
+    return (
+        co.join(F.broadcast(da), "brand_a")
+        .join(F.broadcast(db), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

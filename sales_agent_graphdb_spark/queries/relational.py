@@ -1146,3 +1146,43 @@ def agg_scalar_subquery_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY priority
         """
     )
+
+
+@register(
+    "sql_api_unpivot_stmt",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY 1, 2 ORDER BY priority, status
+    """,
+)
+def sql_api_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — the UNPIVOT statement (19th statement class),
+    round-tripping sql_api_pivot_stmt's rotation: a wide conditional
+    aggregate is rotated BACK to (priority, status, total) rows inside
+    pure SQL. UNPIVOT's default NULL-exclusion matches the direct
+    long-form aggregate exactly (a status with no orders in a priority
+    produces no wide cell and no long row), which the oracle computes
+    first-principles. Spark lowers UNPIVOT to an Expand node — one
+    pass, rows × 3 output, no join, no shuffle beyond the originating
+    aggregate."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    return spark.sql(
+        """
+        WITH wide AS (
+          SELECT o_orderpriority AS priority,
+                 SUM(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS f,
+                 SUM(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS o,
+                 SUM(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS p
+          FROM sqlapi_orders GROUP BY o_orderpriority)
+        SELECT priority, status, CAST(total AS DOUBLE) AS total
+        FROM wide UNPIVOT (total FOR status IN (f AS `F`, o AS `O`, p AS `P`))
+        ORDER BY priority, status
+        """
+    )

@@ -913,3 +913,68 @@ def pct_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "anomaly_seasonal_baseline",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*) AS baseline
+      FROM events GROUP BY 1, 2),
+    flagged AS (
+      SELECT e.event_type, EXTRACT(hour FROM e.ts) AS hod, b.n, b.baseline,
+             CASE WHEN e.value > 3 * b.baseline THEN 1 ELSE 0 END AS is_anom
+      FROM events e
+      JOIN base b ON e.event_type = b.event_type
+                 AND EXTRACT(hour FROM e.ts) = b.hod)
+    SELECT event_type, CAST(hod AS BIGINT) AS hod, MAX(n) AS n_events,
+           ROUND(MAX(baseline), 6) AS baseline,
+           CAST(SUM(is_anom) AS BIGINT) AS n_anomalies
+    FROM flagged GROUP BY event_type, hod
+    ORDER BY event_type, hod
+    """,
+)
+def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-BASELINE anomaly profile — the diurnal twin of
+    anomaly_rolling_zscore/anomaly_mad_robust_z: the expected value
+    per (event_type, hour-of-day) cell (the seasonality a rolling
+    window smears across), then every event is scored against ITS
+    cell's baseline and the >3x exceedances are counted per cell.
+    Baseline = exact-DECIMAL sum / count (one double division —
+    bit-shared), so the flag comparison chain is identical on both
+    engines.
+
+    Scale: two passes over events — the baseline aggregate (120
+    cells: map-side combine, tiny result) and the scoring join
+    (broadcast of the 120-row baseline; NO shuffle of the fact side —
+    flags fold map-side into the final cell rollup). The same shape
+    at 100 TB: per-cell state is calendar-bounded, never data-
+    bounded. Streaming twin = the baseline as a static broadcast
+    against st_stream_* scoring."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("baseline"),
+    )
+    scored = ev.select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    ).join(F.broadcast(base), ["event_type", "hod"])
+    return (
+        scored.groupBy("event_type", F.col("hod").cast("long").alias("hod"))
+        .agg(
+            F.max("n").alias("n_events"),
+            F.round(F.max("baseline"), 6).alias("baseline"),
+            F.sum(
+                F.when(F.col("value") > 3 * F.col("baseline"), 1).otherwise(0)
+            ).alias("n_anomalies"),
+        )
+        .orderBy("event_type", "hod")
+    )

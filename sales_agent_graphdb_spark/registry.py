@@ -91,6 +91,10 @@ _PRIORITY: list[str] = [
     # Round 8, tenth wave: gaps-and-islands streaks + streaming KMV
     # sketch maintenance.
     "w10_gaps_islands_streak", "st_stream_kmv_maintain",
+    # Round 8, eleventh wave: node similarity, seasonal anomaly
+    # baseline, SQL UNPIVOT.
+    "graph_node_jaccard", "anomaly_seasonal_baseline",
+    "sql_api_unpivot_stmt",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -505,3 +505,76 @@ def test_stream_kmv_equals_batch_sketch(spark):
     assert s.m == b.m == s.k
     assert s.union_est == b.union_est
     assert s.exact_users == b.exact_users
+
+
+def test_node_jaccard_bounds_and_symmetry(spark):
+    """graph_node_jaccard — every Jaccard in (0, 1], n_common bounded
+    by both degrees, and a direct recomputation of the top pair from raw
+    sets matches."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.graphq import graph_node_jaccard
+
+    rows = graph_node_jaccard(spark, SF_SMALL).collect()
+    assert rows, "no similar pairs found"
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.brand_a < r.brand_b
+
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    p = catalog.load_table(spark, SF_SMALL, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+        .collect()
+    )
+    nbr = {}
+    for r in ob:
+        nbr.setdefault(r.brand, set()).add(r.okey)
+    top = rows[0]
+    a, b = nbr[top.brand_a], nbr[top.brand_b]
+    inter = len(a & b)
+    assert top.n_common == inter
+    assert top.jaccard == round(inter / len(a | b), 6)
+
+
+def test_seasonal_baseline_counts(spark):
+    """anomaly_seasonal_baseline — cells tile (event_type, hour):
+    n_events sums to the corpus size, every baseline is positive, and
+    anomalies are a strict minority in each cell."""
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.temporal import (
+        anomaly_seasonal_baseline,
+    )
+
+    rows = anomaly_seasonal_baseline(spark, SF_SMALL).collect()
+    total = sum(r.n_events for r in rows)
+    assert total == catalog.load_table(spark, SF_SMALL, "events").count()
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        assert r.baseline > 0
+        assert r.n_anomalies < r.n_events
+
+
+def test_unpivot_roundtrips_pivot(spark):
+    """sql_api_unpivot_stmt ∘ sql_api_pivot_stmt — unpivoting the
+    pivoted frame recovers exactly the long-form aggregate (NULL cells
+    dropped on both paths)."""
+    from sales_agent_graphdb_spark.queries.relational import (
+        sql_api_pivot_stmt,
+        sql_api_unpivot_stmt,
+    )
+
+    long_rows = {
+        (r.priority, r.status): r.total
+        for r in sql_api_unpivot_stmt(spark, SF_SMALL).collect()
+    }
+    wide = sql_api_pivot_stmt(spark, SF_SMALL).collect()
+    recovered = {}
+    for r in wide:
+        for status, v in (("F", r.total_f), ("O", r.total_o), ("P", r.total_p)):
+            if v is not None:
+                recovered[(r.priority, status)] = v
+    assert long_rows == recovered

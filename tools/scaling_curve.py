@@ -71,6 +71,14 @@ DECADE2 = [
     "attr_multi_touch_credit",
     "text_lm_perplexity_filter",
     "text_bm25_search",
+    # r08 continuation waves: the new data-sized families — gap
+    # sessionization + streaks (events-sized windows), the entropy
+    # filter (documents-sized explode), and the weighted median
+    # (lineitem-sized sort-window).
+    "sessionize_gap_batch",
+    "w10_gaps_islands_streak",
+    "text_entropy_filter",
+    "pct_weighted_median",
 ]
 
 
