@@ -155,6 +155,10 @@ HEADLINE = [
     "graph_node_jaccard",
     "anomaly_seasonal_baseline",
     "sql_api_unpivot_stmt",
+    # Round 8, twelfth wave.
+    "f19_url_parse",
+    "m9_dynamic_partition_overwrite",
+    "udaf_grouped_pandas_median",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -180,6 +184,9 @@ WARM_FIRST = [
     # first call writes the v1/v2 snapshot directories + manifest; the
     # timed line is the two-snapshot manifest read
     "s17_snapshot_time_travel",
+    # first call writes the m9-private month-partitioned layout; the
+    # timed line is the one-partition dynamic overwrite + read-back
+    "m9_dynamic_partition_overwrite",
     # NOT an index build — measured r08 (VERDICT r07 #5): w5's first
     # execution pays ~3-5 s of plan-shape-bound one-time cost (Janino
     # whole-stage-codegen compile of the prefix-sum/window plan +

@@ -527,3 +527,103 @@ def m8_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", F.col("l_price").alias("price"), F.col("l_status").alias("status"))
     )
     return survivors.unionByName(inserts).orderBy("k")
+
+
+@register(
+    "m9_dynamic_partition_overwrite",
+    oracle="""
+    WITH rewritten AS (
+      SELECT l_extendedprice, l_discount,
+             strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CASE WHEN strftime(l_shipdate, '%Y-%m') = '1996-07'
+                  THEN CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * CAST(0.9 AS DECIMAL(2,1)), 2) AS DOUBLE)
+                  ELSE l_extendedprice END AS price_eff
+      FROM lineitem)
+    SELECT ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(price_eff AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM rewritten
+    WHERE ship_month IN ('1996-06', '1996-07', '1996-08')
+    GROUP BY ship_month ORDER BY ship_month
+    """,
+)
+def m9_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — DYNAMIC partition overwrite (partitionOverwriteMode =
+    dynamic): restate ONE month of the hive-partitioned lineitem
+    layout (a 10% price correction to 1996-07) with
+    mode('overwrite').partitionBy(...) — Spark replaces ONLY the
+    partitions present in the written frame; every other month's
+    files are untouched (the restatement write path of a date-
+    partitioned 100 TB fact: correcting a day never rewrites the
+    table; STATIC overwrite mode would truncate it). The query reads
+    the corrected month and its two untouched neighbors back from the
+    layout; the oracle recomputes all three from the ORIGINAL
+    lineitem, so the hash certifies both the correction (1996-07) and
+    the non-damage (1996-06/08). The session conf is set around the
+    write only and restored in finally. The layout is m9's OWN
+    stamped copy (lineitem_by_month_m9) — mutating the shared DPP
+    layout would silently corrupt dpp_partition_pruned's oracle."""
+    from sales_agent_graphdb_spark.queries.sources_io import _scratch
+    from sales_agent_graphdb_spark.sources import stamp
+
+    src_path = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    root = _scratch(sf_dir, "lineitem_by_month_m9")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    if not stamp.is_fresh(root, src_path):
+        (
+            li.select(
+                "l_extendedprice",
+                "l_discount",
+                "l_quantity",
+                month.alias("ship_month"),
+            )
+            .repartition(F.col("ship_month"))
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(root)
+        )
+        stamp.mark(root, src_path)
+    # Re-derive the corrected month from the SOURCE table (idempotent:
+    # rerunning overwrites the same partition with the same rows).
+    # Price math stays in exact DECIMAL end-to-end: (18,2) × (2,1)
+    # literal → exact product, rounded to 2 dp in DECIMAL (HALF_UP on
+    # positives in both engines) — a double detour here would drift at
+    # .xx5 boundaries.
+    corrected = (
+        li.filter(month == "1996-07")
+        .select(
+            F.round(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.lit("0.9").cast("decimal(2,1)"),
+                2,
+            )
+            .cast("double")
+            .alias("l_extendedprice"),
+            "l_discount",
+            "l_quantity",
+            month.alias("ship_month"),
+        )
+        .repartition(F.col("ship_month"))
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    before = spark.conf.get(key, "STATIC")
+    try:
+        spark.conf.set(key, "dynamic")
+        corrected.write.mode("overwrite").partitionBy("ship_month").parquet(root)
+    finally:
+        spark.conf.set(key, before)
+    back = spark.read.parquet(root).filter(
+        F.col("ship_month").isin("1996-06", "1996-07", "1996-08")
+    )
+    return (
+        back.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("ship_month")
+    )

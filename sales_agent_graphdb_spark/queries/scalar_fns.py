@@ -366,3 +366,121 @@ def f18_collation_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f18_customer"
     )
     return spark.sql(_F18_SQL.format(cust="f18_customer"))
+
+
+@register(
+    "f19_url_parse",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || lang
+               || '/' || CAST(doc_id AS VARCHAR) || '?ref=scraper&lang='
+               || lang AS url
+      FROM documents),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+             regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param
+      FROM urls)
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang_param) AS BIGINT) AS n_langs,
+           MIN(path) AS sample_path
+    FROM parsed GROUP BY host ORDER BY host
+    """,
+)
+def f19_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 — URL decomposition (the scraper-ingest kit S7/S8 feeds
+    from): HOST / PATH / query-parameter extraction via Spark's
+    built-in ``parse_url`` (JVM, codegen — the URL never crosses to
+    Python), rolled up per host. DuckDB lacks parse_url, so the
+    oracle replays RFC-shaped regexes — passing certifies Spark's
+    parser agrees with the explicit grammar on this URL shape. URLs
+    are synthesized deterministically from document fields (the
+    testdata carries no raw URLs; the synthesis IS the scraper-landing
+    shape: source-keyed host, lang/doc path, tracking query)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=scraper&lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang_param").alias("n_langs"),
+            F.min("path").alias("sample_path"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "udaf_grouped_pandas_median",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(value, 0.5) AS median_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udaf_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED-AGGREGATE pandas UDF (the UDF-surface class the
+    scalar/iterator/mapInPandas/UDTF queries don't touch): a
+    ``pandas_udf`` returning one scalar per GROUP, fed whole-group
+    Arrow batches — here np.median, whose sort-then-pick is
+    order-insensitive, so the distributed shuffle order can't move the
+    result and DuckDB's quantile_cont(0.5) (same mean-of-middle-two
+    rule on even counts, identical doubles) hash-matches it.
+
+    Scale honesty: a grouped-agg pandas UDF has NO partial
+    aggregation — Spark shuffles every raw row to its group before the
+    UDF sees it (the plan is ObjectHashAggregate over the full rows),
+    so it is the right tool ONLY for genuinely non-decomposable
+    aggregates like exact quantiles; anything sum-shaped belongs in
+    built-ins (a2/a1) or pandas-free sketches. The per-group Arrow
+    batch must fit one executor's memory — at 100 TB that means
+    salting or pre-bucketing ultra-hot groups first (join_salted_*),
+    or switching to approx_percentile. Stated here because this query
+    IS the registered proof of the API class, not a recommended
+    aggregation path."""
+    import numpy as np
+
+    # functionType passed explicitly: the module's `from __future__
+    # import annotations` stringifies signatures, so pandas_udf cannot
+    # infer GROUPED_AGG from the (Series) -> float annotation.
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def np_median(v):
+        return float(np.median(v.to_numpy()))
+
+    # grouped-agg UDFs cannot mix with non-pandas aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a second
+    # pandas aggregate over the same group batch.
+    @F.pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def pd_count(v):
+        return int(len(v))
+
+    ev = catalog.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pd_count(F.col("value")).alias("n"),
+            np_median(F.col("value")).alias("median_value"),
+        )
+        .orderBy("event_type")
+    )

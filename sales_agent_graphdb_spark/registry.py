@@ -95,6 +95,10 @@ _PRIORITY: list[str] = [
     # baseline, SQL UNPIVOT.
     "graph_node_jaccard", "anomaly_seasonal_baseline",
     "sql_api_unpivot_stmt",
+    # Round 8, twelfth wave: URL kit, dynamic partition overwrite,
+    # grouped-agg pandas UDAF.
+    "f19_url_parse", "m9_dynamic_partition_overwrite",
+    "udaf_grouped_pandas_median",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -578,3 +578,95 @@ def test_unpivot_roundtrips_pivot(spark):
             if v is not None:
                 recovered[(r.priority, status)] = v
     assert long_rows == recovered
+
+
+def test_url_parse_matches_python_urllib(spark):
+    """f19_url_parse — Spark's parse_url must agree with Python's
+    urllib on the synthesized URL shape (host, path, query param)."""
+    from urllib.parse import parse_qs, urlparse
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.scalar_fns import f19_url_parse
+
+    rows = f19_url_parse(spark, SF_SMALL).collect()
+    docs = catalog.load_table(spark, SF_SMALL, "documents").collect()
+    want = {}
+    for d in docs:
+        url = f"https://{d.source}.example.com/docs/{d.lang}/{d.doc_id}?ref=scraper&lang={d.lang}"
+        u = urlparse(url)
+        lang = parse_qs(u.query)["lang"][0]
+        host = u.hostname
+        e = want.setdefault(host, {"n": 0, "langs": set(), "paths": []})
+        e["n"] += 1
+        e["langs"].add(lang)
+        e["paths"].append(u.path)
+    assert len(rows) == len(want)
+    for r in rows:
+        e = want[r.host]
+        assert r.n_docs == e["n"]
+        assert r.n_langs == len(e["langs"])
+        assert r.sample_path == min(e["paths"])
+
+
+def test_dynamic_overwrite_touches_one_partition(spark):
+    """m9_dynamic_partition_overwrite — after the run, the corrected
+    month's directory is newer than an untouched neighbor's files and
+    the neighbor's row count equals the source (file-level
+    non-damage, beyond the oracle's value-level certificate)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.mutations import (
+        m9_dynamic_partition_overwrite,
+    )
+    from sales_agent_graphdb_spark.queries.sources_io import _scratch
+
+    m9_dynamic_partition_overwrite(spark, SF_SMALL).collect()
+    root = _scratch(SF_SMALL, "lineitem_by_month_m9")
+
+    def newest(month):
+        d = os.path.join(root, f"ship_month={month}")
+        return max(
+            os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    assert newest("1996-07") > newest("1996-06")
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    want = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1996-06").count()
+    got = (
+        spark.read.parquet(root)
+        .filter(F.col("ship_month") == "1996-06")
+        .count()
+    )
+    assert got == want
+
+
+def test_grouped_agg_pandas_plan_shape(spark):
+    """udaf_grouped_pandas_median — the plan is the grouped-agg
+    pandas shape (ArrowAggregatePython: whole-group Arrow batches),
+    NOT a row-pickled BatchEvalPython; and the medians match numpy
+    computed driver-side."""
+    import numpy as np
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.scalar_fns import (
+        udaf_grouped_pandas_median,
+    )
+
+    df = udaf_grouped_pandas_median(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowAggregatePython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    got = {r.event_type: r for r in df.collect()}
+    ev = catalog.load_table(spark, SF_SMALL, "events").collect()
+    vals = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append(r.value)
+    for t, vs in vals.items():
+        assert got[t].n == len(vs)
+        assert got[t].median_value == float(np.median(np.array(vs)))
