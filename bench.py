@@ -159,6 +159,8 @@ HEADLINE = [
     "f19_url_parse",
     "m9_dynamic_partition_overwrite",
     "udaf_grouped_pandas_median",
+    # Round 8, thirteenth wave.
+    "ann_pq_adc_topk",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -934,3 +934,128 @@ def duckdb_hyperplane_dedup_sql(
     WHERE {cos} >= {threshold}
     ORDER BY id_a, id_b
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): split each vector into M subvectors, learn
+# a K-centroid codebook per subspace (plain Euclidean means — NOT the
+# spherical normalization above: PQ approximates the dot product
+# additively per subspace), encode every vector as M small codes, and
+# score queries by Asymmetric Distance Computation (ADC): a per-query
+# M×K lookup table of subspace dot products, summed by code. 64 dims ×
+# float32 → M bytes per vector (32× compression at M=8).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace (4-bit codes)
+
+
+def _sub(vec: Column, m: int, d_sub: int) -> Column:
+    return F.slice(vec, m * d_sub + 1, d_sub)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m_sub: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means, same determinism discipline as
+    kmeans_centroids: fixed first-k-by-id init, fixed iterations,
+    per-centroid means summed in exact DECIMAL(38,18) — codebooks are
+    bit-stable across rebuilds and parallelism. All M subspaces train
+    in ONE pass per iteration (a single posexplode'd aggregate keyed
+    by (subspace, code, pos)); only the M·K·d_sub codebook (8·16·8
+    doubles) is ever collected. At 100 TB codebooks train on a fixed
+    sample — the full corpus only pays the one encode pass."""
+    d_sub = dim // m_sub
+    init = (
+        embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+    )
+    books = np.array(
+        [
+            [[float(x) for x in r[0][m * d_sub : (m + 1) * d_sub]] for r in init]
+            for m in range(m_sub)
+        ]
+    )  # [M][K][d_sub]
+    for _ in range(n_iter):
+        enc = pq_encode(embeddings, books, vec_col)  # adds code_0..code_{M-1}
+        parts = []
+        for m in range(m_sub):
+            parts.append(
+                enc.select(
+                    F.lit(m).alias("sub"),
+                    F.col(f"code_{m}").alias("code"),
+                    F.posexplode(_sub(F.col(vec_col), m, d_sub)).alias(
+                        "pos", "val"
+                    ),
+                )
+            )
+        allp = parts[0]
+        for p in parts[1:]:
+            allp = allp.unionByName(p)
+        rows = (
+            allp.groupBy("sub", "code", "pos")
+            .agg(
+                F.avg(F.col("val").cast("decimal(38,18)"))
+                .cast("double")
+                .alias("mean")
+            )
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            new[r["sub"]][r["code"]][r["pos"]] = r["mean"]
+        books = new
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add code_m columns: per subspace, the index of the centroid with
+    min Euclidean distance (== max (dot − ‖c‖²/2)); ties → lowest code.
+    One codegen'd projection (M·K fused folds per row). At 100 TB this
+    is the single encode pass whose output (M bytes/vector) is what
+    the ANN tier stores and scans; a Pandas-UDF batch encode is the
+    drop-in when M·K grows past comfortable codegen width."""
+    m_sub, k, d_sub = books.shape
+    out = embeddings
+    v = F.col(vec_col)
+    for m in range(m_sub):
+        sv = _sub(v, m, d_sub)
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(sv, lit_vector(books[m][c]))
+                        - float(books[m][c] @ books[m][c]) / 2.0
+                    ).alias("s"),
+                    F.lit(-c).alias("negc"),
+                )
+                for c in range(k)
+            ]
+        )
+        out = out.withColumn(f"code_{m}", -F.array_max(scores)["negc"])
+    return out
+
+
+def pq_adc_score(books: np.ndarray, query_vec: list[float]) -> Column:
+    """ADC score expression: Σ_m lut[m][code_m], where lut[m][c] =
+    dot(q_m, c_{m,c}) is computed driver-side (M·K doubles) and rides
+    the plan as array literals — the scan reads ONLY the code columns
+    (M bytes/row), never the vectors."""
+    m_sub, k, d_sub = books.shape
+    q = np.asarray(query_vec, dtype=float)
+    acc = None
+    for m in range(m_sub):
+        qm = q[m * d_sub : (m + 1) * d_sub]
+        lut = [float(qm @ books[m][c]) for c in range(k)]
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{m}") + 1
+        )
+        acc = term if acc is None else acc + term
+    return acc

@@ -99,6 +99,8 @@ _PRIORITY: list[str] = [
     # grouped-agg pandas UDAF.
     "f19_url_parse", "m9_dynamic_partition_overwrite",
     "udaf_grouped_pandas_median",
+    # Round 8, thirteenth wave: product quantization (ADC).
+    "ann_pq_adc_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

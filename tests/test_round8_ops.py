@@ -670,3 +670,55 @@ def test_grouped_agg_pandas_plan_shape(spark):
     for t, vs in vals.items():
         assert got[t].n == len(vs)
         assert got[t].median_value == float(np.median(np.array(vs)))
+
+
+def test_pq_codebook_determinism_and_recall(spark):
+    """ann_pq_adc_topk — (a) codebooks are bit-stable across rebuilds
+    (the DECIMAL-mean Lloyd guarantee, so the recall verdict can never
+    flip), (b) measured PQ recall at sf0.01 is 4/5 (asserted >= the
+    registered floor 2 with real slack), (c) ADC candidates carry the
+    claimed 32x byte compression (8 code columns vs 64 floats)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.operators import ann
+    from sales_agent_graphdb_spark.queries.ann_search import (
+        _PQ_RECALL_FLOOR,
+        ann_pq_adc_topk,
+    )
+
+    emb = catalog.load_table(spark, SF_MEDIUM, "embeddings")
+    b1 = ann.pq_codebooks(emb, dim=64)
+    b2 = ann.pq_codebooks(emb, dim=64)
+    assert np.array_equal(b1, b2), "codebooks must be rebuild-stable"
+    assert b1.shape == (ann.PQ_M, ann.PQ_K, 64 // ann.PQ_M)
+
+    row = ann_pq_adc_topk(spark, SF_MEDIUM).collect()[0]
+    assert row.recall_ok
+    assert row.compression_x == 32
+
+    # measured recall, not just the verdict: recompute the PQ top-5
+    from sales_agent_graphdb_spark.operators.similarity import cosine, lit_vector
+    from sales_agent_graphdb_spark.queries.vector import _query_vec
+
+    qv = _query_vec(spark, SF_MEDIUM)
+    base = emb.filter(F.col("vec_id") != 0)
+    enc = ann.pq_encode(base, b1)
+    cands = (
+        enc.select("vec_id", ann.pq_adc_score(b1, qv).alias("adc"), "embedding")
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(50)
+    )
+    pq_top = {
+        r.vec_id
+        for r in cands.select(
+            "vec_id", cosine(F.col("embedding"), lit_vector(qv)).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    }
+    exact = {int(x) for x in row.exact_ids.split(",")}
+    assert len(pq_top & exact) >= _PQ_RECALL_FLOOR + 1, (pq_top, exact)

@@ -63,6 +63,7 @@ ALLOW_BNLJ = {
     "ann_filtered_adaptive_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
     "agg_kmv_intersection",  # one-row estimate x one-row exact-counts crossJoins
     "agg_kmv_incremental",  # one-row estimate x one-row exact-count crossJoin
+    "ann_pq_adc_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
     # r06 planted-pair verdict queries: 60 deterministic planted rows
     # crossJoined with a ONE-ROW broadcast verdict frame (the
     # agg_approx_distinct bounds-verdict pattern) — bounded by the
