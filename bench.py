@@ -161,6 +161,8 @@ HEADLINE = [
     "udaf_grouped_pandas_median",
     # Round 8, thirteenth wave.
     "ann_pq_adc_topk",
+    # Round 8, fourteenth wave.
+    "decontaminate_bloom_prefilter",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

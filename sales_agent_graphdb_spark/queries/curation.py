@@ -650,3 +650,100 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 sample_weighted_reservoir.__doc__ = sample_weighted_reservoir.__doc__.format(
     k=_RES_K
 )
+
+# Bloom prefilter sizing: 2^16 bits = 1024 longs. Measured (2026-08):
+# eval-shard gram cardinality 2,879 at sf0.01 (4.3% bit load;
+# survivors 5.7% of train grams) and 25,886 at sf0.1 (32.8% load;
+# survivors 33.4%) — the prefilter drops 94%/67% of clean grams
+# map-side, and false positives only cost the exact join a lookup,
+# never a wrong row. At 100 TB you size bits ~10x the eval-gram count
+# (a few MB) exactly as this constant sizes the small SFs.
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SHARD10_SQL} AS shard, {_TOKENS_SQL} AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, shard,
+             CASE WHEN len(w) >= {_NGRAM_N} THEN list_transform(
+               generate_series(1, len(w) - {_NGRAM_N - 1}),
+               i -> concat(w[i], ' ', w[i+1], ' ', w[i+2], ' ', w[i+3], ' ', w[i+4]))
+             ELSE [] END AS gs
+      FROM toks),
+    flat AS (SELECT DISTINCT doc_id, shard, unnest(gs) AS gram FROM grams),
+    train AS (SELECT doc_id, gram FROM flat WHERE shard <> 0),
+    eval_set AS (SELECT doc_id, gram FROM flat WHERE shard = 0)
+    SELECT t.doc_id AS train_doc_id,
+           CAST(COUNT(DISTINCT t.gram) AS BIGINT) AS n_shared_grams,
+           CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_eval_docs
+    FROM train t JOIN eval_set e ON t.gram = e.gram
+    GROUP BY t.doc_id ORDER BY train_doc_id
+    """,
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination, BLOOM-PREFILTERED twin — the 100 TB shape of
+    decontaminate_ngram_overlap: the eval grams are folded into a
+    {bits}-bit Bloom bitset ENTIRELY ENGINE-SIDE (xxhash64 → bit
+    position, per-word masks OR-reduced by one bit_or aggregate —
+    {words} longs total, scale-independent), collected once and
+    inlined into the train-side plan as a literal array; the map-side
+    bit test `arr[h/64] & (1<<h%64) != 0` discards clean grams BEFORE
+    the join shuffle, and the exact join verifies survivors — false
+    positives cost a lookup, never a wrong row, so the answer is
+    IDENTICAL to the exact path (same oracle, answer-preserving by
+    construction; the xxhash64 never touches the result). At 100 TB
+    this replaces broadcasting the raw eval-gram set with a fixed-KB
+    sketch — the standard contamination-check deployment.
+    join_runtime_bloom_native is the engine-injected cousin on a
+    fact/dim join; this one is EXPLICIT because the creation side is
+    an exploded aggregate the InjectRuntimeFilter rule does not
+    reach (and bloom_filter_agg is not a public SQL routine)."""
+    toks = _tokenized(spark, sf_dir).withColumn("shard", _shard10(F.col("doc_id")))
+    flat = (
+        toks.select(
+            "doc_id", "shard", F.explode(_word_ngrams(F.col("w"))).alias("gram")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    train = flat.filter(F.col("shard") != 0).select("doc_id", "gram")
+    eval_set = flat.filter(F.col("shard") == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "gram"
+    )
+    # shiftleft's Python wrapper takes only a literal shift width, so
+    # the position-dependent mask is spelled as a SQL expression.
+    pos_sql = f"pmod(xxhash64(gram), {_BLOOM_BITS})"
+    word = F.expr(f"cast({pos_sql} / 64 as int)")
+    mask = F.expr(f"shiftleft(cast(1 as bigint), cast({pos_sql} % 64 as int))")
+    rows = (
+        eval_set.select(word.alias("w"), mask.alias("m"))
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    arr = [0] * _BLOOM_WORDS
+    for r in rows:
+        arr[r["w"]] = r["bits"]
+    bloom = F.array(*[F.lit(x).cast("long") for x in arr])
+    survivors = train.filter(
+        F.element_at(bloom, word + 1).bitwiseAND(mask) != 0
+    )
+    return (
+        survivors.join(F.broadcast(eval_set), "gram")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .orderBy("train_doc_id")
+    )
+
+
+decontaminate_bloom_prefilter.__doc__ = decontaminate_bloom_prefilter.__doc__.format(
+    bits=_BLOOM_BITS, words=_BLOOM_WORDS
+)

@@ -101,6 +101,9 @@ _PRIORITY: list[str] = [
     "udaf_grouped_pandas_median",
     # Round 8, thirteenth wave: product quantization (ADC).
     "ann_pq_adc_topk",
+    # Round 8, fourteenth wave: explicit bloom-prefiltered
+    # decontamination.
+    "decontaminate_bloom_prefilter",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -722,3 +722,25 @@ def test_pq_codebook_determinism_and_recall(spark):
     }
     exact = {int(x) for x in row.exact_ids.split(",")}
     assert len(pq_top & exact) >= _PQ_RECALL_FLOOR + 1, (pq_top, exact)
+
+
+def test_bloom_prefilter_answer_preserving(spark):
+    """decontaminate_bloom_prefilter — the bloom-prefiltered result
+    must equal decontaminate_ngram_overlap row-for-row (false
+    positives verified away by the exact join), with a non-empty
+    contaminated set at sf0.01."""
+    from sales_agent_graphdb_spark.queries.curation import (
+        decontaminate_bloom_prefilter,
+        decontaminate_ngram_overlap,
+    )
+
+    bloom = {
+        (r.train_doc_id, r.n_shared_grams, r.n_eval_docs)
+        for r in decontaminate_bloom_prefilter(spark, SF_MEDIUM).collect()
+    }
+    exact = {
+        (r.train_doc_id, r.n_shared_grams, r.n_eval_docs)
+        for r in decontaminate_ngram_overlap(spark, SF_MEDIUM).collect()
+    }
+    assert bloom == exact
+    assert bloom, "sf0.01 must have contaminated docs (9 measured)"
