@@ -163,6 +163,8 @@ HEADLINE = [
     "ann_pq_adc_topk",
     # Round 8, fourteenth wave.
     "decontaminate_bloom_prefilter",
+    # Round 8, fifteenth wave.
+    "ann_ivfpq_pruned_topk",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -191,6 +193,10 @@ WARM_FIRST = [
     # first call writes the m9-private month-partitioned layout; the
     # timed line is the one-partition dynamic overwrite + read-back
     "m9_dynamic_partition_overwrite",
+    # first call trains centroids+codebooks and writes the combined
+    # cell-partitioned PQ-coded index; the timed line is the
+    # doubly-pruned probe
+    "ann_ivfpq_pruned_topk",
     # NOT an index build — measured r08 (VERDICT r07 #5): w5's first
     # execution pays ~3-5 s of plan-shape-bound one-time cost (Janino
     # whole-stage-codegen compile of the prefix-sum/window plan +

@@ -1059,3 +1059,28 @@ def pq_adc_score(books: np.ndarray, query_vec: list[float]) -> Column:
         )
         acc = term if acc is None else acc + term
     return acc
+
+
+def write_ivfpq_index(
+    spark,
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """INGEST-TIME IVF-PQ index: one table, cell-PARTITIONED (probes
+    are physical partition pruning) with the M PQ code columns stored
+    NEXT TO the full vector — candidate generation reads only
+    (vec_id, code_*) via column pruning (M bytes of codes instead of
+    dim floats), the exact rerank reads the vector column for the C
+    survivors only. Returns (centroids, codebooks) — the query-time
+    sidecar. Both trainings share the determinism discipline
+    (DECIMAL-exact Lloyd), so the index and every verdict derived
+    from it are bit-stable across rebuilds."""
+    cents = kmeans_centroids(embeddings, n_cells, id_col=id_col, vec_col=vec_col)
+    books = pq_codebooks(embeddings, dim=dim, id_col=id_col, vec_col=vec_col)
+    enc = pq_encode(ivf_assign(embeddings, cents, vec_col), books, vec_col)
+    enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+    return cents, books

@@ -104,6 +104,8 @@ _PRIORITY: list[str] = [
     # Round 8, fourteenth wave: explicit bloom-prefiltered
     # decontamination.
     "decontaminate_bloom_prefilter",
+    # Round 8, fifteenth wave: the combined IVF-PQ materialized index.
+    "ann_ivfpq_pruned_topk",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

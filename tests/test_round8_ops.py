@@ -744,3 +744,48 @@ def test_bloom_prefilter_answer_preserving(spark):
     }
     assert bloom == exact
     assert bloom, "sf0.01 must have contaminated docs (9 measured)"
+
+
+def test_ivfpq_double_pruning_plan(spark):
+    """ann_ivfpq_pruned_topk — the two orthogonal levers must BOTH
+    show in the candidate scan: PartitionFilters on the probed cells
+    (reads 4/16 directories) and a ReadSchema WITHOUT the embedding
+    column (ADC reads only vec_id + code columns); the verdict must
+    hold at sf0.01."""
+    from pyspark.sql import functions as F
+
+    import numpy as np
+
+    from sales_agent_graphdb_spark.queries.ann_search import (
+        _IVFPQ_PROBE,
+        _index_path,
+        ann,
+        ann_ivfpq_pruned_topk,
+    )
+    from sales_agent_graphdb_spark.queries.vector import _query_vec
+
+    row = ann_ivfpq_pruned_topk(spark, SF_MEDIUM).collect()[0]
+    assert row.recall_ok
+
+    # rebuild the candidate frame alone to read its scan
+    import json as _json
+    from pathlib import Path
+
+    path = _index_path(SF_MEDIUM, "ivfpq")
+    d = _json.loads((Path(path) / "_SIDECAR.json").read_text())
+    cents, books = np.asarray(d["cents"]), np.asarray(d["books"])
+    qv = _query_vec(spark, SF_MEDIUM)
+    probe = [int(c) for c in np.argsort(-(cents @ np.asarray(qv)))[:_IVFPQ_PROBE]]
+    cands = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select("vec_id", ann.pq_adc_score(books, qv).alias("adc"))
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(50)
+    )
+    plan = cands._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "cell" in pf, pf  # the probe is partition pruning, not a filter
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" not in read_schema, read_schema
+    assert "code_0" in read_schema, read_schema

@@ -64,6 +64,7 @@ ALLOW_BNLJ = {
     "agg_kmv_intersection",  # one-row estimate x one-row exact-counts crossJoins
     "agg_kmv_incremental",  # one-row estimate x one-row exact-count crossJoin
     "ann_pq_adc_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
+    "ann_ivfpq_pruned_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
     # r06 planted-pair verdict queries: 60 deterministic planted rows
     # crossJoined with a ONE-ROW broadcast verdict frame (the
     # agg_approx_distinct bounds-verdict pattern) — bounded by the
