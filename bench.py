@@ -165,6 +165,9 @@ HEADLINE = [
     "decontaminate_bloom_prefilter",
     # Round 8, fifteenth wave.
     "ann_ivfpq_pruned_topk",
+    # Round 8, sixteenth wave.
+    "agg_multi_distinct_expand",
+    "text_quality_classifier_linear",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

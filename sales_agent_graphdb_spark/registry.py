@@ -106,6 +106,9 @@ _PRIORITY: list[str] = [
     "decontaminate_bloom_prefilter",
     # Round 8, fifteenth wave: the combined IVF-PQ materialized index.
     "ann_ivfpq_pruned_topk",
+    # Round 8, sixteenth wave: multi-distinct Expand anchor, linear
+    # classifier quality filter.
+    "agg_multi_distinct_expand", "text_quality_classifier_linear",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

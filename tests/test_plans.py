@@ -593,3 +593,15 @@ def test_nested_schema_pruning_readschema(spark):
     ), plan
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
     assert "custkey" not in plan.split("ReadSchema")[1], plan
+
+
+def test_multi_distinct_expand_single_scan(spark):
+    """agg_multi_distinct_expand — RewriteDistinctAggregates must plan
+    ONE Expand over ONE scan (not one scan per distinct column)."""
+    from sales_agent_graphdb_spark.queries.aggregates import (
+        agg_multi_distinct_expand,
+    )
+
+    plan = _plan(agg_multi_distinct_expand(spark, SF_SMALL))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan

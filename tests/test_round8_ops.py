@@ -789,3 +789,35 @@ def test_ivfpq_double_pruning_plan(spark):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "embedding" not in read_schema, read_schema
     assert "code_0" in read_schema, read_schema
+
+
+def test_quality_classifier_keep_rate_and_replay(spark):
+    """text_quality_classifier_linear — measured keep rate 61-66% at
+    every SF (pinned 40-85%: non-vacuous both ways), and a Python
+    replay of the margin rule over raw docs matches n_kept exactly."""
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.text import (
+        _CLF_W0,
+        _CLF_W_ATL,
+        _CLF_W_LEN,
+        _CLF_W_STOP,
+        text_quality_classifier_linear,
+    )
+
+    rows = text_quality_classifier_linear(spark, SF_SMALL).collect()
+    tot = sum(r.n_docs for r in rows)
+    kept = sum(r.n_kept for r in rows)
+    assert 0.40 < kept / tot < 0.85, (kept, tot)
+
+    docs = catalog.load_table(spark, SF_SMALL, "documents").collect()
+    stops = {"the", "and", "of", "to", "a", "in", "is"}
+    want = 0
+    for d in docs:
+        toks = d.text.strip().split()
+        n = float(len(toks))
+        atl = len(d.text) / n
+        sr = sum(1 for w in toks if w in stops) / n
+        margin = _CLF_W0 + _CLF_W_STOP * sr + _CLF_W_ATL * atl + _CLF_W_LEN * n
+        if margin > 0:
+            want += 1
+    assert kept == want
