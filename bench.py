@@ -168,6 +168,9 @@ HEADLINE = [
     # Round 8, sixteenth wave.
     "agg_multi_distinct_expand",
     "text_quality_classifier_linear",
+    # Round 8, seventeenth wave.
+    "w11_markov_transitions",
+    "agg_bitmap_distinct",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

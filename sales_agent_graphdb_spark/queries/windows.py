@@ -466,3 +466,64 @@ def w10_gaps_islands_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "w11_markov_transitions",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    pairs AS (
+      SELECT prev_type, event_type AS next_type FROM o
+      WHERE prev_type IS NOT NULL),
+    cnt AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY prev_type, next_type),
+    tot AS (
+      SELECT prev_type, SUM(n) AS t FROM cnt GROUP BY prev_type)
+    SELECT c.prev_type, c.next_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+    FROM cnt c JOIN tot t USING (prev_type)
+    ORDER BY prev_type, next_type
+    """,
+)
+def w11_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-ORDER MARKOV transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction
+    and funnel-drop analysis: lag() pairs each event with its
+    predecessor inside the user timeline (ties broken by event_id on
+    both engines), pair counts roll up to the |types|² matrix, and
+    row-normalized probabilities are ONE integer-derived division
+    rounded to 6 dp. The row-sum join is a broadcast of |types| rows.
+
+    Scale: the lag window rides the same single hash-by-user exchange
+    as sessionize_gap_batch; the matrix is calendar-of-types-sized
+    (25 cells here) regardless of corpus size — at 100 TB the only
+    data-sized cost is the user sort, shared with every other
+    per-user sequence feature computed in the same pass."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cnt = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        cnt.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("t"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

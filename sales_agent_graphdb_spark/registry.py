@@ -109,6 +109,9 @@ _PRIORITY: list[str] = [
     # Round 8, sixteenth wave: multi-distinct Expand anchor, linear
     # classifier quality filter.
     "agg_multi_distinct_expand", "text_quality_classifier_linear",
+    # Round 8, seventeenth wave: Markov transitions, bitmap exact
+    # distinct.
+    "w11_markov_transitions", "agg_bitmap_distinct",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -821,3 +821,53 @@ def test_quality_classifier_keep_rate_and_replay(spark):
         if margin > 0:
             want += 1
     assert kept == want
+
+
+def test_markov_rows_sum_to_one_and_replay(spark):
+    """w11_markov_transitions — every row of the matrix sums to 1
+    (within 6-dp rounding), and a Python replay of one user's pair
+    counts is consistent with the global matrix."""
+    from collections import Counter
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.windows import w11_markov_transitions
+
+    rows = w11_markov_transitions(spark, SF_SMALL).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-4, prev
+        assert sum(r.n for r in rs) > 0
+
+    ev = sorted(
+        catalog.load_table(spark, SF_SMALL, "events").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    pairs = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            pairs[(a.event_type, b.event_type)] += 1
+    got = {(r.prev_type, r.next_type): r.n for r in rows}
+    assert got == dict(pairs)
+
+
+def test_bitmap_distinct_exact(spark):
+    """agg_bitmap_distinct — the bitmap count must EQUAL the exact
+    COUNT(DISTINCT) in every group (this is not a sketch), with word
+    counts bounded by ceil(max_id/63)."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.aggregates import agg_bitmap_distinct
+
+    rows = agg_bitmap_distinct(spark, SF_MEDIUM).collect()
+    assert rows
+    max_id = (
+        catalog.load_table(spark, SF_MEDIUM, "events")
+        .agg(F.max("user_id"))
+        .head()[0]
+    )
+    for r in rows:
+        assert r.n_users_bitmap == r.n_users_exact, r
+        assert r.n_words <= max_id // 63 + 1
