@@ -171,6 +171,9 @@ HEADLINE = [
     # Round 8, seventeenth wave.
     "w11_markov_transitions",
     "agg_bitmap_distinct",
+    # Round 8, eighteenth wave.
+    "vec_binary_hamming_topk",
+    "dq_referential_integrity",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

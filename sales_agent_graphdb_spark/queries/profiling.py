@@ -753,3 +753,84 @@ def dq_observe_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["total_price"], m["null_qty"], m["min_ship"], n_groups)],
         "n_rows long, total_price double, null_qty long, min_ship string, n_flag_groups long",
     )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY fk
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit across the whole star schema — the
+    cross-TABLE data-quality class data_quality_report's single-table
+    profile doesn't reach: every FK edge (lineitem→orders/part/
+    supplier, orders→customer, customer→nation) is checked by a
+    LEFT ANTI join and the orphan count rides next to the child row
+    count, one row per edge. A lakehouse runs exactly this after
+    every ingest batch (no engine-enforced FKs exist at this scale).
+
+    Scale: each anti join broadcasts its PARENT key set when small
+    (nation/customer/part/supplier dims) and shuffles only for the
+    orders edge; counts are map-side-combinable. The five checks are
+    independent jobs — at 100 TB they run concurrently against one
+    cached child scan."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    p = catalog.load_table(spark, sf_dir, "part")
+    s = catalog.load_table(spark, sf_dir, "supplier")
+    c = catalog.load_table(spark, sf_dir, "customer")
+    n = catalog.load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).alias("n_child_rows"))
+            .crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            )
+            .select(
+                F.lit(name).alias("fk"), "n_child_rows", "n_orphans"
+            )
+        )
+
+    out = edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+    for e in (
+        edge("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+        edge("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+    ):
+        out = out.unionByName(e)
+    return out.orderBy("fk")

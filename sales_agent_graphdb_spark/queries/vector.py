@@ -612,3 +612,122 @@ def vec_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ts", 6).alias("true_sim"),
         )
     )
+
+
+_HAM_CAND = 50
+_HAM_RECALL_FLOOR = 2  # measured 4/4/3 at C=50 at sf0.001/0.01/0.1 (2026-08)
+
+
+def _sign_word(vec: F.Column, lo: int, n: int) -> F.Column:
+    """Pack sign bits [lo, lo+n) into a BIGINT (n <= 62 keeps every
+    engine's signed shift happy — two 32-bit words cover 64 dims)."""
+    acc = F.lit(0).cast("bigint")
+    for i in range(lo, lo + n):
+        acc = acc + F.when(
+            F.element_at(vec, i + 1) > 0, F.lit(1 << (i - lo)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+@register("vec_binary_hamming_topk", oracle=None)
+def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-HASH ANN (sign-bit quantization + Hamming distance): each
+    64-dim vector collapses to its sign bitmap — 64 BITS, the extreme
+    end of the compression ladder (float32 2048 bits → PQ 64 → this
+    64) — packed engine-side into two 32-bit words; candidates are the
+    C={cand} nearest by Hamming distance (two XOR+popcount ops per
+    comparison — the cheapest distance computable), exact rerank on
+    survivors. Measured recall 4/4/3 at the three SFs — EQUAL to
+    IVF-PQ's at the same bit budget with ZERO training, because this
+    corpus is isotropic (near-random): sign bits are as informative as
+    learned codebooks when there is no cluster structure to learn.
+    The three docstrings (JL / PQ / this) jointly document the
+    compression-ladder decision: random projection loses order, sign
+    bits tie PQ on isotropic data, PQ wins when data clusters.
+
+    Contract: same as ann_pq_adc_topk — oracle-checked exact top-5
+    truth + the deterministic recall verdict (floor {floor}; sign
+    bits have no RNG at all, so the verdict cannot flip)."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    v = F.col("embedding")
+    sigs = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        _sign_word(v, 0, 32).alias("w0"),
+        _sign_word(v, 32, 32).alias("w1"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(_sign_word(v, 0, 32).alias("w0"), _sign_word(v, 32, 32).alias("w1"))
+        .head()
+    )
+    ham = sigs.select(
+        "vec_id",
+        "embedding",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.lit(q.w0)))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.lit(q.w1)))
+        ).alias("h"),
+    )
+    cands = ham.orderBy("h", "vec_id").limit(_HAM_CAND)
+    bin_top = (
+        cands.select(
+            "vec_id", sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(5)
+    )
+    exact_top = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", sim.cosine(F.col("embedding"), sim.lit_vector(qv)).alias("s")
+        )
+        .orderBy(F.col("s").desc(), "vec_id")
+        .limit(5)
+    )
+    overlap = bin_top.join(exact_top.select("vec_id"), "vec_id", "left_semi")
+    return (
+        exact_top.agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("vec_id"))).alias(
+                "exact_ids"
+            )
+        )
+        .crossJoin(F.broadcast(overlap.agg(F.count(F.lit(1)).alias("_n"))))
+        .select(
+            "exact_ids",
+            F.lit(_HAM_CAND).alias("n_candidates"),
+            F.lit(64).alias("bits_per_vector"),
+            (F.col("_n") >= _HAM_RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+def _bind_hamming_oracle() -> None:
+    from sales_agent_graphdb_spark import registry as _r
+
+    cos = sim.duckdb_cosine_sql("e.embedding", "q.embedding")
+    oracle = f"""
+    WITH exact AS (
+      SELECT e.vec_id, {cos} AS sim
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY sim DESC, e.vec_id LIMIT 5)
+    SELECT array_to_string(list_sort(list(vec_id)), ',') AS exact_ids,
+           {_HAM_CAND} AS n_candidates,
+           64 AS bits_per_vector,
+           TRUE AS recall_ok
+    FROM exact
+    """
+    spec = _r._REGISTRY["vec_binary_hamming_topk"]
+    _r._REGISTRY["vec_binary_hamming_topk"] = type(spec)(
+        spec.name, spec.fn, oracle, spec.doc
+    )
+
+
+_bind_hamming_oracle()
+
+
+vec_binary_hamming_topk.__doc__ = vec_binary_hamming_topk.__doc__.format(
+    cand=_HAM_CAND, floor=_HAM_RECALL_FLOOR
+)

@@ -112,6 +112,9 @@ _PRIORITY: list[str] = [
     # Round 8, seventeenth wave: Markov transitions, bitmap exact
     # distinct.
     "w11_markov_transitions", "agg_bitmap_distinct",
+    # Round 8, eighteenth wave: sign-bit Hamming ANN, referential-
+    # integrity audit.
+    "vec_binary_hamming_topk", "dq_referential_integrity",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -871,3 +871,62 @@ def test_bitmap_distinct_exact(spark):
     for r in rows:
         assert r.n_users_bitmap == r.n_users_exact, r
         assert r.n_words <= max_id // 63 + 1
+
+
+def test_binary_hamming_recall_and_determinism(spark):
+    """vec_binary_hamming_topk — verdict holds at sf0.01 with measured
+    recall 4/5 (floor 2 + real slack), and the sign-bit signature of a
+    known vector matches a Python repack bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.vector import (
+        _sign_word,
+        vec_binary_hamming_topk,
+    )
+
+    row = vec_binary_hamming_topk(spark, SF_MEDIUM).collect()[0]
+    assert row.recall_ok
+    assert row.bits_per_vector == 64
+
+    emb = catalog.load_table(spark, SF_MEDIUM, "embeddings")
+    got = (
+        emb.filter(F.col("vec_id") == 1)
+        .select(
+            _sign_word(F.col("embedding"), 0, 32).alias("w0"),
+            _sign_word(F.col("embedding"), 32, 32).alias("w1"),
+        )
+        .head()
+    )
+    vec = emb.filter(F.col("vec_id") == 1).head().embedding
+    w0 = sum((1 << i) for i in range(32) if vec[i] > 0)
+    w1 = sum((1 << (i - 32)) for i in range(32, 64) if vec[i] > 0)
+    assert (got.w0, got.w1) == (w0, w1)
+
+
+def test_referential_integrity_clean_star(spark):
+    """dq_referential_integrity — the generated star schema must be
+    orphan-free on every FK edge, and a planted orphan must be
+    counted."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.profiling import (
+        dq_referential_integrity,
+    )
+
+    rows = dq_referential_integrity(spark, SF_SMALL).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_orphans == 0, r
+        assert r.n_child_rows > 0
+
+    # planted-orphan sanity: one bogus child key must show up
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    o = catalog.load_table(spark, SF_SMALL, "orders")
+    bad = li.limit(1).withColumn("l_orderkey", F.lit(-1).cast("bigint"))
+    poisoned = li.unionByName(bad)
+    n = poisoned.join(
+        o, poisoned.l_orderkey == o.o_orderkey, "left_anti"
+    ).count()
+    assert n == 1

@@ -65,6 +65,8 @@ ALLOW_BNLJ = {
     "agg_kmv_incremental",  # one-row estimate x one-row exact-count crossJoin
     "ann_pq_adc_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
     "ann_ivfpq_pruned_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
+    "vec_binary_hamming_topk",  # one-row exact-ids x one-row recall-verdict crossJoin
+    "dq_referential_integrity",  # per-edge one-row child-count x one-row orphan-count crossJoins
     # r06 planted-pair verdict queries: 60 deterministic planted rows
     # crossJoined with a ONE-ROW broadcast verdict frame (the
     # agg_approx_distinct bounds-verdict pattern) — bounded by the
