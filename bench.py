@@ -174,6 +174,8 @@ HEADLINE = [
     # Round 8, eighteenth wave.
     "vec_binary_hamming_topk",
     "dq_referential_integrity",
+    # Round 8, nineteenth wave.
+    "graph_random_walk_corpus",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

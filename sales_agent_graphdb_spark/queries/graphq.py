@@ -822,3 +822,111 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+_WALK_STEPS = 3
+_WALK_SALT = "walk8"
+_WALK_STARTS = 200  # md5-chosen start nodes (bounded output at any SF)
+
+
+def _walk_h_sql(node: str, step: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({node} || '|{step}|{_WALK_SALT}'), 1, 13)) AS BIGINT)"
+    )
+
+
+@register(
+    "graph_random_walk_corpus",
+    oracle=f"""
+    WITH und AS (
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS src, p_brand AS dst
+      FROM part
+      UNION ALL
+      SELECT DISTINCT p_brand, CAST(p_partkey AS VARCHAR) FROM part),
+    adj AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM und),
+    starts AS (
+      SELECT src AS n0 FROM (SELECT DISTINCT src FROM und)
+      ORDER BY md5(src || '{_WALK_SALT}') LIMIT {_WALK_STARTS}),
+    s1 AS (
+      SELECT w.n0, a.dst AS n1 FROM starts w
+      JOIN adj a ON a.src = w.n0
+       AND a.rn = {_walk_h_sql('w.n0', 1)} % a.deg),
+    s2 AS (
+      SELECT w.n0, w.n1, a.dst AS n2 FROM s1 w
+      JOIN adj a ON a.src = w.n1
+       AND a.rn = {_walk_h_sql('w.n1', 2)} % a.deg),
+    s3 AS (
+      SELECT w.n0, w.n1, w.n2, a.dst AS n3 FROM s2 w
+      JOIN adj a ON a.src = w.n2
+       AND a.rn = {_walk_h_sql('w.n2', 3)} % a.deg)
+    SELECT n0 AS start_node, n0 || '>' || n1 || '>' || n2 || '>' || n3 AS walk
+    FROM s3 ORDER BY start_node
+    """,
+)
+def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-WALK CORPUS generation (the DeepWalk/node2vec data-prep
+    step: walks become 'sentences' an embedding model trains on) over
+    the undirected product↔brand graph — with the walk's randomness
+    FROZEN into the shared md5-52 hash (neighbor index at step t =
+    h(node, t) mod degree), so both engines traverse the identical
+    {steps}-step walks and the corpus is hash-checked end-to-end;
+    {starts} md5-chosen start nodes bound the output at every SF.
+
+    Scale: each step is ONE equi-join of the walk frontier against
+    the rn-indexed adjacency (row_number per source, the standard
+    neighbor-sampling layout) — frontier size stays |starts| forever,
+    adjacency shuffles once and is reused; at 100 TB walks fan out to
+    millions of starts and the same {steps} joins carry them all (no
+    per-walk recursion, no driver loop)."""
+    und = _edges(spark, sf_dir).unionByName(
+        _edges(spark, sf_dir).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    adj = und.select(
+        "src",
+        "dst",
+        (F.row_number().over(W.partitionBy("src").orderBy("dst")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("src")).alias("deg"),
+    ).localCheckpoint(eager=False)
+
+    def h(node_col: F.Column, step: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(node_col, F.lit(f"|{step}|{_WALK_SALT}"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    frontier = (
+        und.select("src").distinct()
+        .orderBy(F.md5(F.concat(F.col("src"), F.lit(_WALK_SALT))))
+        .limit(_WALK_STARTS)
+        .select(F.col("src").alias("n0"))
+    )
+    walk = frontier
+    prev = "n0"
+    for t in range(1, _WALK_STEPS + 1):
+        step_adj = adj.select(
+            F.col("src").alias(f"_s{t}"),
+            F.col("dst").alias(f"n{t}"),
+            F.col("rn").alias(f"_r{t}"),
+            F.col("deg").alias(f"_d{t}"),
+        )
+        walk = walk.join(
+            step_adj,
+            (F.col(prev) == F.col(f"_s{t}"))
+            & (F.col(f"_r{t}") == F.pmod(h(F.col(prev), t), F.col(f"_d{t}"))),
+        ).drop(f"_s{t}", f"_r{t}", f"_d{t}")
+        prev = f"n{t}"
+    return walk.select(
+        F.col("n0").alias("start_node"),
+        F.concat_ws(">", "n0", "n1", "n2", "n3").alias("walk"),
+    ).orderBy("start_node")

@@ -115,6 +115,8 @@ _PRIORITY: list[str] = [
     # Round 8, eighteenth wave: sign-bit Hamming ANN, referential-
     # integrity audit.
     "vec_binary_hamming_topk", "dq_referential_integrity",
+    # Round 8, nineteenth wave: random-walk corpus generation.
+    "graph_random_walk_corpus",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -930,3 +930,27 @@ def test_referential_integrity_clean_star(spark):
         o, poisoned.l_orderkey == o.o_orderkey, "left_anti"
     ).count()
     assert n == 1
+
+
+def test_random_walks_are_valid_paths(spark):
+    """graph_random_walk_corpus — every step of every walk must be a
+    real edge of the undirected graph, walks alternate bipartite
+    sides, and the count equals the start budget."""
+    from sales_agent_graphdb_spark.queries.graphq import (
+        _WALK_STARTS,
+        _edges,
+        graph_random_walk_corpus,
+    )
+
+    rows = graph_random_walk_corpus(spark, SF_SMALL).collect()
+    assert len(rows) == _WALK_STARTS
+    edges = {
+        (r.src, r.dst) for r in _edges(spark, SF_SMALL).distinct().collect()
+    }
+    und = edges | {(b, a) for a, b in edges}
+    for r in rows:
+        nodes = r.walk.split(">")
+        assert len(nodes) == 4
+        assert nodes[0] == r.start_node
+        for a, b in zip(nodes, nodes[1:]):
+            assert (a, b) in und, (a, b)
