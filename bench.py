@@ -176,6 +176,9 @@ HEADLINE = [
     "dq_referential_integrity",
     # Round 8, nineteenth wave.
     "graph_random_walk_corpus",
+    # Round 8, twentieth wave.
+    "udf_scalar_iter_embed",
+    "m10_forget_user_cascade",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -627,3 +627,97 @@ def m9_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("ship_month")
     )
+
+
+_FORGET_MOD = 23  # the erasure request: every 23rd user
+
+
+@register(
+    "m10_forget_user_cascade",
+    oracle=f"""
+    WITH doomed AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % {_FORGET_MOD} = 0),
+    ev AS (
+      SELECT 'events' AS tbl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events e
+              WHERE EXISTS (SELECT 1 FROM doomed d
+                            WHERE d.user_id = e.user_id)) AS n_deleted),
+    od AS (
+      SELECT 'orders' AS tbl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+              WHERE EXISTS (SELECT 1 FROM doomed d
+                            WHERE d.user_id = o.o_custkey)) AS n_deleted),
+    li AS (
+      SELECT 'lineitem' AS tbl,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_before,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+              WHERE EXISTS (SELECT 1 FROM orders o
+                            JOIN doomed d ON d.user_id = o.o_custkey
+                            WHERE o.o_orderkey = l.l_orderkey)) AS n_deleted)
+    SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after
+    FROM (SELECT * FROM ev UNION ALL SELECT * FROM od
+          UNION ALL SELECT * FROM li)
+    ORDER BY tbl
+    """,
+)
+def m10_forget_user_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN cascade (M-ext) — the erasure operation a
+    training-data pipeline must support end-to-end: a user-id erasure
+    set propagates through every table that references the subject,
+    DIRECTLY (events.user_id, orders.o_custkey via LEFT SEMI against
+    the doomed set) and TRANSITIVELY (lineitem through its order's
+    customer — one hop across the FK edge dq_referential_integrity
+    audits). Emits the per-table before / deleted / after counts —
+    the erasure receipt a DPO files. Deterministic erasure set
+    (user_id % {mod}).
+
+    Scale: the doomed set broadcasts (erasure requests are tiny); the
+    transitive hop is a semi-join chain, never a row-by-row delete —
+    at 100 TB this plus m9's dynamic partition overwrite IS the
+    deletion implementation (filter-and-rewrite touched partitions),
+    and the snapshot layer (s17) is what makes it auditable."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    o = catalog.load_table(spark, sf_dir, "orders")
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    doomed = (
+        ev.filter(F.col("user_id") % _FORGET_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    ev_del = ev.join(F.broadcast(doomed), "user_id", "left_semi")
+    o_del = o.join(
+        F.broadcast(doomed), o.o_custkey == doomed.user_id, "left_semi"
+    )
+    li_del = li.join(
+        o_del.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def row(name, full, deleted):
+        return (
+            full.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(
+                F.broadcast(deleted.agg(F.count(F.lit(1)).alias("n_deleted")))
+            )
+            .select(
+                F.lit(name).alias("tbl"),
+                "n_before",
+                "n_deleted",
+                (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+            )
+        )
+
+    return (
+        row("events", ev, ev_del)
+        .unionByName(row("lineitem", li, li_del))
+        .unionByName(row("orders", o, o_del))
+        .orderBy("tbl")
+    )
+
+
+m10_forget_user_cascade.__doc__ = m10_forget_user_cascade.__doc__.format(
+    mod=_FORGET_MOD
+)

@@ -484,3 +484,52 @@ def udaf_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "udf_scalar_iter_embed",
+    oracle="""
+    SELECT doc_id,
+           CAST((CAST(('0x' || substr(md5('m1:' || text), 1, 8)) AS BIGINT)
+                 % 1000) AS DOUBLE) / 1000.0 AS score
+    FROM documents ORDER BY doc_id
+    """,
+)
+def udf_scalar_iter_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATOR-form scalar pandas UDF (SCALAR_ITER — the last UDF
+    API class in the surface matrix: scalar / this / grouped-agg /
+    mapInPandas / applyInPandasWithState / UDTF): the function
+    receives an ITERATOR of Arrow batches, so expensive per-worker
+    setup (loading a model, opening a tokenizer) runs ONCE per task
+    before the batch loop instead of once per batch — the API real
+    model-scoring pipelines use. Here the 'model' is a deterministic
+    md5 scorer whose version string is bound at init (the part a real
+    pipeline loads from disk), so the oracle replays the scoring
+    exactly and the hash certifies the batch loop fed every row
+    through the initialized state."""
+    import pandas as pd
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def score_iter(batches):
+        import hashlib
+
+        model_version = "m1"  # per-worker init: runs once per task
+
+        for texts in batches:
+            yield texts.map(
+                lambda t: (
+                    int(
+                        hashlib.md5(f"{model_version}:{t}".encode()).hexdigest()[:8],
+                        16,
+                    )
+                    % 1000
+                )
+                / 1000.0
+            )
+
+    d = catalog.load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", score_iter(F.col("text")).alias("score")).orderBy(
+        "doc_id"
+    )

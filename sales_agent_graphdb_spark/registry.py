@@ -117,6 +117,8 @@ _PRIORITY: list[str] = [
     "vec_binary_hamming_topk", "dq_referential_integrity",
     # Round 8, nineteenth wave: random-walk corpus generation.
     "graph_random_walk_corpus",
+    # Round 8, twentieth wave: SCALAR_ITER UDF class, erasure cascade.
+    "udf_scalar_iter_embed", "m10_forget_user_cascade",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -954,3 +954,49 @@ def test_random_walks_are_valid_paths(spark):
         assert nodes[0] == r.start_node
         for a, b in zip(nodes, nodes[1:]):
             assert (a, b) in und, (a, b)
+
+
+def test_scalar_iter_udf_plan_and_values(spark):
+    """udf_scalar_iter_embed — the plan is an Arrow-batched Python
+    eval (never row-pickled BatchEvalPython), and scores replay in
+    Python exactly."""
+    import hashlib
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.scalar_fns import udf_scalar_iter_embed
+
+    df = udf_scalar_iter_embed(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+    got = {r.doc_id: r.score for r in df.collect()}
+    for d in catalog.load_table(spark, SF_SMALL, "documents").collect():
+        want = (
+            int(hashlib.md5(f"m1:{d.text}".encode()).hexdigest()[:8], 16) % 1000
+        ) / 1000.0
+        assert got[d.doc_id] == want
+        if d.doc_id > 20:
+            break
+
+
+def test_forget_cascade_conservation(spark):
+    """m10_forget_user_cascade — deleted + after == before per table,
+    erasure is non-vacuous, and no surviving event belongs to a
+    doomed user."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.mutations import (
+        _FORGET_MOD,
+        m10_forget_user_cascade,
+    )
+
+    rows = {r.tbl: r for r in m10_forget_user_cascade(spark, SF_SMALL).collect()}
+    assert set(rows) == {"events", "orders", "lineitem"}
+    for r in rows.values():
+        assert r.n_before == r.n_deleted + r.n_after
+        assert r.n_deleted > 0, r
+    ev = catalog.load_table(spark, SF_SMALL, "events")
+    survivors = ev.filter(F.col("user_id") % _FORGET_MOD != 0).count()
+    assert rows["events"].n_after == survivors
