@@ -179,6 +179,9 @@ HEADLINE = [
     # Round 8, twentieth wave.
     "udf_scalar_iter_embed",
     "m10_forget_user_cascade",
+    # Round 8, twenty-first wave.
+    "graph_hits_hubs_authorities",
+    "w12_decay_weighted_score",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -580,3 +580,70 @@ def sessionize_gap_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sessionize_gap_batch.__doc__ = sessionize_gap_batch.__doc__.format(gap=_GAP_S)
+
+
+@register(
+    "w12_decay_weighted_score",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS now FROM events),
+    d AS (
+      SELECT e.user_id,
+             CAST(e.value * (1.0 / (1.0 + date_diff('day', e.ts, mx.now)))
+                  AS DECIMAL(30,12)) AS term
+      FROM events e, mx
+      WHERE e.event_type = 'purchase'),
+    s AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(SUM(term) AS DOUBLE) AS decayed
+      FROM d GROUP BY user_id)
+    SELECT user_id, n_purchases, ROUND(decayed, 6) AS decay_score
+    FROM s ORDER BY decay_score DESC, user_id LIMIT 100
+    """,
+)
+def w12_decay_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY weighted engagement score — recency-weighted
+    purchase value per user with a HYPERBOLIC kernel 1/(1+age_days)
+    (chosen over exp(-λ·age) deliberately: the kernel is one RATIONAL
+    division, so both engines produce bit-identical term doubles — an
+    exponential would route through libm/JVM transcendentals whose
+    1-ulp drift the repo's determinism discipline forbids in
+    hash-checked outputs; at deploy time the kernel is a pluggable
+    one-line expression). Per-event terms quantize to DECIMAL(30,12)
+    BEFORE the distributed sum (order-independent), top-100 by score.
+
+    Scale: 'now' is a one-row broadcast; terms are map-side; one
+    skinny user rollup + TakeOrderedAndProject — the recency-scoring
+    pass a ranking pipeline fuses into its daily feature build."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    now = ev.agg(F.max("ts").alias("now"))
+    d = (
+        ev.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            (
+                F.col("value")
+                * (
+                    F.lit(1.0)
+                    / (F.lit(1.0) + F.datediff(F.col("now"), F.col("ts")))
+                )
+            )
+            .cast("decimal(30,12)")
+            .alias("term"),
+        )
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("term").cast("double").alias("decayed"),
+        )
+        .select(
+            "user_id",
+            "n_purchases",
+            F.round("decayed", 6).alias("decay_score"),
+        )
+        .orderBy(F.col("decay_score").desc(), "user_id")
+        .limit(100)
+    )

@@ -930,3 +930,68 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n0").alias("start_node"),
         F.concat_ws(">", "n0", "n1", "n2", "n3").alias("walk"),
     ).orderBy("start_node")
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS hub, p_brand AS auth
+      FROM part),
+    a1 AS (  -- authority_1 = in-degree (hubs start at 1)
+      SELECT auth, CAST(COUNT(*) AS BIGINT) AS a FROM e GROUP BY auth),
+    h1 AS (  -- hub_1 = sum of its authorities' a1
+      SELECT e.hub, CAST(SUM(a1.a) AS BIGINT) AS h
+      FROM e JOIN a1 USING (auth) GROUP BY e.hub),
+    a2 AS (  -- authority_2 = sum of its hubs' h1
+      SELECT e.auth, CAST(SUM(h1.h) AS BIGINT) AS a
+      FROM e JOIN h1 USING (hub) GROUP BY e.auth),
+    mx AS (SELECT MAX(a) AS m FROM a2)
+    SELECT a2.auth AS brand, a2.a AS raw_score,
+           ROUND(CAST(a2.a AS DOUBLE) / mx.m, 6) AS authority
+    FROM a2, mx
+    ORDER BY raw_score DESC, brand LIMIT 10
+    """,
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities, Kleinberg) on the product↔brand
+    bipartite graph — the OTHER eigenvector-centrality fixpoint next
+    to graph_pagerank: two unrolled mutual-reinforcement iterations
+    (authority = Σ hub scores of its products, hub = Σ authority
+    scores of its brands) computed in EXACT INTEGER arithmetic — on
+    an unweighted graph the first iterations are pure degree
+    convolutions, so there is no float anywhere until one final
+    normalization by the max (a single division, rounded 6 dp).
+    Top-10 authorities.
+
+    Scale: each half-iteration is one edge-keyed join + aggregate
+    (the per-round shape of graph_k_core_fixpoint); scores live on
+    nodes, joins shuffle edges — O(|E|) per round at any size. More
+    rounds converge toward the principal eigenvector; the unrolled
+    form keeps the oracle exact (the iterative twin would follow
+    graph_pagerank's fixpoint pattern)."""
+    e = _edges(spark, sf_dir).select(
+        F.col("src").alias("hub"), F.col("dst").alias("auth")
+    ).distinct()
+    a1 = e.groupBy("auth").agg(F.count(F.lit(1)).alias("a"))
+    h1 = (
+        e.join(a1, "auth")
+        .groupBy("hub")
+        .agg(F.sum("a").alias("h"))
+    )
+    a2 = (
+        e.join(h1, "hub")
+        .groupBy("auth")
+        .agg(F.sum("h").alias("a"))
+    )
+    mx = a2.agg(F.max("a").alias("m"))
+    return (
+        a2.crossJoin(F.broadcast(mx))
+        .select(
+            F.col("auth").alias("brand"),
+            F.col("a").alias("raw_score"),
+            F.round(F.col("a").cast("double") / F.col("m"), 6).alias("authority"),
+        )
+        .orderBy(F.col("raw_score").desc(), "brand")
+        .limit(10)
+    )

@@ -119,6 +119,8 @@ _PRIORITY: list[str] = [
     "graph_random_walk_corpus",
     # Round 8, twentieth wave: SCALAR_ITER UDF class, erasure cascade.
     "udf_scalar_iter_embed", "m10_forget_user_cascade",
+    # Round 8, twenty-first wave: HITS centrality, time-decay scoring.
+    "graph_hits_hubs_authorities", "w12_decay_weighted_score",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

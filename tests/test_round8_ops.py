@@ -1000,3 +1000,61 @@ def test_forget_cascade_conservation(spark):
     ev = catalog.load_table(spark, SF_SMALL, "events")
     survivors = ev.filter(F.col("user_id") % _FORGET_MOD != 0).count()
     assert rows["events"].n_after == survivors
+
+
+def test_hits_replay_and_bounds(spark):
+    """graph_hits_hubs_authorities — Python replay of the two
+    integer iterations matches raw scores exactly; the normalized
+    authority of rank-1 is exactly 1.0."""
+    from collections import defaultdict
+
+    from sales_agent_graphdb_spark.queries.graphq import (
+        _edges,
+        graph_hits_hubs_authorities,
+    )
+
+    rows = graph_hits_hubs_authorities(spark, SF_SMALL).collect()
+    assert rows[0].authority == 1.0
+    edges = {
+        (r.src, r.dst) for r in _edges(spark, SF_SMALL).distinct().collect()
+    }
+    a1 = defaultdict(int)
+    for h, a in edges:
+        a1[a] += 1
+    h1 = defaultdict(int)
+    for h, a in edges:
+        h1[h] += a1[a]
+    a2 = defaultdict(int)
+    for h, a in edges:
+        a2[a] += h1[h]
+    want = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r.brand, r.raw_score) for r in rows]
+    assert got == want
+
+
+def test_decay_score_replay(spark):
+    """w12_decay_weighted_score — replay the hyperbolic kernel in
+    Python (same double ops, same DECIMAL quantization granularity)
+    for the top user and confirm the count and 6-dp score."""
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.event_windows import (
+        w12_decay_weighted_score,
+    )
+
+    rows = w12_decay_weighted_score(spark, SF_SMALL).collect()
+    assert rows and rows[0].decay_score > 0
+    top = rows[0]
+    ev = catalog.load_table(spark, SF_SMALL, "events").collect()
+    now = max(r.ts for r in ev).date()
+    from decimal import Decimal
+
+    terms = [
+        Decimal(repr(r.value * (1.0 / (1.0 + (now - r.ts.date()).days)))).quantize(
+            Decimal("1." + "0" * 12)
+        )
+        for r in ev
+        if r.event_type == "purchase" and r.user_id == top.user_id
+    ]
+    assert top.n_purchases == len(terms)
+    got = round(float(sum(terms)), 6)
+    assert got == top.decay_score
