@@ -182,6 +182,9 @@ HEADLINE = [
     # Round 8, twenty-first wave.
     "graph_hits_hubs_authorities",
     "w12_decay_weighted_score",
+    # Round 8, twenty-second wave.
+    "stats_ab_test_lift",
+    "feature_target_encoding_loo",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -263,3 +263,166 @@ def anomaly_mad_robust_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=_MAD_K,
         )
     )
+
+
+@register(
+    "stats_ab_test_lift",
+    oracle="""
+    WITH arms AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'ab8'), 1, 15)) AS BIGINT)
+                       % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM arms GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 'control' THEN n END) AS n_c,
+             MAX(CASE WHEN arm = 'control' THEN conv END) AS x_c,
+             MAX(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+             MAX(CASE WHEN arm = 'treatment' THEN conv END) AS x_t
+      FROM agg)
+    SELECT n_c, x_c, n_t, x_t,
+           ROUND(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c, 6)
+             AS lift_abs,
+           ROUND((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                        * (1.0 - CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                        * (1.0 / n_t + 1.0 / n_c)), 6) AS z_stat
+    FROM w
+    """,
+)
+def stats_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B EXPERIMENT readout — deterministic md5 arm assignment (the
+    hash-bucketing every experimentation platform uses, so assignment
+    is stable under re-ingestion and reproducible in the oracle),
+    per-user conversion (a purchase above 150 — measured rates
+    47/45/47% at the three SFs, strictly interior so the pooled
+    variance never degenerates; 'any purchase' converts 100% of this
+    corpus and the z-statistic would divide by zero), and the
+    two-proportion pooled
+    z-statistic. Every operation is hash/count/division/sqrt — sqrt
+    is IEEE-754 correctly-rounded (unlike exp/log), so the whole
+    statistic chain is bit-identical across engines with no
+    quantization needed; one 6-dp presentation round.
+
+    Scale: arm + conversion is one groupBy(user) with map-side
+    combine; the readout is a 2-row fold. At 100 TB this runs per
+    (experiment, day, segment) over the same pass — the z-test is
+    the gate before any lift ships."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab8"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    arms = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).withColumn("arm", arm)
+    agg = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    w = agg.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("arm") == "control", F.col("conv"))).alias("x_c"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n_t"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("conv"))).alias("x_t"),
+    )
+    p_t = F.col("x_t").cast("double") / F.col("n_t")
+    p_c = F.col("x_c").cast("double") / F.col("n_c")
+    p_pool = (F.col("x_t") + F.col("x_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / F.col("n_t") + F.lit(1.0) / F.col("n_c"))
+    )
+    return w.select(
+        "n_c",
+        "x_c",
+        "n_t",
+        "x_t",
+        F.round(p_t - p_c, 6).alias("lift_abs"),
+        F.round((p_t - p_c) / se, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "feature_target_encoding_loo",
+    oracle="""
+    WITH base AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand AS brand,
+             CAST(l.l_extendedprice AS DECIMAL(18,2)) AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    stats AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(y) AS s
+      FROM base GROUP BY brand)
+    SELECT b.l_orderkey, b.l_linenumber, b.brand,
+           ROUND(CAST(b.y AS DOUBLE), 2) AS y,
+           ROUND(CAST(s.s - b.y AS DOUBLE) / (s.n - 1), 6) AS loo_encoding
+    FROM base b JOIN stats s USING (brand)
+    WHERE b.l_orderkey < 20
+    ORDER BY b.l_orderkey, b.l_linenumber
+    """,
+)
+def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT TARGET ENCODING — the high-cardinality
+    categorical encoder of tabular ML prep: each row's brand is
+    replaced by the mean target (line revenue) of all OTHER rows in
+    the brand, (S_brand − y_row)/(n_brand − 1), which blocks the
+    self-leakage plain mean encoding suffers (the reason
+    split_leakage_safe exists for rows, applied here at feature
+    level). Per-brand S in exact DECIMAL (order-independent); the LOO
+    value is ONE double division per row, rounded 6 dp. Output
+    restricted to a deterministic order slice so the driver frame
+    stays bounded while every brand contributes rows.
+
+    Scale: ONE brand aggregate (map-side combinable) broadcast back —
+    never a self-join of the fact; the encode pass is map-side. At
+    100 TB this fuses into the feature build beside
+    feature_zscore_stats; the k-fold variant swaps the one broadcast
+    for one-per-fold."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("p_brand").alias("brand"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    stats = base.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("s")
+    )
+    return (
+        base.filter(F.col("l_orderkey") < 20)
+        .join(F.broadcast(stats), "brand")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "brand",
+            F.round(F.col("y").cast("double"), 2).alias("y"),
+            F.round(
+                (F.col("s") - F.col("y")).cast("double") / (F.col("n") - 1), 6
+            ).alias("loo_encoding"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -121,6 +121,9 @@ _PRIORITY: list[str] = [
     "udf_scalar_iter_embed", "m10_forget_user_cascade",
     # Round 8, twenty-first wave: HITS centrality, time-decay scoring.
     "graph_hits_hubs_authorities", "w12_decay_weighted_score",
+    # Round 8, twenty-second wave: A/B experiment readout, LOO target
+    # encoding.
+    "stats_ab_test_lift", "feature_target_encoding_loo",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -1058,3 +1058,63 @@ def test_decay_score_replay(spark):
     assert top.n_purchases == len(terms)
     got = round(float(sum(terms)), 6)
     assert got == top.decay_score
+
+
+def test_ab_test_replay(spark):
+    """stats_ab_test_lift — replay arm assignment + conversion + the
+    pooled z in Python and match all six columns."""
+    import hashlib
+    import math
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.features import stats_ab_test_lift
+
+    r = stats_ab_test_lift(spark, SF_SMALL).collect()[0]
+    ev = catalog.load_table(spark, SF_SMALL, "events").collect()
+    conv = {}
+    for e in ev:
+        c = conv.setdefault(e.user_id, 0)
+        if e.event_type == "purchase" and e.value > 150:
+            conv[e.user_id] = 1
+    arms = {}
+    for uid, c in conv.items():
+        h = int(hashlib.md5(f"{uid}ab8".encode()).hexdigest()[:15], 16)
+        arms.setdefault("control" if h % 2 == 0 else "treatment", []).append(c)
+    n_c, x_c = len(arms["control"]), sum(arms["control"])
+    n_t, x_t = len(arms["treatment"]), sum(arms["treatment"])
+    assert (r.n_c, r.x_c, r.n_t, r.x_t) == (n_c, x_c, n_t, x_t)
+    p_t, p_c = x_t / n_t, x_c / n_c
+    pool = (x_t + x_c) / (n_t + n_c)
+    z = (p_t - p_c) / math.sqrt(pool * (1.0 - pool) * (1.0 / n_t + 1.0 / n_c))
+    assert r.lift_abs == round(p_t - p_c, 6)
+    assert r.z_stat == round(z, 6)
+
+
+def test_loo_encoding_blocks_self_leakage(spark):
+    """feature_target_encoding_loo — the encoding of a row must NOT
+    contain its own target: for a brand with n rows, adding the row
+    back recovers the plain brand mean exactly."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.features import (
+        feature_target_encoding_loo,
+    )
+
+    rows = feature_target_encoding_loo(spark, SF_SMALL).collect()
+    assert rows
+    li = catalog.load_table(spark, SF_SMALL, "lineitem")
+    p = catalog.load_table(spark, SF_SMALL, "part")
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        )
+        .collect()
+    )
+    stats = {r.brand: (r.n, float(r.s)) for r in base}
+    for r in rows[:20]:
+        n, s = stats[r.brand]
+        assert r.loo_encoding == round((s - r.y) / (n - 1), 6), r
