@@ -185,6 +185,9 @@ HEADLINE = [
     # Round 8, twenty-second wave.
     "stats_ab_test_lift",
     "feature_target_encoding_loo",
+    # Round 8, twenty-third wave.
+    "graph_modularity_score",
+    "sql_api_filter_clause",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -995,3 +995,147 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("raw_score").desc(), "brand")
         .limit(10)
     )
+
+
+@register(
+    "graph_modularity_score",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    proj AS (  -- weighted brand projection (graph_brand_projection)
+      SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY ba, bb),
+    comm AS (
+      SELECT brand,
+             CAST(('0x' || substr(md5(brand || 'mod8'), 1, 15)) AS BIGINT) % 4
+               AS c
+      FROM (SELECT DISTINCT brand FROM ob)),
+    parts AS (
+      SELECT 'all_in_one' AS partition_name, brand, 0 AS c FROM comm
+      UNION ALL
+      SELECT 'md5_hash_4', brand, c FROM comm),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM proj),
+    intra AS (
+      SELECT pa.partition_name, CAST(SUM(p.w) AS BIGINT) AS e_in
+      FROM proj p
+      JOIN parts pa ON pa.brand = p.ba
+      JOIN parts pb ON pb.brand = p.bb
+       AND pb.partition_name = pa.partition_name AND pb.c = pa.c
+      GROUP BY pa.partition_name),
+    deg AS (
+      SELECT pa.partition_name, pa.c, CAST(SUM(t.d) AS BIGINT) AS d_c
+      FROM (SELECT ba AS brand, SUM(w) AS d FROM proj GROUP BY ba
+            UNION ALL
+            SELECT bb, SUM(w) FROM proj GROUP BY bb) t
+      JOIN parts pa ON pa.brand = t.brand
+      GROUP BY pa.partition_name, pa.c),
+    q AS (
+      SELECT d.partition_name,
+             SUM(CAST(d.d_c AS DOUBLE) * d.d_c) AS sum_d2
+      FROM deg d GROUP BY d.partition_name)
+    SELECT q.partition_name,
+           tot.m AS total_weight,
+           COALESCE(i.e_in, 0) AS intra_weight,
+           ROUND(CAST(COALESCE(i.e_in, 0) AS DOUBLE) / tot.m
+                 - q.sum_d2 / (4.0 * tot.m * tot.m), 6) AS modularity
+    FROM q LEFT JOIN intra i USING (partition_name), tot
+    ORDER BY partition_name
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY (Newman Q) — the partition-quality evaluator that
+    closes the community-detection loop: graph_label_propagation /
+    graph_connected_components PRODUCE partitions, this SCORES one,
+    Q = e_in/m − Σ_c (d_c/2m)², on the weighted brand projection. Two
+    partitions are scored side by side: the all-in-one partition,
+    whose Q is ZERO BY ALGEBRA (e_in = m and Σd_c = 2m — a built-in
+    self-check the oracle hash enforces), and a deterministic
+    md5-hash 4-way partition (≈0, the null-model baseline a real
+    community score must beat). Every accumulation is exact integer
+    edge weight; doubles appear only in the final closed form,
+    rounded 6 dp.
+
+    Scale: the projection reuses graph_brand_projection's
+    inverted-index shape; scoring is two |edges|-sized joins against
+    a broadcast |nodes| community map and |C|-sized folds — at 100 TB
+    the score costs one pass over the projected edges, so it runs
+    after every LPA round if wanted."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    p = catalog.load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    proj = (
+        a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    comm = ob.select("brand").distinct().select(
+        "brand",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("brand"), F.lit("mod8"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 4
+        ).alias("c"),
+    )
+    parts = comm.select(
+        F.lit("all_in_one").alias("partition_name"), "brand", F.lit(0).alias("c")
+    ).unionByName(comm.select(F.lit("md5_hash_4").alias("partition_name"), "brand", "c"))
+    m = proj.agg(F.sum("w").alias("m"))
+    pa = parts.select(
+        F.col("partition_name"), F.col("brand").alias("ba"), F.col("c").alias("ca")
+    )
+    pb = parts.select(
+        F.col("partition_name").alias("pn_b"),
+        F.col("brand").alias("brand_b"),
+        F.col("c").alias("cb"),
+    )
+    intra = (
+        proj.join(F.broadcast(pa), "ba")
+        .join(
+            F.broadcast(pb),
+            (F.col("bb") == F.col("brand_b"))
+            & (F.col("partition_name") == F.col("pn_b"))
+            & (F.col("ca") == F.col("cb")),
+        )
+        .groupBy("partition_name")
+        .agg(F.sum("w").alias("e_in"))
+    )
+    deg = (
+        proj.select(F.col("ba").alias("brand"), "w")
+        .unionByName(proj.select(F.col("bb").alias("brand"), "w"))
+        .groupBy("brand")
+        .agg(F.sum("w").alias("d"))
+    )
+    d_c = (
+        deg.join(F.broadcast(parts), "brand")
+        .groupBy("partition_name", "c")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    sum_d2 = d_c.groupBy("partition_name").agg(
+        F.sum(F.col("d_c").cast("double") * F.col("d_c")).alias("sum_d2")
+    )
+    return (
+        sum_d2.join(intra, "partition_name", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "partition_name",
+            F.col("m").alias("total_weight"),
+            F.coalesce("e_in", F.lit(0)).alias("intra_weight"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)).cast("double") / F.col("m")
+                - F.col("sum_d2") / (4.0 * F.col("m") * F.col("m")),
+                6,
+            ).alias("modularity"),
+        )
+        .orderBy("partition_name")
+    )

@@ -1186,3 +1186,35 @@ def sql_api_unpivot_stmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority, status
         """
     )
+
+
+_SQL_FILTER_CLAUSE = """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+             AS finished_value,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0) AS BIGINT)
+             AS n_big
+    FROM {orders} GROUP BY o_orderpriority ORDER BY priority
+"""
+
+
+@register(
+    "sql_api_filter_clause",
+    oracle=_SQL_FILTER_CLAUSE.format(orders="orders"),
+)
+def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — the aggregate FILTER clause (20th statement
+    surface): per-aggregate predicates inside ONE grouping pass,
+    statement == oracle verbatim (both engines implement the standard
+    clause; Spark lowers each FILTER to a conditional aggregate — the
+    same single-scan plan agg_multi_distinct_expand's docstring
+    contrasts with per-metric scans). DECIMAL sum inside, one cast
+    out."""
+    catalog.load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "sqlapi_orders"
+    )
+    return spark.sql(_SQL_FILTER_CLAUSE.format(orders="sqlapi_orders"))

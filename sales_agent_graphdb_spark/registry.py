@@ -124,6 +124,9 @@ _PRIORITY: list[str] = [
     # Round 8, twenty-second wave: A/B experiment readout, LOO target
     # encoding.
     "stats_ab_test_lift", "feature_target_encoding_loo",
+    # Round 8, twenty-third wave: modularity scoring, SQL FILTER
+    # clause.
+    "graph_modularity_score", "sql_api_filter_clause",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

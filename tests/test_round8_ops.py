@@ -1118,3 +1118,56 @@ def test_loo_encoding_blocks_self_leakage(spark):
     for r in rows[:20]:
         n, s = stats[r.brand]
         assert r.loo_encoding == round((s - r.y) / (n - 1), 6), r
+
+
+def test_modularity_algebraic_self_checks(spark):
+    """graph_modularity_score — the all-in-one partition's Q must be
+    exactly 0 (e_in == m and sum d_c == 2m algebraically), and the
+    random 4-way partition must sit near the null value (|Q| < 0.2)
+    and strictly below any real community structure (Q < 0.3)."""
+    from sales_agent_graphdb_spark.queries.graphq import graph_modularity_score
+
+    rows = {
+        r.partition_name: r
+        for r in graph_modularity_score(spark, SF_SMALL).collect()
+    }
+    assert rows["all_in_one"].modularity == 0.0
+    assert rows["all_in_one"].intra_weight == rows["all_in_one"].total_weight
+    assert abs(rows["md5_hash_4"].modularity) < 0.2
+    assert rows["md5_hash_4"].intra_weight < rows["md5_hash_4"].total_weight
+
+
+def test_filter_clause_matches_conditional_agg(spark):
+    """sql_api_filter_clause — the FILTER clause must equal the
+    CASE-based conditional aggregate twin."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.relational import sql_api_filter_clause
+
+    got = {
+        r.priority: (r.n_orders, r.n_finished, r.finished_value, r.n_big)
+        for r in sql_api_filter_clause(spark, SF_SMALL).collect()
+    }
+    o = catalog.load_table(spark, SF_SMALL, "orders")
+    tw = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("nf"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            )
+            .cast("double")
+            .alias("fv"),
+            F.sum(F.when(F.col("o_totalprice") > 100000.0, 1).otherwise(0)).alias(
+                "nb"
+            ),
+        )
+        .collect()
+    )
+    want = {r.priority: (r.n, r.nf, r.fv, r.nb) for r in tw}
+    assert got == want

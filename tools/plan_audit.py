@@ -70,6 +70,7 @@ ALLOW_BNLJ = {
     "m10_forget_user_cascade",  # per-table one-row before-count x one-row deleted-count crossJoins
     "graph_hits_hubs_authorities",  # one-row max-score normalization crossJoin
     "w12_decay_weighted_score",  # one-row max-ts 'now' crossJoin
+    "graph_modularity_score",  # one-row total-weight crossJoin
     # r06 planted-pair verdict queries: 60 deterministic planted rows
     # crossJoined with a ONE-ROW broadcast verdict frame (the
     # agg_approx_distinct bounds-verdict pattern) — bounded by the
