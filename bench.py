@@ -188,6 +188,9 @@ HEADLINE = [
     # Round 8, twenty-third wave.
     "graph_modularity_score",
     "sql_api_filter_clause",
+    # Round 8, twenty-fourth wave.
+    "udf_apply_in_pandas_iqr",
+    "udf_map_in_arrow_sig",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

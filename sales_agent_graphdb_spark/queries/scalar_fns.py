@@ -533,3 +533,107 @@ def udf_scalar_iter_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", score_iter(F.col("text")).alias("score")).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "udf_apply_in_pandas_iqr",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(value, 0.25), 6) AS q1,
+           ROUND(quantile_cont(value, 0.75), 6) AS q3,
+           ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 6)
+             AS iqr
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def udf_apply_in_pandas_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ``applyInPandas`` (FlatMapGroupsInPandas — the grouped-MAP
+    class: whole group in, arbitrary frame out; its stateful streaming
+    sibling applyInPandasWithState runs the st_stream_* sessions):
+    per-group quartiles + IQR via np.percentile, the robust-spread
+    profile a per-entity model fit starts from. np.percentile sorts
+    internally and linearly interpolates — ORDER-INSENSITIVE, exactly
+    DuckDB's quantile_cont, so the hash certifies the whole grouped
+    Arrow round trip (the same reason udaf_grouped_pandas_median uses
+    a sort-based statistic; a running float sum here would be
+    shuffle-order-dependent and unverifiable).
+
+    Scale honesty: like the grouped-agg UDF, there is NO partial
+    aggregation — each group's rows land wholesale on one executor as
+    Arrow batches; right for non-decomposable per-group computation
+    (model fits, exact quantiles), wrong for anything sum-shaped, and
+    hot groups need salting or approx_percentile first."""
+    import numpy as np
+    import pandas as pd
+
+    ev = catalog.load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def iqr(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"].to_numpy()
+        q1 = float(np.percentile(v, 25))
+        q3 = float(np.percentile(v, 75))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(v)],
+                "q1": [round(q1, 6)],
+                "q3": [round(q3, 6)],
+                "iqr": [round(q3 - q1, 6)],
+            }
+        )
+
+    return (
+        ev.groupBy("event_type")
+        .applyInPandas(
+            iqr, schema="event_type string, n long, q1 double, q3 double, iqr double"
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "udf_map_in_arrow_sig",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(md5(text), 1, 16) AS sig
+    FROM documents ORDER BY doc_id
+    """,
+)
+def udf_map_in_arrow_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the LOWEST-level Python batch API: raw pyarrow
+    RecordBatches in and out, no pandas conversion at all (the path
+    for libraries that speak Arrow natively — tokenizers, image
+    decoders, DuckDB itself — where a pandas hop would copy every
+    payload). Per-document byte length + md5 signature computed from
+    the Arrow buffers; the oracle recomputes both from the text, so
+    the hash certifies the RecordBatch round trip byte-for-byte (the
+    pandas-hop twin is mm_arrow_fidelity_probe). Completes the Python
+    boundary matrix: scalar / scalar-iter / grouped-agg / grouped-map
+    / mapInPandas / mapInArrow / UDTF / applyInPandasWithState."""
+    import hashlib
+
+    import pyarrow as pa
+
+    d = catalog.load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sig_batches(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            raw = [t.encode("utf-8") for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([len(b) for b in raw], pa.int64()),
+                    pa.array(
+                        [hashlib.md5(b).hexdigest()[:16] for b in raw], pa.string()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "sig"],
+            )
+
+    return d.mapInArrow(
+        sig_batches, schema="doc_id long, n_bytes long, sig string"
+    ).orderBy("doc_id")

@@ -127,6 +127,9 @@ _PRIORITY: list[str] = [
     # Round 8, twenty-third wave: modularity scoring, SQL FILTER
     # clause.
     "graph_modularity_score", "sql_api_filter_clause",
+    # Round 8, twenty-fourth wave: the two remaining Python-boundary
+    # API classes.
+    "udf_apply_in_pandas_iqr", "udf_map_in_arrow_sig",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

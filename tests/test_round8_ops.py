@@ -1171,3 +1171,44 @@ def test_filter_clause_matches_conditional_agg(spark):
     )
     want = {r.priority: (r.n, r.nf, r.fv, r.nb) for r in tw}
     assert got == want
+
+
+def test_apply_in_pandas_plan_and_replay(spark):
+    """udf_apply_in_pandas_iqr — the plan carries FlatMapGroupsInPandas
+    (the grouped-map Arrow node), and the quartiles replay via
+    np.percentile."""
+    import numpy as np
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.scalar_fns import (
+        udf_apply_in_pandas_iqr,
+    )
+
+    df = udf_apply_in_pandas_iqr(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+    got = {r.event_type: r for r in df.collect()}
+    ev = catalog.load_table(spark, SF_SMALL, "events").collect()
+    vals = {}
+    for r in ev:
+        vals.setdefault(r.event_type, []).append(r.value)
+    for t, vs in vals.items():
+        a = np.array(vs)
+        assert got[t].n == len(vs)
+        assert got[t].q1 == round(float(np.percentile(a, 25)), 6)
+        assert got[t].iqr == round(
+            float(np.percentile(a, 75)) - float(np.percentile(a, 25)), 6
+        )
+
+
+def test_map_in_arrow_plan(spark):
+    """udf_map_in_arrow_sig — the plan carries the Arrow map node
+    (PythonMapInArrow / MapInArrow), not a pandas conversion."""
+    from sales_agent_graphdb_spark.queries.scalar_fns import udf_map_in_arrow_sig
+
+    df = udf_map_in_arrow_sig(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
+    rows = df.limit(3).collect()
+    assert all(len(r.sig) == 16 for r in rows)
