@@ -191,6 +191,8 @@ HEADLINE = [
     # Round 8, twenty-fourth wave.
     "udf_apply_in_pandas_iqr",
     "udf_map_in_arrow_sig",
+    # Round 8, twenty-fifth wave.
+    "ts_cross_correlation_lagged",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

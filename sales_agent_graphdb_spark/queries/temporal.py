@@ -978,3 +978,90 @@ def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hod")
     )
+
+
+_XCORR_LAGS = (-2, -1, 0, 1, 2)  # hours; negative = views LAG purchases
+
+
+def _xcorr_oracle() -> str:
+    parts = []
+    for lag in _XCORR_LAGS:
+        parts.append(f"""
+    SELECT {lag} AS lag_hours,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+             AS xcorr
+    FROM (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(v.c AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(p.c AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(v.c AS DECIMAL(19,6)) * CAST(v.c AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(p.c AS DECIMAL(19,6)) * CAST(p.c AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(v.c AS DECIMAL(19,6)) * CAST(p.c AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+      FROM (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events WHERE event_type = 'view' GROUP BY 1) v
+      JOIN (SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+            FROM events WHERE event_type = 'purchase' GROUP BY 1) p
+        ON p.h = v.h + {lag} * INTERVAL 1 HOUR)""")
+    return " UNION ALL ".join(parts) + " ORDER BY lag_hours"
+
+
+@register("ts_cross_correlation_lagged", oracle=_xcorr_oracle())
+def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAGGED CROSS-CORRELATION between the hourly view and purchase
+    series — the lead/lag analysis behind 'does browsing predict
+    buying h hours later?': Pearson correlation of the two hourly
+    count series at offsets −2..+2 h, using feature_correlation's
+    exact-moment technique (integer counts → DECIMAL(19,6) moments →
+    one closed double form per lag, 6 dp; correctly-rounded sqrt only
+    — no transcendental drift surface). Only jointly-present hours
+    enter each lag's moments (inner join), matching the oracle
+    row-for-row.
+
+    Scale: the series reduction is one groupBy(hour, type) with
+    map-side combine — calendar-sized output regardless of event
+    volume; the five lag joins are hour-keyed on that tiny series
+    (broadcast), so at 100 TB the cost is the one event scan. The
+    full-lag-sweep production form computes every offset in one
+    self-joined frame; the fixed five keep the oracle enumerable."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    series = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    v = series.filter(F.col("event_type") == "view").select(
+        F.col("h").alias("vh"), F.col("c").cast("decimal(19,6)").alias("x")
+    )
+    p = series.filter(F.col("event_type") == "purchase").select(
+        F.col("h").alias("ph"), F.col("c").cast("decimal(19,6)").alias("y")
+    )
+    out = None
+    for lag in _XCORR_LAGS:
+        joined = v.join(
+            F.broadcast(p),
+            F.col("ph") == F.col("vh") + F.expr(f"INTERVAL {lag} HOUR"),
+        )
+        m = joined.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        ).select(
+            F.lit(lag).alias("lag_hours"),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("lag_hours")

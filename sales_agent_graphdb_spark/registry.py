@@ -130,6 +130,8 @@ _PRIORITY: list[str] = [
     # Round 8, twenty-fourth wave: the two remaining Python-boundary
     # API classes.
     "udf_apply_in_pandas_iqr", "udf_map_in_arrow_sig",
+    # Round 8, twenty-fifth wave: lagged cross-correlation.
+    "ts_cross_correlation_lagged",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

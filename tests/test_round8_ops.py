@@ -1212,3 +1212,35 @@ def test_map_in_arrow_plan(spark):
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan
     rows = df.limit(3).collect()
     assert all(len(r.sig) == 16 for r in rows)
+
+
+def test_cross_correlation_lag_zero_replay(spark):
+    """ts_cross_correlation_lagged — lag 0 must equal a numpy Pearson
+    over the jointly-present hours, and every |xcorr| <= 1."""
+    import numpy as np
+
+    from sales_agent_graphdb_spark import catalog
+    from sales_agent_graphdb_spark.queries.temporal import (
+        ts_cross_correlation_lagged,
+    )
+
+    rows = {r.lag_hours: r.xcorr for r in ts_cross_correlation_lagged(spark, SF_SMALL).collect()}
+    assert set(rows) == {-2, -1, 0, 1, 2}
+    for v in rows.values():
+        assert abs(v) <= 1.0
+
+    ev = catalog.load_table(spark, SF_SMALL, "events").collect()
+    from collections import Counter
+
+    vc, pc = Counter(), Counter()
+    for r in ev:
+        h = r.ts.replace(minute=0, second=0, microsecond=0)
+        if r.event_type == "view":
+            vc[h] += 1
+        elif r.event_type == "purchase":
+            pc[h] += 1
+    common = sorted(set(vc) & set(pc))
+    x = np.array([vc[h] for h in common], dtype=float)
+    y = np.array([pc[h] for h in common], dtype=float)
+    want = round(float(np.corrcoef(x, y)[0, 1]), 6)
+    assert abs(rows[0] - want) < 2e-6, (rows[0], want)
