@@ -1009,14 +1009,28 @@ def sql_api_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lateral column aliases (Spark 3.4+/DuckDB): a select item referencing
 # an EARLIER alias in the same list — the spreadsheet-style derivation
 # chain analysts write. Statement == oracle verbatim; the DECIMAL
-# chain stays at natural precision (price_d scale 2, tax scale 4,
-# total scale 4) so both engines emit bit-identical Decimals.
+# chain stays at natural precision INTERNALLY (price_d scale 2, tax
+# scale 4, total scale 4) so the arithmetic is exact in both engines,
+# but the OUTPUT columns are cast to DOUBLE: r08's driver row proved
+# that DECIMAL-typed outputs diverge in the driver's pandas
+# canonicalization (Spark `toPandas()` keeps `Decimal('5647.3130')`
+# objects; DuckDB `fetchdf()` converts to float64 `5647.313`) even
+# when the values are bit-identical. The scale-2/scale-4 decimals of
+# sub-1e6 magnitudes convert to DOUBLE exactly, so the cast loses
+# nothing; the lateral-alias chain under test is untouched in the
+# inner select.
 _SQL_LCA = """
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
-           price_d * CAST(0.05 AS DECIMAL(4,2)) AS tax,
-           price_d + tax AS total
-    FROM {o} WHERE o_orderkey < 100 ORDER BY o_orderkey
+           CAST(price_d AS DOUBLE) AS price_d,
+           CAST(tax AS DOUBLE) AS tax,
+           CAST(total AS DOUBLE) AS total
+    FROM (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price_d,
+               price_d * CAST(0.05 AS DECIMAL(4,2)) AS tax,
+               price_d + tax AS total
+        FROM {o} WHERE o_orderkey < 100
+    ) ORDER BY o_orderkey
 """
 
 
@@ -1027,10 +1041,12 @@ _SQL_LCA = """
 def sql_api_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front-end — lateral column aliases: `tax` references the
     `price_d` alias and `total` references BOTH, all in one select
-    list (no subquery nesting). Certifies both engines resolve the
-    chain left-to-right identically; Catalyst rewrites to nested
-    projections, so the plan is still one codegen'd pass over the
-    scan."""
+    list (no subquery nesting inside the chain). Certifies both
+    engines resolve the chain left-to-right identically; Catalyst
+    rewrites to nested projections, so the plan is still one
+    codegen'd pass over the scan. The outer select exists only to
+    cast the DECIMAL chain to DOUBLE for driver-portable output (see
+    _SQL_LCA comment)."""
     _sqlapi_views(spark, sf_dir)
     return spark.sql(_SQL_LCA.format(o="sqlapi_orders"))
 

@@ -52,86 +52,13 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 8 #1: the r07 red row, re-registered with a scalarized
-    # (string) exact_ids output — needs its first green driver row.
-    "ann_filtered_ivf_topk",
-    # Round 8 #3: filtered ANN over the (label, cell)-partitioned index
-    # (the production filtered-search form).
-    "ann_filtered_partitioned_topk",
-    # Round 8, second wave: native runtime bloom-filter injection and
-    # the exchange-reuse (self-joined aggregate) optimizer anchors.
-    "join_runtime_bloom_native", "agg_exchange_reuse_mom",
-    # Round 8, third wave: SQL front-end 14 -> 17 statements (SQL
-    # scalar UDF, lateral column aliases, IDENTIFIER clause).
-    "sql_api_sql_udf", "sql_api_lateral_column_alias",
-    "sql_api_identifier_clause",
-    # Round 8, fourth wave: MMR diversified rerank + exact-n
-    # stratified sampler + robust MAD outlier profile.
-    "vec_mmr_rerank", "sample_stratified_exact_n",
-    "anomaly_mad_robust_z",
-    # Round 8, fifth wave: adaptive-overfetch filtered ANN (the other
-    # production form the r07 docstring names).
-    "ann_filtered_adaptive_topk",
-    # Round 8, sixth wave: batch gap sessionization, A-ES weighted
-    # reservoir sampling, JL random-projection prefilter.
-    "sessionize_gap_batch", "sample_weighted_reservoir",
-    "vec_random_projection_topk",
-    # Round 8, seventh wave: word-entropy quality filter, weighted
-    # median, nested-struct schema pruning.
-    "text_entropy_filter", "pct_weighted_median",
-    "s16_nested_schema_pruning",
-    # Round 8, eighth wave: KMV intersection sketch, audio
-    # segmentation plan, SQL PIVOT statement.
-    "agg_kmv_intersection", "mm_audio_segment_plan",
-    "sql_api_pivot_stmt",
-    # Round 8, ninth wave: incremental KMV fold, snapshot time travel,
-    # scalar-subquery reuse anchor.
-    "agg_kmv_incremental", "s17_snapshot_time_travel",
-    "agg_scalar_subquery_reuse",
-    # Round 8, tenth wave: gaps-and-islands streaks + streaming KMV
-    # sketch maintenance.
-    "w10_gaps_islands_streak", "st_stream_kmv_maintain",
-    # Round 8, eleventh wave: node similarity, seasonal anomaly
-    # baseline, SQL UNPIVOT.
-    "graph_node_jaccard", "anomaly_seasonal_baseline",
-    "sql_api_unpivot_stmt",
-    # Round 8, twelfth wave: URL kit, dynamic partition overwrite,
-    # grouped-agg pandas UDAF.
-    "f19_url_parse", "m9_dynamic_partition_overwrite",
-    "udaf_grouped_pandas_median",
-    # Round 8, thirteenth wave: product quantization (ADC).
-    "ann_pq_adc_topk",
-    # Round 8, fourteenth wave: explicit bloom-prefiltered
-    # decontamination.
-    "decontaminate_bloom_prefilter",
-    # Round 8, fifteenth wave: the combined IVF-PQ materialized index.
-    "ann_ivfpq_pruned_topk",
-    # Round 8, sixteenth wave: multi-distinct Expand anchor, linear
-    # classifier quality filter.
-    "agg_multi_distinct_expand", "text_quality_classifier_linear",
-    # Round 8, seventeenth wave: Markov transitions, bitmap exact
-    # distinct.
-    "w11_markov_transitions", "agg_bitmap_distinct",
-    # Round 8, eighteenth wave: sign-bit Hamming ANN, referential-
-    # integrity audit.
-    "vec_binary_hamming_topk", "dq_referential_integrity",
-    # Round 8, nineteenth wave: random-walk corpus generation.
-    "graph_random_walk_corpus",
-    # Round 8, twentieth wave: SCALAR_ITER UDF class, erasure cascade.
-    "udf_scalar_iter_embed", "m10_forget_user_cascade",
-    # Round 8, twenty-first wave: HITS centrality, time-decay scoring.
-    "graph_hits_hubs_authorities", "w12_decay_weighted_score",
-    # Round 8, twenty-second wave: A/B experiment readout, LOO target
-    # encoding.
-    "stats_ab_test_lift", "feature_target_encoding_loo",
-    # Round 8, twenty-third wave: modularity scoring, SQL FILTER
-    # clause.
-    "graph_modularity_score", "sql_api_filter_clause",
-    # Round 8, twenty-fourth wave: the two remaining Python-boundary
-    # API classes.
-    "udf_apply_in_pandas_iqr", "udf_map_in_arrow_sig",
-    # Round 8, twenty-fifth wave: lagged cross-correlation.
-    "ts_cross_correlation_lagged",
+    # Round 9 #1: r08's one red row (DECIMAL-output canonicalization),
+    # re-registered with the chain cast to DOUBLE — needs its first
+    # GREEN driver row.
+    "sql_api_lateral_column_alias",
+    # Round 9 #2-3: green in every local sweep but never scheduled by
+    # the driver (r08 registered 51 names against a 50-slot budget).
+    "udf_map_in_arrow_sig", "ts_cross_correlation_lagged",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
@@ -264,6 +191,32 @@ _VERIFIED_ROUND: dict[str, int] = {
     "tpch_q21_waiting_supplier": 7, "tpch_q22_global_sales_opportunity": 7,
     "tpch_q2_top_supplier_per_nation": 7, "tpch_q7_volume_shipping": 7,
     "tpch_q8_market_share": 7,
+    # --- latest green row: CORRECTNESS_r08 (49 names) ---
+    "agg_bitmap_distinct": 8, "agg_exchange_reuse_mom": 8,
+    "agg_kmv_incremental": 8, "agg_kmv_intersection": 8,
+    "agg_multi_distinct_expand": 8, "agg_scalar_subquery_reuse": 8,
+    "ann_filtered_adaptive_topk": 8, "ann_filtered_ivf_topk": 8,
+    "ann_filtered_partitioned_topk": 8, "ann_ivfpq_pruned_topk": 8,
+    "ann_pq_adc_topk": 8, "anomaly_mad_robust_z": 8,
+    "anomaly_seasonal_baseline": 8, "decontaminate_bloom_prefilter": 8,
+    "dq_referential_integrity": 8, "f19_url_parse": 8,
+    "feature_target_encoding_loo": 8, "graph_hits_hubs_authorities": 8,
+    "graph_modularity_score": 8, "graph_node_jaccard": 8,
+    "graph_random_walk_corpus": 8, "join_runtime_bloom_native": 8,
+    "m10_forget_user_cascade": 8, "m9_dynamic_partition_overwrite": 8,
+    "mm_audio_segment_plan": 8, "pct_weighted_median": 8,
+    "s16_nested_schema_pruning": 8, "s17_snapshot_time_travel": 8,
+    "sample_stratified_exact_n": 8, "sample_weighted_reservoir": 8,
+    "sessionize_gap_batch": 8, "sql_api_filter_clause": 8,
+    "sql_api_identifier_clause": 8, "sql_api_pivot_stmt": 8,
+    "sql_api_sql_udf": 8, "sql_api_unpivot_stmt": 8,
+    "st_stream_kmv_maintain": 8, "stats_ab_test_lift": 8,
+    "text_entropy_filter": 8, "text_quality_classifier_linear": 8,
+    "udaf_grouped_pandas_median": 8, "udf_apply_in_pandas_iqr": 8,
+    "udf_scalar_iter_embed": 8, "vec_binary_hamming_topk": 8,
+    "vec_mmr_rerank": 8, "vec_random_projection_topk": 8,
+    "w10_gaps_islands_streak": 8, "w11_markov_transitions": 8,
+    "w12_decay_weighted_score": 8,
 }
 
 # Kept for compatibility with tools that membership-test the verified

@@ -42,21 +42,37 @@ def test_query_matches_oracle(name, spark, duck):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_SMALL)
 
-    # Registry-wide scalar-output sweep (VERDICT r07 #2): the driver
-    # canonicalizes through pandas sort_values/factorize, which throws
-    # on array/map/struct cells — r07's only red row was exactly this
-    # (`ann_filtered_ivf_topk` emitting array<long>). Every registered
-    # query must present a scalar-only top-level schema.
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    # Registry-wide scalar-output sweep (VERDICT r07 #2, r08 #1): the
+    # driver canonicalizes through pandas sort_values/factorize, which
+    # throws on array/map/struct cells (r07's red row:
+    # `ann_filtered_ivf_topk` emitting array<long>) and DIVERGES on
+    # DECIMAL (r08's red row: `sql_api_lateral_column_alias` — Spark
+    # toPandas() keeps Decimal objects, DuckDB fetchdf() converts to
+    # float64) and BINARY (bytes vs bytearray) outputs. Every
+    # registered query must present a top-level schema of the
+    # certified-safe scalar types only (bool/int/float/str/date/
+    # timestamp — pinned by tests/test_type_parity.py).
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        DecimalType,
+        MapType,
+        StructType,
+    )
 
     bad = [
         f.name
         for f in sdf.schema.fields
-        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        if isinstance(
+            f.dataType, (ArrayType, MapType, StructType, DecimalType, BinaryType)
+        )
     ]
     assert not bad, (
-        f"{name}: non-scalar output columns {bad} — the driver's pandas "
-        "canonicalizer rejects these (scalarize with concat_ws/to_json)"
+        f"{name}: driver-unsafe output columns {bad} — arrays/maps/structs "
+        "break the driver's pandas canonicalizer; DECIMAL/BINARY hash "
+        "differently between Spark toPandas() and DuckDB fetchdf() "
+        "(scalarize with concat_ws/to_json; CAST decimals to DOUBLE; "
+        "hex-encode binary)"
     )
 
     srows = [tuple(r) for r in sdf.collect()]

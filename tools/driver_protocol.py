@@ -15,14 +15,27 @@ def vhash(rows, cols) -> str:
     sorted by name — the driver's comparison; bit-exact doubles
     required.
 
-    STRICT on cell types (VERDICT r07 #2): the REAL driver
-    canonicalizes through pandas ``sort_values`` → ``factorize``,
-    which throws ``TypeError: unhashable type`` on list/dict/ndarray
-    cells — but ``repr`` happily stringifies them, so the r07
-    simulation printed OK for ``ann_filtered_ivf_topk`` (array<long>
-    output) while the driver errored. Reject non-scalar cells here so
-    the simulation can never again be more permissive than the driver.
+    STRICT on cell types (VERDICT r07 #2, r08 #1): the REAL driver
+    canonicalizes through pandas (``toPandas()`` vs ``fetchdf()``,
+    then ``sort_values`` → ``factorize``), which
+
+    - throws ``TypeError: unhashable type`` on list/dict/ndarray
+      cells (r07's red row: ``ann_filtered_ivf_topk`` array<long>),
+    - DIVERGES on DECIMAL cells (r08's red row,
+      ``sql_api_lateral_column_alias``: Spark ``toPandas()`` keeps
+      ``Decimal('5647.3130')`` objects while DuckDB ``fetchdf()``
+      converts to float64 ``5647.313`` — same value, different repr),
+    - and DIVERGES on BINARY cells (Spark yields ``bytes``, DuckDB
+      ``bytearray`` — measured in tests/test_type_parity.py),
+
+    while ``repr`` over ``collect()``/``fetchall()`` tuples happily
+    agrees for all three. Reject them here so this simulation can
+    never again be more permissive than the driver. The certified-safe
+    scalar types (bool/int/float/str/date/timestamp) are pinned by
+    tests/test_type_parity.py.
     """
+    import decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     for r in rows:
         for i in order:
@@ -32,6 +45,19 @@ def vhash(rows, cols) -> str:
                     f"non-scalar cell in column {cols[i]!r}: {type(v).__name__} "
                     "— the driver's pandas canonicalizer cannot hash it "
                     "(scalarize with concat_ws/to_json before registering)"
+                )
+            if isinstance(v, decimal.Decimal):
+                raise TypeError(
+                    f"Decimal cell in column {cols[i]!r} — the driver's pandas "
+                    "canonicalization diverges on DECIMAL outputs (Spark keeps "
+                    "Decimal objects, DuckDB converts to float64); CAST the "
+                    "column to DOUBLE on both sides before registering"
+                )
+            if isinstance(v, (bytes, bytearray)):
+                raise TypeError(
+                    f"binary cell in column {cols[i]!r} — Spark toPandas() "
+                    "yields bytes, DuckDB fetchdf() yields bytearray; encode "
+                    "to hex/base64 strings before registering"
                 )
     canon = sorted(tuple(repr(r[i]) for i in order) for r in rows)
     return hashlib.md5(str(canon).encode()).hexdigest()[:12]
