@@ -922,9 +922,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         ev.select(
             "event_type",
-            (F.col("user_id") / 63).cast("bigint").alias("w"),
+            # Exact integer division (ADVICE r08): `div` stays in
+            # integer arithmetic end-to-end; the old double division
+            # `(user_id / 63).cast('bigint')` silently loses exactness
+            # past 2^52 and truncates toward zero for negative ids
+            # while the oracle's `//` floors. pmod keeps the bit index
+            # nonnegative on the same ids. (Surrogate ids here are
+            # dense nonnegative, but the packing must stay portable by
+            # construction, not by data luck.)
+            F.expr("user_id div 63").alias("w"),
             F.expr(
-                "shiftleft(cast(1 as bigint), cast(user_id % 63 as int))"
+                "shiftleft(cast(1 as bigint), cast(pmod(user_id, 63) as int))"
             ).alias("mask"),
         )
         .groupBy("event_type", "w")

@@ -800,9 +800,12 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT QUANTIZATION ANN (IVF-PQ's compression half, FAISS's
     workhorse at vector scale): 64-dim float vectors → 8 four-bit-ish
     codes (32× fewer bytes) via per-subspace Lloyd codebooks
-    (operators/ann.pq_codebooks — the same DECIMAL-exact, bit-stable
-    k-means as the IVF index, so a rebuild can never flip this row's
-    verdict), queries scored by Asymmetric Distance Computation: a
+    (operators/ann.pq_codebooks — trained on a bounded deterministic
+    sample, first-2048-by-id, driver-side numpy Lloyd; bit-stable
+    across rebuilds so this row's verdict can never flip, and the
+    full corpus pays only the one encode pass — the r08 query-time
+    full-corpus training this replaces cost 12.9 s of plan codegen
+    per run), queries scored by Asymmetric Distance Computation: a
     driver-computed 8×16 lookup table rides the plan as literals and
     the candidate scan reads ONLY code columns — at 100 TB the ANN
     tier scans 32× fewer bytes and touches full vectors only for the
@@ -896,7 +899,9 @@ def ann_ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     production ANN stack (FAISS's IVF-PQ in Spark terms): the corpus
     is written ONCE cell-partitioned with the 8 PQ code columns next
     to the vector (operators/ann.write_ivfpq_index; both trainings
-    DECIMAL-exact, rebuild-stable). A query then composes the two
+    deterministic and rebuild-stable — cells via DECIMAL-exact
+    distributed Lloyd, codebooks via the bounded-sample numpy Lloyd).
+    A query then composes the two
     prunings: (1) PartitionFilters read {probe}/16 cell directories,
     (2) the candidate scan reads ONLY (vec_id, code_*) — column
     pruning drops the vector bytes — and ADC ranks C={cand}

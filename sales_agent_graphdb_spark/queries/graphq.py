@@ -11,12 +11,16 @@ oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_agent_graphdb_spark import catalog
 from sales_agent_graphdb_spark.operators import fulltext, graph
 from sales_agent_graphdb_spark.registry import register
+from sales_agent_graphdb_spark.sources import stamp
+from sales_agent_graphdb_spark.sources.bucketing import write_bucketed
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,6 +203,50 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.orderBy(F.col("rank").desc(), "id").limit(30)
 
 
+# ---------------------------------------------------------------------------
+# Shared order↔brand bipartite layout (VERDICT r08 #6b): three queries
+# (graph_brand_projection, graph_node_jaccard, graph_modularity_score)
+# score the same projected brand graph, and each used to rebuild the
+# distinct (okey, brand) pair table — a lineitem⨝part join + distinct —
+# from scratch. The pairs are now materialized ONCE per sf as a table
+# BUCKETED ON okey, so (a) the build cost is amortized across every
+# consumer, and (b) the projection self-join on okey reads co-located
+# buckets with NO Exchange (sources/bucketing.py — the same
+# pay-at-ingest layout as join_bucketed_collocated). Single-writer
+# rule: this layout is written only here and every consumer is
+# read-only; the stamp covers BOTH sources (lineitem mtime:size as the
+# stamp, part mtime:size folded into the version tag) plus a recipe
+# version so code changes rebuild instead of silently reusing.
+# ---------------------------------------------------------------------------
+
+_OB_VERSION = "obv1"
+_OB_BUCKETS = 16
+
+
+def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
+    table = f"graph_ob_pairs_{tag}"
+    path = f"/root/repo/.scratch/graph_ob/{tag}"
+    li_src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    part_src = f"{sf_dir.rstrip('/')}/part.parquet"
+    version = f"{_OB_VERSION}:{stamp.src_stamp(part_src)}"
+    if not (stamp.is_fresh(path, li_src, version) and spark.catalog.tableExists(table)):
+        li = catalog.load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        p = catalog.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+        ob = (
+            li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+            .select(
+                F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand")
+            )
+            .distinct()
+        )
+        write_bucketed(ob, table, path, ["okey"], n_buckets=_OB_BUCKETS)
+        stamp.mark(path, li_src, version)
+    return spark.table(table)
+
+
 @register(
     "graph_brand_projection",
     oracle="""
@@ -222,14 +270,10 @@ def graph_brand_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, count on the pair key, top-20 via TakeOrderedAndProject. The
     self-join is the O(Σ_order |brands|²) projection — bounded by
     per-order basket size (single-digit), NEVER corpus-quadratic, so
-    the shape survives 100 TB fact tables."""
-    li = catalog.load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = catalog.load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
+    the shape survives 100 TB fact tables. The (okey, brand) pairs
+    come from the shared okey-BUCKETED layout (_order_brand_pairs), so
+    the self-join zips co-located buckets with no Exchange."""
+    ob = _order_brand_pairs(spark, sf_dir)
     a, b = ob.alias("a"), ob.alias("b")
     pairs = a.join(
         b,
@@ -787,14 +831,11 @@ def graph_node_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is Σ_orders(brands_per_order²), bounded by basket width,
     NEVER |brands|² (the dedup_*'s candidate-pair discipline); the
     degree table is |nodes|-sized and broadcast. Jaccard is one
-    integer-derived division rounded to 6 dp on both engines."""
-    li = catalog.load_table(spark, sf_dir, "lineitem")
-    p = catalog.load_table(spark, sf_dir, "part")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
+    integer-derived division rounded to 6 dp on both engines. The
+    (okey, brand) pairs come from the shared okey-BUCKETED layout
+    (_order_brand_pairs): build amortized across the three projection
+    consumers, pair join Exchange-free."""
+    ob = _order_brand_pairs(spark, sf_dir)
     deg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("d"))
     a, b = ob.alias("a"), ob.alias("b")
     co = (
@@ -1061,14 +1102,9 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     inverted-index shape; scoring is two |edges|-sized joins against
     a broadcast |nodes| community map and |C|-sized folds — at 100 TB
     the score costs one pass over the projected edges, so it runs
-    after every LPA round if wanted."""
-    li = catalog.load_table(spark, sf_dir, "lineitem")
-    p = catalog.load_table(spark, sf_dir, "part")
-    ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
-    )
+    after every LPA round if wanted. The (okey, brand) pairs come
+    from the shared okey-BUCKETED layout (_order_brand_pairs)."""
+    ob = _order_brand_pairs(spark, sf_dir)
     a, b = ob.alias("a"), ob.alias("b")
     proj = (
         a.join(b, (F.col("a.okey") == F.col("b.okey")) & (F.col("a.brand") < F.col("b.brand")))

@@ -247,12 +247,21 @@ def audio_segments(media: DataFrame, seg_ms: int = SEGMENT_MS) -> DataFrame:
     100 TB audio corpus needs."""
     dur = F.col("meta.duration_ms")
     n = F.octet_length("payload").cast("long")
-    segs = media.filter(F.col("meta.media_type") == "audio/wav").select(
+    # dur > 0 guard (ADVICE r08): a zero-duration row must emit ZERO
+    # segments on both engines. Without it, Spark's ((dur-1)/seg_ms)
+    # .cast('long') truncates -1/seg_ms to 0 and emits one segment
+    # with divide-by-zero-null byte ranges, while the oracle's
+    # range(0, ((dur-1)//seg_ms)+1) floors -1//seg_ms to -1 and emits
+    # none. `div` keeps the bound in integer arithmetic outright.
+    segs = media.filter(
+        (F.col("meta.media_type") == "audio/wav") & (dur > 0)
+    ).select(
         "doc_id",
         dur.alias("dur"),
         n.alias("n_bytes"),
         F.explode(
-            F.sequence(F.lit(0), ((dur - 1) / seg_ms).cast("long"))
+            F.sequence(F.lit(0).cast("long"),
+                       F.expr(f"(meta.duration_ms - 1) div {int(seg_ms)}"))
         ).alias("seg_no"),
     )
     start_ms = F.col("seg_no") * seg_ms

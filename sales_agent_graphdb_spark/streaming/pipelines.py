@@ -1120,7 +1120,13 @@ def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_id = uuid.uuid4().hex[:12]
     src_dir = os.path.join(SCRATCH, f"kmv_src_{run_id}")
     tbl_dir = os.path.join(SCRATCH, f"kmv_tbl_{run_id}")
-    applied_dir = os.path.join(tbl_dir, "_applied_batches")
+    # Idempotency markers live BESIDE the table, not inside it: each
+    # batch's overwrite deletes tbl_dir wholesale, so a marker stored
+    # within it would survive only for the latest batch and replay
+    # protection would be vacuous (ADVICE r08) — correct results would
+    # then rest on the KMV fold's idempotence alone instead of the
+    # exactly-once contract this query demonstrates.
+    applied_dir = os.path.join(SCRATCH, f"kmv_applied_{run_id}")
 
     from sales_agent_graphdb_spark import catalog as _catalog
 

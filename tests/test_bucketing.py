@@ -80,3 +80,32 @@ def test_bucketed_join_has_no_shuffle(no_broadcast):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_order_brand_layout_self_join_is_exchange_free(spark):
+    """The shared (okey, brand) projection layout (graphq.
+    _order_brand_pairs) is bucketed on okey so the projection
+    self-join zips co-located buckets with no shuffle. Broadcast is
+    disabled for the probe: at test scale AQE would broadcast the
+    small side, which also avoids the shuffle but would not prove the
+    bucketing claim that matters at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from sales_agent_graphdb_spark.queries.graphq import _order_brand_pairs
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ob = _order_brand_pairs(spark, "/root/testdata/sf0.001")
+        a, b = ob.alias("a"), ob.alias("b")
+        j = a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(okey" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

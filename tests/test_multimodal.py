@@ -67,3 +67,18 @@ def test_arrow_twin_matches_jvm_frames(spark):
     jvm = sorted(tuple(r) for r in multimodal.frame_sample(m).collect())
     arrow = sorted(tuple(r) for r in multimodal.frame_sample_arrow(m).collect())
     assert jvm == arrow
+
+
+def test_audio_segments_zero_duration_emits_no_rows(spark):
+    """ADVICE r08: a zero-duration audio row must produce ZERO
+    segments (the oracle's range() already does; the Spark side used
+    to truncate -1/seg_ms to 0 and emit one null-byte-range row)."""
+    from pyspark.sql import functions as F
+
+    m = _media(spark).limit(1).withColumn(
+        "meta",
+        F.col("meta")
+        .withField("duration_ms", F.lit(0).cast("long"))
+        .withField("media_type", F.lit("audio/wav")),
+    )
+    assert multimodal.audio_segments(m).count() == 0

@@ -60,6 +60,17 @@ PROBED = [
     "tpch_q8_market_share",        # 8-way star, role-playing nation dim
     "dpp_partition_pruned",        # runtime-pruned scan: 3/83 partitions
     "sql_api_lateral_topk",        # lateral LIMIT -> WindowGroupLimit pre-prune
+    # Round 8 additions (VERDICT r08 #6a: the probe table stopped at
+    # the r06/r07 families; these are the r08 families whose shuffle
+    # economics carry the 100 TB claims).
+    "ann_pq_adc_topk",             # PQ ADC: code-column scan, top-C shuffle only
+    "decontaminate_bloom_prefilter",  # bit-test BEFORE the shuffle; bloom is broadcast
+    "graph_modularity_score",      # okey-keyed pair join (Σ basket², never |nodes|²)
+    "graph_node_jaccard",          # same projection; degrees broadcast
+    "agg_bitmap_distinct",         # word-packed state: bits move, not ids
+    "sample_weighted_reservoir",   # one keyed top-k pass, no global sort
+    "sessionize_gap_batch",        # user-sharded window, single exchange
+    "vec_binary_hamming_topk",     # map-side XOR+popcount, top-k only
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
