@@ -950,3 +950,102 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n_users_bitmap", "n_users_exact", "n_words")
         .orderBy("event_type")
     )
+
+
+_MG_K = 16  # Misra-Gries counters per partition summary
+
+
+@register(
+    "agg_spacesaving_topk",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 10 < 4 THEN 'hot_' || (event_id % 2)
+                  ELSE 'u' || user_id END AS key
+      FROM events),
+    cnt AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n FROM keyed GROUP BY key),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+    SELECT c.key, c.n AS exact_count, TRUE AS in_mg_summary
+    FROM cnt c, tot WHERE c.n * {_MG_K} > tot.total
+    ORDER BY c.key
+    """,
+)
+def agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES heavy hitters (the Space-Saving family; Agarwal et
+    al.'s MERGEABLE summaries result): each partition streams its rows
+    through k={_MG_K} counters (hit → +1; room → insert; full →
+    decrement ALL, drop zeros), the ≤k-row partition summaries merge
+    by key-sum, and the guarantee survives merging: EVERY key with
+    true frequency > n/k is present in the merged summary — bounded
+    state, one pass, no second scan. The stream is keyed with a
+    planted 40/60 hot/cold split (two hot keys at ~20% each, verified
+    non-vacuous at every SF) over ~|users| cold keys, so the sketch
+    has something real to find. Output contract: the EXACT heavy
+    hitters (oracled by plain aggregation) plus the sketch verdict —
+    in_mg_summary must be TRUE for every one, by theorem; a FALSE
+    would hash-mismatch and flag the implementation, not the data.
+
+    Scale: at 100 TB with billions of distinct keys, exact groupBy
+    state is |keys| while MG state is k·|partitions| counters — this
+    is the top-k form that fits in memory when the key domain does
+    not; the exact twin here is affordable only because the test
+    corpus is small (the oracle IS that twin). mapInPandas streams
+    Arrow batches through the per-partition counters — the bounded-
+    state exception to the no-Python-hot-path rule, same class as
+    the UDF-matrix rows."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 10 < 4,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("key")
+    )
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    summary_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("mg_count", LongType()),
+        ]
+    )
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key in pdf["key"]:
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < _MG_K:
+                    counters[key] = 1
+                else:
+                    for c in list(counters):
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            del counters[c]
+        yield pd.DataFrame(
+            {"key": list(counters), "mg_count": list(counters.values())}
+        )
+
+    summary = (
+        keyed.mapInPandas(mg_partition, summary_schema)
+        .groupBy("key")
+        .agg(F.sum("mg_count").alias("mg_count"))
+    )
+    exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = exact.agg(F.sum("exact_count").alias("total"))
+    heavy = exact.crossJoin(F.broadcast(total)).filter(
+        F.col("exact_count") * _MG_K > F.col("total")
+    )
+    return (
+        heavy.join(summary, "key", "left")
+        .select(
+            "key",
+            "exact_count",
+            F.col("mg_count").isNotNull().alias("in_mg_summary"),
+        )
+        .orderBy("key")
+    )

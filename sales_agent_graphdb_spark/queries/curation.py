@@ -747,3 +747,74 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
 decontaminate_bloom_prefilter.__doc__ = decontaminate_bloom_prefilter.__doc__.format(
     bits=_BLOOM_BITS, words=_BLOOM_WORDS
 )
+
+
+@register(
+    "curation_canonical_by_quality",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             array_to_string(
+               string_split_regex(lower(text), '[^a-z]+')[1:8], ' ') AS ck
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY ck
+               ORDER BY CASE WHEN lang = 'en' THEN 0 ELSE 1 END,
+                        n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY ck) AS n_members
+      FROM keyed)
+    SELECT doc_id AS keep_doc_id, lang AS kept_lang,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    ORDER BY keep_doc_id
+    """,
+)
+def curation_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CANONICAL SELECTION BY QUALITY — the keep-policy half of
+    deduplication that the cluster queries leave open: within each
+    duplicate cluster (here keyed by the 8-token prefix fingerprint —
+    the passage-prefix near-dup key; exact-normalized clusters are
+    empty below sf0.1, measured, so the exact key would be a vacuous
+    verdict), keep the BEST copy
+    under an explicit, total quality order (English first, then
+    longest original text, then lowest doc_id as the deterministic
+    tiebreak) instead of the arbitrary min-id the seen-set dedup
+    (a5) implies. This is what production pipelines actually do —
+    near-dup web pages keep the canonical-language, least-truncated
+    capture — and the policy must be a TOTAL order or the kept set
+    is partition-dependent; the tiebreak chain here certifies that.
+
+    Scale: one hash-partitioned window keyed by the cluster hash —
+    at 100 TB the norm_text key is replaced by the md5 fingerprint
+    (dedup_exact_hash's key) so the shuffle carries 16-byte keys, and
+    the policy rank rides the SAME window pass as the member count;
+    no second scan, no join back."""
+    d = catalog.load_table(spark, sf_dir, "documents").withColumn(
+        "ck",
+        F.array_join(
+            F.slice(F.split(F.lower("text"), "[^a-z]+"), 1, 8), " "
+        ),
+    )
+    w = Window.partitionBy("ck")
+    rank_w = w.orderBy(
+        F.when(F.col("lang") == "en", 0).otherwise(1),
+        F.col("n_chars").desc(),
+        F.col("doc_id"),
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(rank_w).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n_members"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("lang").alias("kept_lang"),
+            "n_members",
+        )
+        .orderBy("keep_doc_id")
+    )

@@ -979,3 +979,177 @@ def dedup_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MH_EST_BOUND = 0.2  # measured planted-pair max |est−J|: 0.12/0.11/0.09
+
+
+@register(
+    "dedup_minhash_estimate_accuracy",
+    oracle=f"""
+    WITH {_PORTABLE_MINHASH_CTES},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+    agree AS (
+      SELECT c.id_a, c.id_b,
+             CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cand c
+      JOIN minh ma ON ma.id = c.id_a
+      JOIN minh mb ON mb.id = c.id_b AND mb.seed = ma.seed
+      GROUP BY c.id_a, c.id_b),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.g = ta.g
+      GROUP BY c.id_a, c.id_b),
+    j AS (
+      SELECT a.id_a, a.id_b, a.n_agree / 16.0 AS est,
+             CAST(i.ninter AS DOUBLE) / (sa.n + sb.n - i.ninter) AS jac
+      FROM agree a JOIN inter i USING (id_a, id_b)
+      JOIN sizes sa ON sa.id = a.id_a
+      JOIN sizes sb ON sb.id = a.id_b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN id_b = id_a + {{off}} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_planted,
+           ROUND(MAX(CASE WHEN id_b = id_a + {{off}}
+                          THEN ABS(est - jac) END), 6) AS planted_max_err,
+           ROUND(CAST(SUM(CAST(ROUND(est - jac, 9) AS DECIMAL(20,9)))
+                      AS DOUBLE) / COUNT(*), 6) AS candidate_bias,
+           MAX(CASE WHEN id_b = id_a + {{off}}
+                    THEN ABS(est - jac) END) <= {_MH_EST_BOUND}
+             AS estimator_ok
+    FROM j
+    """.format(off=DUP_OFFSET),
+)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH ESTIMATOR CALIBRATION — certifies the sketch's
+    STATISTICS, not just its candidate set: for every LSH candidate
+    pair, the signature-agreement estimate (n_agree/16 — the unbiased
+    MinHash estimator of Jaccard) is compared against the EXACT
+    shingle Jaccard, and two numbers summarize the estimator:
+    (1) planted_max_err — the worst |est − J| over the planted
+    near/exact-dup pairs (measured ≤ 0.12 at every SF; verdict bound
+    {_MH_EST_BOUND} with slack — 16 hashes give σ ≈ √(J(1−J)/16) ≤
+    0.125); (2) candidate_bias — the MEAN signed error over ALL
+    banding candidates, which is strongly POSITIVE (+0.21…+0.24
+    measured): banding SELECTS pairs whose signatures happen to
+    agree, so the estimator conditioned on candidacy overestimates —
+    the selection-bias effect every LSH user should know before
+    trusting sketch-side similarity scores without the exact verify
+    step (the pipelines here always verify; this query is the
+    measured reason why). Numerics: est is dyadic (k/16 — exact in
+    binary), J is one int/int division (identical IEEE rounding both
+    engines), the bias mean quantizes each error to 9 dp DECIMAL
+    before the order-sensitive sum, 6-dp presentation round.
+
+    Scale: everything rides the skinny frames the portable LSH twin
+    already builds — signatures are 16 ints per doc, the agreement
+    join is candidates × 16, and the exact verify touches only
+    candidate token sets; no new corpus-sized pass."""
+    corpus = dup_corpus(spark, sf_dir)
+    toks = lsh.shingle_tokens(corpus, "text", "doc_id", 5).distinct()
+    toks = toks.localCheckpoint(eager=False)
+    seeded = toks.select(
+        "id",
+        "g",
+        F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("seed"),
+    )
+    minh = (
+        seeded.select(
+            "id", "seed", lsh._portable_hash(F.col("g"), F.col("seed")).alias("h")
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("mh"))
+        .localCheckpoint(eager=False)
+    )
+    banded = (
+        minh.withColumn("band", F.expr("seed div 4"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bucket")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ma = minh.select(F.col("id").alias("id_a"), "seed", F.col("mh").alias("mh_a"))
+    mb = minh.select(F.col("id").alias("idb2"), F.col("seed").alias("seed_b"),
+                     F.col("mh").alias("mh_b"))
+    agree = (
+        cand.join(ma, "id_a")
+        .join(
+            mb,
+            (F.col("id_b") == F.col("idb2")) & (F.col("seed") == F.col("seed_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.when(F.col("mh_a") == F.col("mh_b"), 1).otherwise(0)).alias(
+                "n_agree"
+            )
+        )
+    )
+    sets = toks.groupBy("id").agg(F.collect_set("g").alias("gs"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("gs").alias("gs_a"),
+                     F.size("gs").alias("na"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("gs").alias("gs_b"),
+                     F.size("gs").alias("nb"))
+    est = F.col("n_agree") / 16.0
+    jac = (
+        F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b"))).cast("double")
+        / (
+            F.col("na")
+            + F.col("nb")
+            - F.size(F.array_intersect(F.col("gs_a"), F.col("gs_b")))
+        )
+    )
+    planted = F.col("id_b") == F.col("id_a") + DUP_OFFSET
+    j = (
+        agree.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            est.alias("est"),
+            jac.alias("jac"),
+            planted.alias("is_planted"),
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(F.when(F.col("is_planted"), 1).otherwise(0)).alias("n_planted"),
+        F.round(
+            F.max(F.when(F.col("is_planted"), F.abs(F.col("est") - F.col("jac")))),
+            6,
+        ).alias("planted_max_err"),
+        F.round(
+            F.sum(
+                F.round(F.col("est") - F.col("jac"), 9).cast("decimal(20,9)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("candidate_bias"),
+        (
+            F.max(F.when(F.col("is_planted"), F.abs(F.col("est") - F.col("jac"))))
+            <= _MH_EST_BOUND
+        ).alias("estimator_ok"),
+    )

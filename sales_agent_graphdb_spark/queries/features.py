@@ -426,3 +426,82 @@ def feature_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@register(
+    "stats_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(value AS DECIMAL(18,2)) AS sc,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np
+      FROM events GROUP BY sc),
+    w AS (
+      SELECT np, n,
+             COALESCE(SUM(n) OVER (ORDER BY sc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cb
+      FROM s),
+    t AS (
+      SELECT CAST(SUM(np * (2 * cb + n + 1)) AS BIGINT) AS s2,
+             CAST(SUM(np) AS BIGINT) AS npos,
+             CAST(SUM(n) - SUM(np) AS BIGINT) AS nneg
+      FROM w)
+    SELECT npos AS n_pos, nneg AS n_neg,
+           ROUND((CAST(s2 AS DOUBLE) / 2
+                  - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+                 / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+    FROM t
+    """,
+)
+def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC, exactly, in one distributed pass — the rank-sum
+    (Mann-Whitney U) identity every large-scale model eval uses:
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg), where R_pos is
+    the sum of positive-class ranks with MIDPOINT TIE RANKS. Scoring
+    'is this event a purchase?' by the event value. Everything until
+    the final closed form is INTEGER: scores quantize exactly to
+    DECIMAL(18,2) (they are stored 2-dp doubles), per-score (n, n_pos)
+    come from one map-side-combinable aggregate, the cumulative
+    below-count from one window over the SCORE-LEVEL frame, and
+    2·rank_avg = 2·cum_before + n + 1 keeps the midpoint ranks in
+    integers. The closed form is then evaluated in doubles over an
+    identical expression tree on both engines (products of exact
+    <2^53 integers, one division), one 6-dp presentation round.
+
+    Scale: the events table is touched by ONE aggregate keyed by
+    score; the window runs over the |distinct scores| frame (bounded
+    by the score's fixed precision, NOT the data — the same
+    bounded-frame exception as text_vocab_build / w9). At 100 TB this
+    is the standard histogram-AUC: no global sort of raw rows, no
+    per-row ranks."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.col("value").cast("decimal(18,2)").alias("sc")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+    )
+    w = W.orderBy("sc").rowsBetween(W.unboundedPreceding, -1)
+    t = s.select(
+        "np",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cb"),
+    ).agg(
+        F.sum(F.col("np") * (2 * F.col("cb") + F.col("n") + 1)).alias("s2"),
+        F.sum("np").alias("npos"),
+        (F.sum("n") - F.sum("np")).alias("nneg"),
+    )
+    return t.select(
+        F.col("npos").alias("n_pos"),
+        F.col("nneg").alias("n_neg"),
+        F.round(
+            (
+                F.col("s2").cast("double") / 2
+                - F.col("npos").cast("double") * (F.col("npos") + 1) / 2
+            )
+            / (F.col("npos").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )

@@ -1175,3 +1175,63 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_name")
     )
+
+
+@register(
+    "graph_resource_allocation",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    deg AS (SELECT okey, CAST(COUNT(*) AS BIGINT) AS d FROM ob GROUP BY okey)
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_score_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM ob a
+    JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+    JOIN deg ON deg.okey = a.okey
+    GROUP BY brand_a, brand_b
+    ORDER BY ra_score_ppm DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOURCE-ALLOCATION link prediction (Zhou-Lü-Zhang's RA index,
+    the log-free sibling of Adamic-Adar): candidate brand pairs score
+    Σ_{o ∈ N(a)∩N(b)} 1/deg(o) — common neighbors discount by how
+    promiscuous they are (an order containing 9 brands says less
+    about any pair than a 2-brand order). Completes the
+    link-prediction kit next to graph_node_jaccard (set overlap) and
+    graph_brand_projection (raw co-occurrence). FIXED-POINT exact:
+    1/deg is summed as the integer 1000000 div deg (ppm units), so
+    the score is portable integer arithmetic end to end — no float
+    summation-order drift, per the no-transcendentals discipline
+    (log-weighted Adamic-Adar is NOT registrable under it; RA is the
+    published alternative that needs no log).
+
+    Scale: all three frames come from the shared okey-BUCKETED layout
+    (_order_brand_pairs) — the pair self-join AND the per-order degree
+    aggregate read co-located buckets with no Exchange; cost is
+    Σ_orders(basket²), never |brands|²; top-20 via
+    TakeOrderedAndProject."""
+    ob = _order_brand_pairs(spark, sf_dir)
+    deg = ob.groupBy(F.col("okey").alias("dokey")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .join(deg, F.col("a.okey") == F.col("dokey"))
+        .groupBy(
+            F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b")
+        )
+        .agg(
+            F.sum(F.expr("1000000 div d")).alias("ra_score_ppm"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        .orderBy(F.col("ra_score_ppm").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

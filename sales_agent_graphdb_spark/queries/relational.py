@@ -1234,3 +1234,110 @@ def sql_api_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sqlapi_orders"
     )
     return spark.sql(_SQL_FILTER_CLAUSE.format(orders="sqlapi_orders"))
+
+
+# ORDER BY ALL (Spark 4 / DuckDB): sort by every select-list item left
+# to right — the "give me deterministic output" shorthand analysts
+# reach for. Statement == oracle verbatim.
+_SQL_ORDER_BY_ALL = """
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {orders} GROUP BY ALL ORDER BY ALL
+"""
+
+
+@register(
+    "sql_api_order_by_all",
+    oracle=_SQL_ORDER_BY_ALL.format(orders="orders"),
+)
+def sql_api_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — ORDER BY ALL (21st statement surface), composed
+    with GROUP BY ALL (sql_api_group_by_all): both engines resolve ALL
+    to the full select list in order, so the statement runs verbatim
+    as its own oracle. Plans as one agg exchange + a bounded
+    |status×priority| sort — the ALL sugar adds nothing physical."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_ORDER_BY_ALL.format(orders="sqlapi_orders"))
+
+
+# LIMIT/OFFSET pagination statement. OFFSET is the anti-pattern page
+# cursor at scale — the engine must still produce (and discard) the
+# first `offset` rows of the global order, so page N costs O(N·page);
+# o5_keyset_pagination is the production form (seek on an indexed/
+# sorted key). Registered to pin the STATEMENT semantics both engines
+# share; the two docstrings together document the tradeoff.
+_SQL_LIMIT_OFFSET = """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+    FROM {orders} ORDER BY o_orderkey LIMIT 10 OFFSET 25
+"""
+
+
+@register(
+    "sql_api_limit_offset",
+    oracle=_SQL_LIMIT_OFFSET.format(orders="orders"),
+)
+def sql_api_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — LIMIT ... OFFSET (22nd statement surface).
+    Spark plans the total-ordered prefix as ONE TakeOrderedAndProject
+    of limit+offset rows (map-side partial top-35, no global sort) and
+    drops the offset at the end — correct, but the cost grows with the
+    page start, which is why the keyset twin exists."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(_SQL_LIMIT_OFFSET.format(orders="sqlapi_orders"))
+
+
+# Named WINDOW clause: one window definition shared by several
+# window functions — the deduplicated form of the three-OVER-clauses
+# statement every sessionization query starts as. The frame is the
+# default RANGE UNBOUNDED PRECEDING for rank/lag (both engines agree);
+# value passes through UNTOUCHED (raw stored doubles hash bit-equal —
+# no arithmetic, per the no-transcendentals discipline).
+_SQL_NAMED_WINDOW = """
+    SELECT user_id, event_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           lag(value) OVER w AS prev_value
+    FROM {events}
+    WHERE user_id < 20
+    QUALIFY rnk <= 3
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rnk
+"""
+
+
+@register(
+    "sql_api_named_window",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             CAST(rank() OVER w AS BIGINT) AS rnk,
+             lag(value) OVER w AS prev_value
+      FROM events WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, rnk, prev_value
+    FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk
+    """,
+)
+def sql_api_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — named WINDOW clause (23rd statement surface):
+    one shared window spec feeding rank() and lag() in a single
+    hash-partitioned window pass (user-sharded, never a global sort).
+    The oracle spells the same query with a CTE because the Spark
+    statement also exercises QUALIFY-style post-window filtering via
+    the rank alias; rows and values are identical."""
+    catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "sqlapi_events"
+    )
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT user_id, event_id,
+                 CAST(rank() OVER w AS BIGINT) AS rnk,
+                 lag(value) OVER w AS prev_value
+          FROM sqlapi_events WHERE user_id < 20
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, event_id, rnk, prev_value
+        FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk
+        """
+    )

@@ -1196,3 +1196,67 @@ def s17_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+@register(
+    "s18_text_source_roundtrip",
+    oracle="""
+    WITH esc AS (
+      SELECT doc_id, lang,
+             regexp_replace(text, '[\\n\\r\\t]', ' ', 'g') AS line
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(line)) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM esc GROUP BY lang ORDER BY lang
+    """,
+)
+def s18_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family breadth — the LINE-ORIENTED TEXT source/sink
+    (spark.read.text / df.write.text), the format every scraped-corpus
+    hand-off still uses: documents flatten to one tab-framed line each
+    (record-separator characters escaped first — the escaping IS the
+    format contract, so it appears in the oracle too), the sink writes
+    plain .txt part files, the source reads them back as a single
+    `value` column, and the parse splits each record at the FIRST two
+    tabs back into (doc_id, lang, text). The per-lang aggregate passes
+    only if every record framed, wrote, read, and parsed back exactly
+    — the oracle computes the same totals from the original parquet.
+
+    Scale: text read/write is splittable by line and streams through
+    whole-stage codegen (one regexp + two substring_index calls per
+    row, no UDF); at 100 TB this is the cheapest interchange format
+    that still parallelizes — the docstring-level warning is that it
+    carries NO schema and NO types, which is exactly what this
+    query's parse step has to reconstruct."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "text_lines")
+    line = F.concat_ws(
+        "\t",
+        F.col("doc_id").cast("string"),
+        F.col("lang"),
+        F.regexp_replace("text", "[\\n\\r\\t]", " "),
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(
+        F.substring_index("value", "\t", 1).cast("bigint").alias("doc_id"),
+        F.substring_index(F.substring_index("value", "\t", 2), "\t", -1).alias(
+            "lang"
+        ),
+        F.expr("substring(value, length(substring_index(value, '\t', 2)) + 2)").alias(
+            "text_esc"
+        ),
+    )
+    return (
+        parsed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text_esc")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )

@@ -1065,3 +1065,81 @@ def ts_cross_correlation_lagged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out.orderBy("lag_hours")
+
+
+_IUC_LEN_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "ts_interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_IUC_LEN_US} AS e
+      FROM events WHERE user_id < 50),
+    w AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM iv)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_islands,
+           CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pme, s)), 0)) // 1000
+                AS BIGINT) AS covered_ms
+    FROM w GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL UNION length (sweep line): each event opens a 5-minute
+    activity interval; per user, the total length of the UNION of its
+    intervals (overlaps merged, not double-counted) plus the island
+    count — 'how long was the user actually active' — the measure
+    behind billing meters, SLA uptime, and machine-utilization
+    rollups, and the continuous-time complement of the row-discrete
+    gaps-and-islands streaks (w10). One pass: a per-user window
+    carries the running max of PRIOR interval ends, each row then
+    contributes max(0, e − max(s, prev_max_end)) — clipping the part
+    of itself already covered — and opens a new island iff s strictly
+    exceeds every earlier end. All integer microseconds
+    (unix_micros/epoch_us), exact on both engines; // 1000 keeps the
+    output in integer ms.
+
+    Scale: ONE hash-partitioned window keyed by user (never a global
+    sort), constant state per row; at 100 TB this is the sweep-line
+    form that replaces the O(n²) interval self-join
+    (range_join_interval_overlap documents the join-shaped sibling)."""
+    ev = catalog.load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    s = F.unix_micros("ts")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        s.alias("s"),
+        (s + F.lit(_IUC_LEN_US)).alias("e"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wd = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e").over(w).alias("pme"),
+    )
+    island = F.when(
+        F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+    ).otherwise(0)
+    return (
+        wd.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(island).alias("n_islands"),
+            F.expr(
+                "sum(greatest(e - greatest(s, coalesce(pme, s)), 0)) div 1000"
+            ).alias("covered_ms"),
+        )
+        .orderBy("user_id")
+    )

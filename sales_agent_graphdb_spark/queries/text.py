@@ -931,3 +931,66 @@ def text_quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+_FH_DIM = 8  # hashed feature buckets (fixed-width output)
+
+
+@register(
+    "feature_hashing_vectorizer",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+        FROM documents WHERE doc_id < 20)
+      WHERE t <> ''),
+    b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_FH_DIM}
+               AS bkt
+      FROM tok)
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS f{i}" for i in range(8)
+           )}
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASHING-TRICK vectorizer (Weinberger et al. 2009; sklearn's
+    HashingVectorizer / Spark MLlib's HashingTF re-expressed
+    engine-portably): tokens hash straight into a FIXED number of
+    feature buckets — no vocabulary table, no fit pass, no dictionary
+    to ship. The md5-derived bucket matches the repo's portable-hash
+    discipline (same construction as the modularity community hash),
+    so the oracle reproduces the exact feature matrix. Output is the
+    bucket-count matrix as {_FH_DIM} scalar columns for a bounded doc
+    slice (driver-safe schema; production writes the full matrix as a
+    vector column).
+
+    Scale: this is THE vocabulary-free featurizer for 100 TB text —
+    one explode + one map-side-combinable groupBy(doc); state per doc
+    is {_FH_DIM} counters regardless of corpus vocabulary (contrast
+    text_vocab_build, whose model table grows with the corpus);
+    collisions are the accepted tradeoff and dimension is the knob."""
+    d = catalog.load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"),
+    ).filter(F.col("t") != "")
+    bkt = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint") % _FH_DIM
+    )
+    return (
+        tok.select("doc_id", bkt.alias("bkt"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("bkt") == i, 1).otherwise(0)).alias(f"f{i}")
+                for i in range(_FH_DIM)
+            ]
+        )
+        .orderBy("doc_id")
+    )

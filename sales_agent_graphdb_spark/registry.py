@@ -59,6 +59,21 @@ _PRIORITY: list[str] = [
     # Round 9 #2-3: green in every local sweep but never scheduled by
     # the driver (r08 registered 51 names against a 50-slot budget).
     "udf_map_in_arrow_sig", "ts_cross_correlation_lagged",
+    # Round 9 new registrations (deliberately few — VERDICT r08 #5's
+    # budget math: 14 priority names leave ~36 spare slots so the
+    # driver's tail re-checks the 7 r01 + oldest r02 stamps, now 7+
+    # rounds without a driver row).
+    # SQL front-end 20 -> 23 statements.
+    "sql_api_order_by_all", "sql_api_limit_offset", "sql_api_named_window",
+    # Model-eval + link-prediction + continuous-time coverage.
+    "stats_roc_auc", "graph_resource_allocation",
+    "ts_interval_union_coverage",
+    # Vocabulary-free featurizer, mergeable heavy-hitters sketch.
+    "feature_hashing_vectorizer", "agg_spacesaving_topk",
+    # Keep-best-copy dedup policy, line-oriented text source, MinHash
+    # estimator calibration.
+    "curation_canonical_by_quality", "s18_text_source_roundtrip",
+    "dedup_minhash_estimate_accuracy",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
