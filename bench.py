@@ -193,6 +193,22 @@ HEADLINE = [
     "udf_map_in_arrow_sig",
     # Round 8, twenty-fifth wave.
     "ts_cross_correlation_lagged",
+    # Round 9: model-eval metrics, link prediction over the shared
+    # bucketed brand projection, continuous-time coverage, the
+    # vocabulary-free featurizer, the mergeable heavy-hitter sketch,
+    # keep-best-copy dedup, the line-text roundtrip, the MinHash
+    # estimator calibration, and the three new SQL statements.
+    "stats_roc_auc",
+    "graph_resource_allocation",
+    "ts_interval_union_coverage",
+    "feature_hashing_vectorizer",
+    "agg_spacesaving_topk",
+    "curation_canonical_by_quality",
+    "s18_text_source_roundtrip",
+    "dedup_minhash_estimate_accuracy",
+    "sql_api_order_by_all",
+    "sql_api_limit_offset",
+    "sql_api_named_window",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-
@@ -232,6 +248,11 @@ WARM_FIRST = [
     # of it and the sf0.1 first touch drops to ~1.6 s ≈ warm). Warmed
     # so the bench line measures the recurring query path.
     "w5_ntile_buckets",
+    # first call builds the shared okey-bucketed (okey, brand) layout
+    # (graphq._order_brand_pairs, stamped + reused by the three
+    # projection consumers); the timed lines measure the projection
+    # queries over the existing layout
+    "graph_resource_allocation",
 ]
 
 

@@ -230,7 +230,15 @@ def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
     part_src = f"{sf_dir.rstrip('/')}/part.parquet"
     version = f"{_OB_VERSION}:{stamp.src_stamp(part_src)}"
-    if not (stamp.is_fresh(path, li_src, version) and spark.catalog.tableExists(table)):
+    if not stamp.is_fresh(path, li_src, version):
+        # (Re)build: only when the sources or the recipe changed. A
+        # fresh stamp must NEVER trigger a rewrite — the catalog is
+        # session-local (in-memory), so "table not registered" is the
+        # NORMAL state for a new session, and rewriting here deleted
+        # the bucket files out from under concurrently-running
+        # sessions holding the old file listing (measured: a r09 plan
+        # audit read FILE_NOT_EXIST mid-sweep while a checker session
+        # rebuilt the same layout).
         li = catalog.load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
@@ -244,6 +252,15 @@ def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_bucketed(ob, table, path, ["okey"], n_buckets=_OB_BUCKETS)
         stamp.mark(path, li_src, version)
+    elif not spark.catalog.tableExists(table):
+        # Fresh layout, new session: REGISTER the existing bucketed
+        # files with the same bucket spec (Spark wrote them, so the
+        # bucket-id filename encoding matches) — no data movement.
+        spark.sql(
+            f"CREATE TABLE {table} (okey BIGINT, brand STRING) USING PARQUET "
+            f"CLUSTERED BY (okey) INTO {_OB_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
     return spark.table(table)
 
 

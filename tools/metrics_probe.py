@@ -71,6 +71,11 @@ PROBED = [
     "sample_weighted_reservoir",   # one keyed top-k pass, no global sort
     "sessionize_gap_batch",        # user-sharded window, single exchange
     "vec_binary_hamming_topk",     # map-side XOR+popcount, top-k only
+    # Round 9 additions.
+    "stats_roc_auc",               # score-histogram AUC: |scores|-row shuffle only
+    "ts_interval_union_coverage",  # one user-keyed window, no interval self-join
+    "agg_spacesaving_topk",        # MG summaries: k·partitions rows move, not keys
+    "graph_resource_allocation",   # bucketed layout: pair agg shuffle only
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).

@@ -83,6 +83,7 @@ ALLOW_BNLJ = {
     "dq_drift_chi_square",  # one-row ts-bounds + one-row totals crossJoins
     "join_salted_hot_keys",  # one-row fact-total crossJoin (hot-key threshold)
     "agg_equidepth_histogram",  # one-row total-count crossJoin (ntile size rule)
+    "agg_spacesaving_topk",  # one-row stream-total crossJoin (heavy threshold n/k)
 }
 
 # Queries expected to raise during plan derivation (none today: every
