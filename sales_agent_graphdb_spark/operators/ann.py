@@ -1035,6 +1035,43 @@ def pq_encode(
     return out
 
 
+def pq_encode_arrow(
+    embeddings: DataFrame, books: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Arrow-batched twin of pq_encode — the drop-in its docstring
+    names for when the M·K unrolled expression outgrows comfortable
+    codegen width: the JVM form is ~M·K·d_sub expression nodes
+    (1024 at 8×16×8), which costs ~8 s of one-time Janino compile and
+    several seconds of py4j plan construction PER CALL (measured r09,
+    the bulk of ann_pq_adc_topk's 14 s bench line), while this form is
+    one mapInPandas pass doing the same argmax(dot − ‖c‖²/2) in numpy
+    (ties → lowest code via np.argmax's first-max, identical rule).
+    The materialized-index writer keeps the JVM form — encode there is
+    ingest-time and amortized; THIS form serves query-time encodes.
+    """
+    m_sub, k, d_sub = books.shape
+    cbs = [np.asarray(books[m], dtype=np.float64) for m in range(m_sub)]
+    half = [0.5 * np.einsum("ij,ij->i", c, c) for c in cbs]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in embeddings.schema.fields]
+        + [f"code_{m} int" for m in range(m_sub)]
+    )
+    cols = [f.name for f in embeddings.schema.fields]
+    vpos = cols.index(vec_col)
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, vpos]])
+            for m in range(m_sub):
+                xm = x[:, m * d_sub : (m + 1) * d_sub]
+                pdf[f"code_{m}"] = np.argmax(xm @ cbs[m].T - half[m], axis=1).astype(
+                    "int32"
+                )
+            yield pdf
+
+    return embeddings.mapInPandas(encode, out_schema)
+
+
 def pq_adc_score(books: np.ndarray, query_vec: list[float]) -> Column:
     """ADC score expression: Σ_m lut[m][code_m], where lut[m][c] =
     dot(q_m, c_{m,c}) is computed driver-side (M·K doubles) and rides

@@ -809,7 +809,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-computed 8×16 lookup table rides the plan as literals and
     the candidate scan reads ONLY code columns — at 100 TB the ANN
     tier scans 32× fewer bytes and touches full vectors only for the
-    C={cand} rerank survivors. Output contract (the filtered-ANN
+    C={cand} rerank survivors; the query-time corpus encode runs
+    Arrow-batched (operators/ann.pq_encode_arrow — the 1024-node JVM
+    codegen twin costs seconds of Janino compile + py4j plan
+    construction per call, measured r09, and stays on the amortized
+    ingest path). Output contract (the filtered-ANN
     pattern): the oracle-checked exact top-5 truth + a recall verdict
     from the PQ path — measured 3-4/5 at every SF on these
     near-random embeddings (floor {floor}, one notch of slack;
@@ -821,7 +825,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vec(spark, sf_dir)
     books = ann.pq_codebooks(emb, dim=64)
     base = emb.filter(F.col("vec_id") != 0)
-    enc = ann.pq_encode(base, books)
+    enc = ann.pq_encode_arrow(base, books)
     cands = (
         enc.select(
             "vec_id", ann.pq_adc_score(books, qv).alias("adc"), "embedding"

@@ -84,6 +84,7 @@ ALLOW_BNLJ = {
     "join_salted_hot_keys",  # one-row fact-total crossJoin (hot-key threshold)
     "agg_equidepth_histogram",  # one-row total-count crossJoin (ntile size rule)
     "agg_spacesaving_topk",  # one-row stream-total crossJoin (heavy threshold n/k)
+    "dedup_minhash_estimate_accuracy",  # one-row candidate-count crossJoin
 }
 
 # Queries expected to raise during plan derivation (none today: every
