@@ -183,3 +183,81 @@ def test_resource_allocation_discounts_promiscuous_orders(spark):
     assert rows
     for r in rows:
         assert 0 < r.ra_score_ppm <= r.n_common * 500_000
+
+
+def test_misra_gries_guarantee_property():
+    """Property (hypothesis): for ANY stream and k, every key with
+    frequency > n/k survives the MG counter loop — the theorem the
+    query's verdict column rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+        st.integers(min_value=2, max_value=12),
+    )
+    def prop(stream, k):
+        counters: dict[int, int] = {}
+        for key in stream:
+            if key in counters:
+                counters[key] += 1
+            elif len(counters) < k:
+                counters[key] = 1
+            else:
+                for c in list(counters):
+                    counters[c] -= 1
+                    if counters[c] == 0:
+                        del counters[c]
+        n = len(stream)
+        from collections import Counter
+
+        for key, freq in Counter(stream).items():
+            if freq * k > n:
+                assert key in counters, (key, freq, n, k)
+
+    prop()
+
+
+def test_interval_union_property():
+    """Property (hypothesis): the sweep-line recurrence (running max of
+    prior ends, contribution max(0, e - max(s, prev_max_end))) equals
+    the union length computed by explicit interval merging, for any
+    interval multiset."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=1000),
+                st.integers(min_value=1, max_value=300),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def prop(raw):
+        ivs = sorted((s, s + w) for s, w in raw)
+        # sweep-line recurrence (what the window computes)
+        covered_sweep = 0
+        pme = None
+        for s, e in ivs:
+            lo = s if pme is None else max(s, pme)
+            covered_sweep += max(0, e - lo)
+            pme = e if pme is None else max(pme, e)
+        # explicit merge
+        covered_merge = 0
+        cur_s = cur_e = None
+        for s, e in ivs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    covered_merge += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered_merge += cur_e - cur_s
+        assert covered_sweep == covered_merge
+
+    prop()

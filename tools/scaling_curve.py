@@ -79,6 +79,19 @@ DECADE2 = [
     "w10_gaps_islands_streak",
     "text_entropy_filter",
     "pct_weighted_median",
+    # r09 wave: the new data-sized families — histogram AUC (events-
+    # sized aggregate, |scores|-bounded window), sweep-line interval
+    # union (events-sized window), Misra-Gries (events-sized stream,
+    # k·partitions state), RA link prediction (lineitem-sized pair join
+    # over the shared bucketed layout), the MinHash estimator
+    # calibration (documents-sized signatures + sampled verify), and
+    # the keep-best-copy cluster window (documents-sized).
+    "stats_roc_auc",
+    "ts_interval_union_coverage",
+    "agg_spacesaving_topk",
+    "graph_resource_allocation",
+    "dedup_minhash_estimate_accuracy",
+    "curation_canonical_by_quality",
 ]
 
 
