@@ -209,6 +209,11 @@ HEADLINE = [
     "sql_api_order_by_all",
     "sql_api_limit_offset",
     "sql_api_named_window",
+    # Round 9, second wave.
+    "sql_api_values_inline",
+    "sql_api_sql_table_udf",
+    "f20_higher_order_kit",
+    "f21_approx_top_k_native",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

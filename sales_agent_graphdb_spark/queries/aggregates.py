@@ -1049,3 +1049,55 @@ def agg_spacesaving_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@register(
+    "f21_approx_top_k_native",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 10 < 4 THEN 'hot_' || (event_id % 2)
+                  ELSE 'u' || user_id END AS key
+      FROM events),
+    cnt AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n
+            FROM keyed GROUP BY key),
+    top AS (SELECT key, n FROM cnt ORDER BY n DESC, key LIMIT 2)
+    SELECT key AS item, n AS est_count, n AS exact_count
+    FROM top ORDER BY item
+    """,
+)
+def f21_approx_top_k_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21 — Spark 4's NATIVE approx_top_k aggregate (the engine-built
+    sibling of the hand-built Misra-Gries in agg_spacesaving_topk):
+    one aggregate call returns the top-k items with estimated counts
+    from a bounded-memory sketch. Same planted 40/60 hot/cold stream;
+    maxItemsTracked=16384 strictly exceeds the key domain (two hot
+    keys + ≤1,500 users at every SF, measured), so the sketch never
+    evicts and its counts are EXACT — which is what lets a DuckDB
+    oracle hash-check a sketch: est_count must EQUAL exact_count row
+    for row, and the query emits both so the equality is in the
+    hashed output, not just asserted. At 100 TB with a key domain
+    past the tracked budget the counts become estimates with the
+    Space-Saving error bound and the exact twin takes over as the
+    verifier — the two queries document that boundary from both
+    sides. The struct-array result is exploded and scalarized for the
+    driver (array outputs are banned)."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(
+            F.col("event_id") % 10 < 4,
+            F.concat(F.lit("hot_"), (F.col("event_id") % 2).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("u"), F.col("user_id").cast("string")))
+        .alias("key")
+    )
+    sk = keyed.agg(
+        F.expr("approx_top_k(key, 2, 16384)").alias("topk")
+    ).select(F.explode("topk").alias("e"))
+    est = sk.select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("est_count"),
+    )
+    exact = keyed.groupBy(F.col("key").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    return est.join(exact, "item").orderBy("item")

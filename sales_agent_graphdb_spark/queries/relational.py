@@ -1341,3 +1341,97 @@ def sql_api_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rnk <= 3 ORDER BY user_id, rnk
         """
     )
+
+
+# Inline VALUES relation: the literal lookup table analysts join
+# against without creating anything — here the priority→tier mapping.
+# Spark spells it `FROM VALUES ... AS t(...)`, DuckDB needs the
+# parenthesized `(VALUES ...) AS t(...)`; semantics identical.
+_TIER_ROWS = """('1-URGENT','hot'),('2-HIGH','hot'),('3-MEDIUM','warm'),
+             ('4-NOT SPECIFIED','cold'),('5-LOW','cold')"""
+
+
+@register(
+    "sql_api_values_inline",
+    oracle=f"""
+    SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total
+    FROM orders o
+    JOIN (VALUES {_TIER_ROWS}) AS t(prio, tier)
+      ON o.o_orderpriority = t.prio
+    GROUP BY t.tier ORDER BY t.tier
+    """,
+)
+def sql_api_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — inline VALUES relation (24th statement
+    surface): a literal mapping table joined straight into the query,
+    no temp view, no createDataFrame. Catalyst plans the 5-row
+    relation as a LocalRelation and broadcast-joins it — the
+    zero-infrastructure dimension join. DECIMAL sum, one cast out."""
+    _sqlapi_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT t.tier, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total
+        FROM sqlapi_orders o
+        JOIN (VALUES {_TIER_ROWS}) AS t(prio, tier)
+          ON o.o_orderpriority = t.prio
+        GROUP BY t.tier ORDER BY t.tier
+        """
+    )
+
+
+@register(
+    "sql_api_sql_table_udf",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC,
+                                         o_orderkey) AS rn
+      FROM orders WHERE o_custkey IN (7, 11, 21))
+    SELECT CAST(o_custkey AS BIGINT) AS cust_id, o_orderkey, total
+    FROM f WHERE rn <= 3
+    ORDER BY cust_id, total DESC, o_orderkey
+    """,
+)
+def sql_api_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end — SQL TABLE function (25th statement surface,
+    completing the SQL-UDF pair begun by sql_api_sql_udf): CREATE
+    TEMPORARY FUNCTION ... RETURNS TABLE with a parameterized SELECT
+    body, invoked through LATERAL against an inline VALUES driver
+    relation — 'top 3 orders per requested customer' as a reusable,
+    analyzer-inlined table abstraction. The oracle is the body
+    hand-inlined (a per-customer rank window over the same filtered
+    scan), proving the function indirection changes no values. The
+    invocation uses literal arguments per call — a correlated
+    LATERAL over the driver relation would be the other form, but
+    Spark 4.1 mis-plans correlated lateral table-function bodies
+    that contain ORDER BY + LIMIT to an empty result (measured r09;
+    the uncorrelated form is the supported surface), so the
+    statement sticks to what the engine executes correctly."""
+    _sqlapi_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION sqlapi_cust_top(cust BIGINT)
+        RETURNS TABLE(o_orderkey BIGINT, total DOUBLE)
+        RETURN SELECT o_orderkey,
+                      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+               FROM sqlapi_orders WHERE o_custkey = cust
+               ORDER BY 2 DESC, o_orderkey LIMIT 3
+        """
+    )
+    return spark.sql(
+        """
+        SELECT CAST(7 AS BIGINT) AS cust_id, o_orderkey, total
+        FROM sqlapi_cust_top(7)
+        UNION ALL
+        SELECT 11, o_orderkey, total FROM sqlapi_cust_top(11)
+        UNION ALL
+        SELECT 21, o_orderkey, total FROM sqlapi_cust_top(21)
+        ORDER BY cust_id, total DESC, o_orderkey
+        """
+    )

@@ -637,3 +637,99 @@ def udf_map_in_arrow_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         sig_batches, schema="doc_id long, n_bytes long, sig string"
     ).orderBy("doc_id")
+
+
+@register(
+    "f20_higher_order_kit",
+    oracle="""
+    WITH lo AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber,
+                           CAST(l_quantity AS BIGINT),
+                           CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) AS qs
+      FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey),
+    qp AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS qp_sum
+      FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+    SELECT lo.l_orderkey AS okey,
+           CAST(len(qs) AS INT) AS n_items,
+           CAST(len(list_filter(qs, x -> x >= 30)) AS INT) AS n_big,
+           len(list_filter(qs, x -> x >= 50)) > 0 AS has_max_qty,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs),
+                            (a, x) -> a + x) AS BIGINT) AS qty_sum,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qs),
+                            (a, x) -> (a * 31 + x) % 2147483648)
+                AS BIGINT) AS qty_hash,
+           qp.qp_sum
+    FROM lo JOIN qp ON qp.l_orderkey = lo.l_orderkey
+    ORDER BY okey
+    """,
+)
+def f20_higher_order_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — the HIGHER-ORDER FUNCTION surface in one certified pass:
+    transform / filter / exists / aggregate(fold) / zip_with over a
+    per-order array (quantities in l_linenumber order). These are the
+    lambdas that keep array logic INSIDE whole-stage codegen — the
+    alternative is explode → regroup (an exchange) or a Python UDF
+    (the slow boundary); at 100 TB an in-row lambda over a basket
+    array is free, the explode costs a corpus-sized shuffle.
+    Every output is integer/boolean so the fold is hash-exact:
+    qty_hash is a base-31 LEFT fold mod 2^31 (modular so 12-line
+    orders cannot overflow BIGINT — Spark would wrap silently where
+    DuckDB raises) — order-sensitive BY DESIGN to
+    certify both engines fold in identical list order (DuckDB
+    list_reduce seeds with the first element, so the oracle prepends
+    the same 0 the Spark aggregate() uses as init); qp_sum pairs
+    quantities with integer price-cents via zip_with and folds —
+    mirrored in the oracle as the plain per-row SUM it must equal."""
+    li = catalog.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    cents = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+    )
+    # ONE sorted struct array feeds both projections: (ln, q, p) is a
+    # TOTAL order (the synthetic data duplicates l_linenumber within
+    # an order — measured 11,785 dup pairs at sf0.01 — so ln alone
+    # under-specifies the fold order and zip pairing; q and p break
+    # the ties identically on both engines).
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+                cents.alias("p"),
+            )
+        )
+    )
+    lo = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.transform(arr, lambda s: s["q"]).alias("qs"),
+        F.transform(arr, lambda s: s["p"]).alias("ps"),
+    )
+    fold_sum = F.aggregate(
+        F.col("qs"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    fold_hash = F.aggregate(
+        F.col("qs"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % F.lit(2147483648),
+    )
+    qp = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("ps"), lambda q, p: q * p),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    return lo.select(
+        "okey",
+        F.size("qs").alias("n_items"),
+        F.size(F.filter(F.col("qs"), lambda x: x >= 30)).alias("n_big"),
+        F.exists(F.col("qs"), lambda x: x >= 50).alias("has_max_qty"),
+        fold_sum.alias("qty_sum"),
+        fold_hash.alias("qty_hash"),
+        qp.alias("qp_sum"),
+    ).orderBy("okey")

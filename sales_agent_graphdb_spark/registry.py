@@ -74,6 +74,13 @@ _PRIORITY: list[str] = [
     # estimator calibration.
     "curation_canonical_by_quality", "s18_text_source_roundtrip",
     "dedup_minhash_estimate_accuracy",
+    # Round 9, second wave: SQL front-end 23 -> 25 statements (inline
+    # VALUES relation, SQL TABLE function), the higher-order-lambda
+    # kit, and Spark 4's native approx_top_k next to the hand-built
+    # Misra-Gries twin. 18 priority names still leave ~32 spare
+    # driver slots for the stale-stamp tail.
+    "sql_api_values_inline", "sql_api_sql_table_udf",
+    "f20_higher_order_kit", "f21_approx_top_k_native",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
