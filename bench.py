@@ -214,6 +214,10 @@ HEADLINE = [
     "sql_api_sql_table_udf",
     "f20_higher_order_kit",
     "f21_approx_top_k_native",
+    # Round 9, third wave.
+    "stats_diff_in_diff",
+    "stats_calibration_bins",
+    "graph_clustering_coefficient",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

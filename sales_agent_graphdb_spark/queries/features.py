@@ -505,3 +505,149 @@ def stats_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5(user_id || 'did9'), 1, 15))
+                       AS BIGINT) % 2 = 0
+                  THEN 'treat' ELSE 'control' END AS arm,
+             CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN 'pre' ELSE 'post' END AS period,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    m AS (
+      SELECT arm, period,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v
+      FROM cells GROUP BY arm, period)
+    SELECT
+      (SELECT n FROM m WHERE arm = 'treat' AND period = 'pre') AS n_t_pre,
+      (SELECT n FROM m WHERE arm = 'treat' AND period = 'post') AS n_t_post,
+      (SELECT n FROM m WHERE arm = 'control' AND period = 'pre') AS n_c_pre,
+      (SELECT n FROM m WHERE arm = 'control' AND period = 'post') AS n_c_post,
+      ROUND((SELECT mean_v FROM m WHERE arm = 'treat' AND period = 'post')
+            - (SELECT mean_v FROM m WHERE arm = 'treat' AND period = 'pre')
+            - ((SELECT mean_v FROM m WHERE arm = 'control' AND period = 'post')
+               - (SELECT mean_v FROM m WHERE arm = 'control' AND period = 'pre')),
+            6) AS did_estimate
+    """,
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES readout — the quasi-experimental
+    sibling of the A/B z-test (stats_ab_test_lift): when assignment
+    is not randomized per-exposure, the causal estimate is the
+    treated arm's pre→post change MINUS the control arm's — the
+    parallel-trends identification every observational launch
+    analysis leans on. Arms come from the same md5 hash-bucketing
+    discipline (stable under re-ingestion, reproducible in SQL); the
+    period boundary is a fixed calendar instant. Numerics: per-cell
+    sums in exact DECIMAL(18,2) (the values are stored 2-dp doubles),
+    each mean is ONE exact-sum / exact-count division, and the DiD
+    closed form is three subtractions over the four identically-
+    derived doubles — bit-equal across engines, one 6-dp presentation
+    round. On this synthetic stream the estimate is a null-effect ≈0
+    by construction — which is the correct reading: the machinery is
+    certified on data where the true effect is known to be nothing.
+
+    Scale: ONE groupBy(arm, period) with map-side combine over the
+    events table — 4 cells out, closed form on the driver side of the
+    plan; at 100 TB this runs per (experiment, segment) in the same
+    pass."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("did9"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "treat",
+    ).otherwise("control")
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), "pre"
+    ).otherwise("post")
+    m = (
+        ev.select(
+            arm.alias("arm"),
+            period.alias("period"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("v").cast("double") / F.count(F.lit(1))).alias("mean_v"),
+        )
+    )
+    cell = lambda a, p, c: F.max(  # noqa: E731 — one row per (arm, period)
+        F.when((F.col("arm") == a) & (F.col("period") == p), F.col(c))
+    )
+    return m.agg(
+        cell("treat", "pre", "n").alias("n_t_pre"),
+        cell("treat", "post", "n").alias("n_t_post"),
+        cell("control", "pre", "n").alias("n_c_pre"),
+        cell("control", "post", "n").alias("n_c_post"),
+        F.round(
+            cell("treat", "post", "mean_v")
+            - cell("treat", "pre", "mean_v")
+            - (cell("control", "post", "mean_v") - cell("control", "pre", "mean_v")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+@register(
+    "stats_calibration_bins",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5600
+                  AS INT) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+    FROM b GROUP BY bin ORDER BY bin
+    """,
+)
+def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability) BINS — the companion readout to
+    stats_roc_auc: AUC certifies RANKING, calibration certifies that
+    scores mean what they say. The score axis (event value) is cut
+    into 10 FIXED-WIDTH bins via exact integer arithmetic (cents div
+    5600 — fixed-width instead of deciles precisely so the binning
+    needs no quantile pass and no window: at 100 TB the reliability
+    diagram is one map-side-combinable groupBy), and each bin reports
+    its empirical positive rate — one exact-int/exact-int division,
+    6-dp round. A calibrated scorer shows pos_rate rising with bin;
+    this synthetic stream's flat profile is the null baseline the
+    machinery is certified on.
+
+    Scale: ONE aggregate over events, 10 rows out — the cheapest
+    model-quality artifact there is, and the one that catches
+    overconfident classifiers AUC cannot."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    bin_col = F.expr(
+        "cast(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5600 as int)"
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        ev.select(bin_col.alias("bin"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.round(F.sum("y").cast("double") / F.count(F.lit(1)), 6).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )

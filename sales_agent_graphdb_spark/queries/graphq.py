@@ -1252,3 +1252,106 @@ def graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ra_score_ppm").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e AS (
+      SELECT DISTINCT a.brand AS ba, b.brand AS bb
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand),
+    und AS (
+      SELECT ba AS v, bb AS w FROM e UNION ALL SELECT bb, ba FROM e),
+    deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY v),
+    tri AS (
+      SELECT t.v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT e1.ba AS v FROM e e1 JOIN e e2 ON e2.ba = e1.bb
+          JOIN e e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+        UNION ALL
+        SELECT e1.bb FROM e e1 JOIN e e2 ON e2.ba = e1.bb
+          JOIN e e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+        UNION ALL
+        SELECT e2.bb FROM e e1 JOIN e e2 ON e2.ba = e1.bb
+          JOIN e e3 ON e3.ba = e1.ba AND e3.bb = e2.bb) t
+      GROUP BY t.v)
+    SELECT deg.v AS brand, deg.d AS degree,
+           CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(CASE WHEN deg.d >= 2
+                 THEN CAST(2 * COALESCE(tri.n_tri, 0) AS DOUBLE)
+                      / (deg.d * (deg.d - 1))
+                 ELSE 0.0 END, 6) AS clustering_coeff
+    FROM deg LEFT JOIN tri ON tri.v = deg.v
+    ORDER BY brand
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENT per node — 'how much of my
+    neighborhood knows each other': lcc(v) = 2·T(v) / (d(v)(d(v)−1)),
+    the per-node refinement of the global triangle count
+    (graph_triangle_count) and the standard community-structure
+    diagnostic next to modularity. Triangles come from the canonical
+    oriented 3-join over a<b<c edges (each triangle found EXACTLY
+    once, then credited to all three corners); degrees from the
+    symmetrized edge list. All integer until the single closed-form
+    division (exact int/int in doubles, identical both engines), 6-dp
+    round.
+
+    Scale: edges come from the shared okey-BUCKETED projection
+    (_order_brand_pairs) — the candidate self-join is Exchange-free;
+    the triangle 3-join is over the PROJECTED |brand|² -bounded edge
+    list, never the fact table; degrees broadcast. The brand graph is
+    tiny by design — the shape (oriented edge join + corner credit)
+    is the one that scales, same discipline as graph_triangle_count's
+    per-partition orientation."""
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .select(F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds degrees AND the 3-join
+    )
+    und = e.select(F.col("ba").alias("v"), F.col("bb").alias("w")).unionByName(
+        e.select(F.col("bb").alias("v"), F.col("ba").alias("w"))
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    e1 = e.select(F.col("ba").alias("x"), F.col("bb").alias("y"))
+    e2 = e.select(F.col("ba").alias("y2"), F.col("bb").alias("z"))
+    e3 = e.select(F.col("ba").alias("x3"), F.col("bb").alias("z3"))
+    tris = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+        .localCheckpoint(eager=False)
+    )
+    corners = (
+        tris.select(F.col("x").alias("v"))
+        .unionByName(tris.select(F.col("y").alias("v")))
+        .unionByName(tris.select(F.col("z").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(corners, "v", "left")
+        .select(
+            F.col("v").alias("brand"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    (2 * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+                    / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("brand")
+    )

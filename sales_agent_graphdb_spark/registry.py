@@ -81,6 +81,13 @@ _PRIORITY: list[str] = [
     # driver slots for the stale-stamp tail.
     "sql_api_values_inline", "sql_api_sql_table_udf",
     "f20_higher_order_kit", "f21_approx_top_k_native",
+    # Round 9, third wave: quasi-experimental DiD readout, the
+    # calibration companion to AUC, and per-node clustering
+    # coefficients over the shared bucketed projection. 21 priority
+    # names -> ~29 spare slots still reach all 7 r01 stamps and the
+    # oldest r02 block.
+    "stats_diff_in_diff", "stats_calibration_bins",
+    "graph_clustering_coefficient",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
