@@ -1061,6 +1061,15 @@ def pq_encode_arrow(
 
     def encode(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                # np.array over zero rows is 1-D and the subspace slice
+                # would IndexError; empty batches are routine at scale
+                # (empty partitions after a filter), so pass them
+                # through with the code columns added (ADVICE r09).
+                for m in range(m_sub):
+                    pdf[f"code_{m}"] = np.array([], dtype="int32")
+                yield pdf
+                continue
             x = np.array([np.asarray(v, dtype=np.float64) for v in pdf.iloc[:, vpos]])
             for m in range(m_sub):
                 xm = x[:, m * d_sub : (m + 1) * d_sub]

@@ -629,7 +629,10 @@ def stats_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     its empirical positive rate — one exact-int/exact-int division,
     6-dp round. A calibrated scorer shows pos_rate rising with bin;
     this synthetic stream's flat profile is the null baseline the
-    machinery is certified on.
+    machinery is certified on. Integer-division parity holds on the
+    FULL domain, negatives included: Spark `div` and DuckDB `//` BOTH
+    truncate toward zero (measured r10 — the ADVICE r09 floor claim
+    was false; tests/test_round10_ops.py pins the agreement).
 
     Scale: ONE aggregate over events, 10 rows out — the cheapest
     model-quality artifact there is, and the one that catches

@@ -224,21 +224,28 @@ _OB_BUCKETS = 16
 
 
 def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import shutil
+    import uuid
+
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
-    table = f"graph_ob_pairs_{tag}"
-    path = f"/root/repo/.scratch/graph_ob/{tag}"
     li_src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
     part_src = f"{sf_dir.rstrip('/')}/part.parquet"
     version = f"{_OB_VERSION}:{stamp.src_stamp(part_src)}"
+    # VERSION-ADDRESSED layout dir (ADVICE r09 TOCTOU): the directory
+    # name encodes both sources' stamps + the recipe, so a stale layout
+    # is never rewritten IN PLACE — a source/recipe change lands in a
+    # NEW directory while concurrent readers of the old one keep their
+    # files. Publication is an atomic os.rename from a private build
+    # dir: of two racing builders, exactly one rename succeeds and the
+    # loser discards its own build — no reader ever observes a
+    # half-deleted layout. Old-version dirs are left behind (testdata
+    # regeneration is rare and the layout is MBs); deleting them here
+    # would reintroduce delete-under-reader.
+    key = hashlib.md5(stamp.src_stamp(li_src, version).encode()).hexdigest()[:12]
+    table = f"graph_ob_pairs_{tag}_{key}"
+    path = f"/root/repo/.scratch/graph_ob/{tag}_{key}"
     if not stamp.is_fresh(path, li_src, version):
-        # (Re)build: only when the sources or the recipe changed. A
-        # fresh stamp must NEVER trigger a rewrite — the catalog is
-        # session-local (in-memory), so "table not registered" is the
-        # NORMAL state for a new session, and rewriting here deleted
-        # the bucket files out from under concurrently-running
-        # sessions holding the old file listing (measured: a r09 plan
-        # audit read FILE_NOT_EXIST mid-sweep while a checker session
-        # rebuilt the same layout).
         li = catalog.load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
@@ -250,12 +257,24 @@ def _order_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .distinct()
         )
-        write_bucketed(ob, table, path, ["okey"], n_buckets=_OB_BUCKETS)
-        stamp.mark(path, li_src, version)
-    elif not spark.catalog.tableExists(table):
-        # Fresh layout, new session: REGISTER the existing bucketed
-        # files with the same bucket spec (Spark wrote them, so the
-        # bucket-id filename encoding matches) — no data movement.
+        build_id = uuid.uuid4().hex[:8]
+        tmp_path = f"{path}.build_{build_id}"
+        tmp_table = f"{table}_b{build_id}"
+        write_bucketed(ob, tmp_table, tmp_path, ["okey"], n_buckets=_OB_BUCKETS)
+        # external table (explicit path): DROP removes metadata only
+        spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+        stamp.mark(tmp_path, li_src, version)  # marker travels with the rename
+        try:
+            os.rename(tmp_path, path)
+        except OSError:
+            # another session published the same version first — use
+            # theirs, discard ours (their files are never touched)
+            shutil.rmtree(tmp_path, ignore_errors=True)
+    if not spark.catalog.tableExists(table):
+        # REGISTER the existing bucketed files with the same bucket
+        # spec (Spark wrote them, so the bucket-id filename encoding
+        # matches) — no data movement. "Table not registered" is the
+        # NORMAL state for a new session: the catalog is in-memory.
         spark.sql(
             f"CREATE TABLE {table} (okey BIGINT, brand STRING) USING PARQUET "
             f"CLUSTERED BY (okey) INTO {_OB_BUCKETS} BUCKETS "

@@ -1294,16 +1294,11 @@ def sql_api_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # default RANGE UNBOUNDED PRECEDING for rank/lag (both engines agree);
 # value passes through UNTOUCHED (raw stored doubles hash bit-equal —
 # no arithmetic, per the no-transcendentals discipline).
-_SQL_NAMED_WINDOW = """
-    SELECT user_id, event_id,
-           CAST(rank() OVER w AS BIGINT) AS rnk,
-           lag(value) OVER w AS prev_value
-    FROM {events}
-    WHERE user_id < 20
-    QUALIFY rnk <= 3
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, rnk
-"""
+# NOTE: Spark 4.1 does NOT parse QUALIFY (probed 2026-08:
+# PARSE_SYNTAX_ERROR — tests/test_round10_ops.py pins this), so both
+# engines run the identical CTE-with-rank-filter spelling; if a Spark
+# upgrade adds QUALIFY the probe test flips and the shorter form can
+# replace the CTE.
 
 
 @register(
@@ -1323,9 +1318,9 @@ def sql_api_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL front-end — named WINDOW clause (23rd statement surface):
     one shared window spec feeding rank() and lag() in a single
     hash-partitioned window pass (user-sharded, never a global sort).
-    The oracle spells the same query with a CTE because the Spark
-    statement also exercises QUALIFY-style post-window filtering via
-    the rank alias; rows and values are identical."""
+    Both engines run the identical CTE-with-rank-filter spelling;
+    Spark 4.1 has no QUALIFY (probed — see the parser-probe test in
+    tests/test_round10_ops.py, which flips when an upgrade adds it)."""
     catalog.load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "sqlapi_events"
     )
@@ -1410,9 +1405,11 @@ def sql_api_sql_table_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     invocation uses literal arguments per call — a correlated
     LATERAL over the driver relation would be the other form, but
     Spark 4.1 mis-plans correlated lateral table-function bodies
-    that contain ORDER BY + LIMIT to an empty result (measured r09;
-    the uncorrelated form is the supported surface), so the
-    statement sticks to what the engine executes correctly."""
+    that contain ORDER BY + LIMIT to an incorrect result (empty at
+    the r09 measurement; wrong-and-incomplete rows at the r10 probe
+    in tests/test_round10_ops.py, which flips when a Spark upgrade
+    fixes the planner), so the statement sticks to what the engine
+    executes correctly."""
     _sqlapi_views(spark, sf_dir)
     spark.sql(
         """

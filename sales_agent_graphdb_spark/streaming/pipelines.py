@@ -535,38 +535,16 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
     ).orderBy("user_id", "session_start")
 
 
-def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming → lake-table maintenance via ``foreachBatch``: the
-    events stream (split into multiple microbatches) incrementally
-    upserts a per-event_type aggregate table on disk — each batch
-    merges its PARTIAL aggregate into the standing table (read → union
-    → re-aggregate → overwrite), the exact incremental-view shape of
-    incremental_agg_maintenance driven by a stream. Counts and DECIMAL
-    sums combine associatively, so after the drain the maintained
-    table must equal the one-shot batch aggregate, which the driver
-    hash-checks. At 100 TB the sink is a real MERGE INTO (Delta/
-    Iceberg); parquet overwrite of the tiny aggregate stands in with
-    identical semantics."""
-    run_id = uuid.uuid4().hex[:12]
-    src_dir = os.path.join(SCRATCH, f"febu_src_{run_id}")
-    tbl_dir = os.path.join(SCRATCH, f"febu_tbl_{run_id}")
-
-    from sales_agent_graphdb_spark import catalog as _catalog
-
-    ev = _catalog.load_table(spark, sf_dir, "events")
-    # Split the source into 3 files => 3 microbatches with
-    # maxFilesPerTrigger=1: the upsert must be exercised as an UPDATE
-    # of existing keys, not just a first insert.
-    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
-
-    batch_schema = spark.read.parquet(src_dir).schema
-
-    # foreachBatch's contract is at-least-once per batch_id: on a retry
-    # after a completed overwrite but before the checkpoint commit, the
-    # same batch is re-delivered and would double-count. Record applied
-    # ids next to the table (a real lakehouse MERGE stores them in the
-    # table's txn log) and skip re-deliveries.
-    applied_dir = os.path.join(tbl_dir, "_applied_batches")
+def make_upsert_sink(tbl_dir: str, applied_dir: str):  # noqa: ANN201
+    """The foreachBatch fold of ``foreachbatch_upsert_stream``, exposed
+    as a factory so tests can drive replay directly. foreachBatch's
+    contract is at-least-once per batch_id: on a retry after a
+    completed overwrite but before the checkpoint commit, the same
+    batch is re-delivered — and this SUM/COUNT merge (unlike the
+    idempotent KMV k-min fold) would double-count it. Applied-batch
+    markers provide the exactly-once upgrade; ``applied_dir`` MUST live
+    outside ``tbl_dir`` because each batch's overwrite deletes tbl_dir
+    wholesale (tests/test_streaming.py pins this class)."""
 
     def upsert(batch_df, batch_id):  # noqa: ANN001
         marker = os.path.join(applied_dir, str(batch_id))
@@ -593,6 +571,40 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(applied_dir, exist_ok=True)
         open(marker, "w").close()
 
+    return upsert
+
+
+def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → lake-table maintenance via ``foreachBatch``: the
+    events stream (split into multiple microbatches) incrementally
+    upserts a per-event_type aggregate table on disk — each batch
+    merges its PARTIAL aggregate into the standing table (read → union
+    → re-aggregate → overwrite), the exact incremental-view shape of
+    incremental_agg_maintenance driven by a stream. Counts and DECIMAL
+    sums combine associatively, so after the drain the maintained
+    table must equal the one-shot batch aggregate, which the driver
+    hash-checks. At 100 TB the sink is a real MERGE INTO (Delta/
+    Iceberg); parquet overwrite of the tiny aggregate stands in with
+    identical semantics."""
+    run_id = uuid.uuid4().hex[:12]
+    src_dir = os.path.join(SCRATCH, f"febu_src_{run_id}")
+    tbl_dir = os.path.join(SCRATCH, f"febu_tbl_{run_id}")
+
+    from sales_agent_graphdb_spark import catalog as _catalog
+
+    ev = _catalog.load_table(spark, sf_dir, "events")
+    # Split the source into 3 files => 3 microbatches with
+    # maxFilesPerTrigger=1: the upsert must be exercised as an UPDATE
+    # of existing keys, not just a first insert.
+    ev.repartition(3).write.mode("overwrite").parquet(src_dir)
+
+    batch_schema = spark.read.parquet(src_dir).schema
+
+    # Markers live BESIDE the table (see make_upsert_sink): a real
+    # lakehouse MERGE stores the same fact in the table's txn log.
+    applied_dir = os.path.join(SCRATCH, f"febu_applied_{run_id}")
+    upsert = make_upsert_sink(tbl_dir, applied_dir)
+
     stream = (
         spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
@@ -618,6 +630,7 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(applied_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return final
 
@@ -1106,6 +1119,43 @@ def _kmv_h(col):  # noqa: ANN001, ANN202
     )
 
 
+def make_kmv_fold_sink(tbl_dir: str, applied_dir: str):  # noqa: ANN201
+    """The foreachBatch fold of ``kmv_sketch_stream``, exposed as a
+    factory so tests can drive replay directly. The union+distinct+
+    k-min fold is idempotent on its own, but the applied-batch markers
+    still demonstrate the exactly-once upgrade; ``applied_dir`` MUST
+    live outside ``tbl_dir`` (each batch's overwrite deletes tbl_dir
+    wholesale — ADVICE r08; tests/test_streaming.py pins the class)."""
+
+    def fold(batch_df, batch_id):  # noqa: ANN001
+        marker = os.path.join(applied_dir, str(batch_id))
+        if os.path.exists(marker):
+            return  # idempotent replay
+        batch_sk = (
+            batch_df.select(_kmv_h(F.col("user_id")).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_STREAM_K)
+        )
+        if os.path.exists(os.path.join(tbl_dir, "_SUCCESS")):
+            existing = batch_df.sparkSession.read.parquet(tbl_dir)
+            merged = existing.unionByName(batch_sk)
+        else:
+            merged = batch_sk
+        out = (
+            merged.select("h")
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_STREAM_K)
+            .localCheckpoint(eager=True)  # detach from the table being overwritten
+        )
+        out.write.mode("overwrite").parquet(tbl_dir)
+        os.makedirs(applied_dir, exist_ok=True)
+        open(marker, "w").close()
+
+    return fold
+
+
 def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch KMV maintenance: 3 microbatches each build their
     own k-row sketch and FOLD it into the standing sketch table
@@ -1134,31 +1184,7 @@ def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.select("user_id").repartition(3).write.mode("overwrite").parquet(src_dir)
     batch_schema = spark.read.parquet(src_dir).schema
 
-    def fold(batch_df, batch_id):  # noqa: ANN001
-        marker = os.path.join(applied_dir, str(batch_id))
-        if os.path.exists(marker):
-            return  # idempotent replay
-        batch_sk = (
-            batch_df.select(_kmv_h(F.col("user_id")).alias("h"))
-            .distinct()
-            .orderBy("h")
-            .limit(_KMV_STREAM_K)
-        )
-        if os.path.exists(os.path.join(tbl_dir, "_SUCCESS")):
-            existing = batch_df.sparkSession.read.parquet(tbl_dir)
-            merged = existing.unionByName(batch_sk)
-        else:
-            merged = batch_sk
-        out = (
-            merged.select("h")
-            .distinct()
-            .orderBy("h")
-            .limit(_KMV_STREAM_K)
-            .localCheckpoint(eager=True)  # detach from the table being overwritten
-        )
-        out.write.mode("overwrite").parquet(tbl_dir)
-        os.makedirs(applied_dir, exist_ok=True)
-        open(marker, "w").close()
+    fold = make_kmv_fold_sink(tbl_dir, applied_dir)
 
     stream = (
         spark.readStream.schema(batch_schema)
@@ -1191,5 +1217,6 @@ def kmv_sketch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(applied_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return final

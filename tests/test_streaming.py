@@ -152,3 +152,86 @@ def test_full_outer_interval_join_covers_all_three_row_classes(spark):
     assert counts.null_view > 0, counts
     assert counts.matched > 0, counts
     assert not counts.sentinel_v and not counts.sentinel_b, counts
+
+
+# ---------------------------------------------------------------------------
+# Replay-idempotence audit for foreachBatch sinks (VERDICT r09 items 1+2).
+# The failure class appeared twice (ADVICE r08, VERDICT r09): applied-batch
+# markers stored INSIDE the sink's own output directory are deleted by the
+# sink's own overwrite, so only the latest batch's marker survives and
+# at-least-once replay protection is vacuous. This test drives every
+# marker-based foreachBatch fold directly: (a) after N batches ALL N markers
+# must survive the sink's own write mode, and (b) re-delivering an EARLIER
+# batch (not just the latest) must leave the table byte-identical — the
+# non-idempotent SUM/COUNT fold would double-count without a durable marker.
+# ---------------------------------------------------------------------------
+
+
+def _febu_batches(spark):
+    rows = [("click", 1.5), ("click", 2.5), ("buy", 10.0)]
+    return [
+        spark.createDataFrame(
+            [(t, v + i) for t, v in rows], "event_type string, value double"
+        )
+        for i in range(3)
+    ]
+
+
+def _kmv_batches(spark):
+    return [
+        spark.createDataFrame(
+            [(j,) for j in range(i * 50, i * 50 + 80)], "user_id long"
+        )
+        for i in range(3)
+    ]
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "factory_name,mk_batches",
+    [
+        ("make_upsert_sink", _febu_batches),
+        ("make_kmv_fold_sink", _kmv_batches),
+    ],
+)
+def test_foreachbatch_markers_survive_replay(spark, tmp_path, factory_name, mk_batches):
+    import os
+
+    tbl_dir = str(tmp_path / "tbl")
+    applied_dir = str(tmp_path / "applied")
+    sink = getattr(pipelines, factory_name)(tbl_dir, applied_dir)
+    batches = mk_batches(spark)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    # (a) every marker survived the sink's own overwrites — the class bug
+    # left only the latest one.
+    markers = sorted(os.listdir(applied_dir))
+    assert markers == ["0", "1", "2"], markers
+    before = sorted(map(tuple, spark.read.parquet(tbl_dir).collect()))
+    # (b) replaying an EARLIER batch (id 0 — the case the latest-only
+    # marker could never protect) is a no-op.
+    sink(batches[0], 0)
+    after = sorted(map(tuple, spark.read.parquet(tbl_dir).collect()))
+    assert after == before
+
+
+def test_no_foreachbatch_sink_keeps_state_in_its_output_dir():
+    """Static audit so the class can't recur a third time: in every
+    streaming/queries module, an `applied_dir = os.path.join(X, ...)`
+    assignment must not root the marker directory at a `*tbl_dir`-like
+    output path that some sink overwrites."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("/root/repo/sales_agent_graphdb_spark")
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        for m in re.finditer(
+            r"applied\w*\s*=\s*os\.path\.join\(\s*(\w+)", py.read_text()
+        ):
+            root = m.group(1)
+            if "tbl" in root or "out" in root or "lake" in root:
+                offenders.append(f"{py}:{root}")
+    assert offenders == [], offenders

@@ -10,6 +10,15 @@ Exit 1 if any common query regressed past THRESHOLD (warm-noise floor
 MIN_SEC filters sub-second jitter). The driver records the official
 BENCH_r{N}.json per round; this gate is the local pre-commit check so a
 regression is caught in-session, not one round later in the verdict.
+
+DRIFT PROTOCOL (VERDICT r09 #6): a loaded box inflates wall times
+1.3-2x UNIFORMLY on unchanged code with unstable flag membership —
+measured repeatedly across r08-r10. So a first-run flag is only a
+suspicion: when the first run flags anything (and the gate ran bench
+itself rather than reading a saved line), it reruns bench and reports
+only queries flagged in BOTH runs (at their best observed timing) as
+`regressed`; single-run flags are listed separately as
+`drift_suspected` and do not fail the gate.
 """
 
 from __future__ import annotations
@@ -73,24 +82,48 @@ def _current(argv: list[str]) -> dict:
     return json.loads(out)
 
 
+def _flags(pq: dict, cq: dict) -> set[str]:
+    return {
+        q for q in set(pq) & set(cq)
+        if cq[q] > pq[q] * THRESHOLD and cq[q] > MIN_SEC
+    }
+
+
 def main() -> int:
     base_path, prev = _latest_baseline()
+    pq = prev["queries"]
     cur = _current(sys.argv[1:])
-    pq, cq = prev["queries"], cur["queries"]
+    cq = dict(cur["queries"])
+    flags1 = _flags(pq, cq)
+    runs = 1
+    drift_suspected: set[str] = set()
+    if flags1 and not sys.argv[1:]:
+        # confirming warm rerun: only queries slow in BOTH runs are
+        # believed; take each query's best observed timing.
+        print(f"first run flagged {len(flags1)} — rerunning to separate "
+              "regression from box drift", file=sys.stderr)
+        cq2 = _current([])["queries"]
+        flags2 = _flags(pq, cq2)
+        confirmed = flags1 & flags2
+        drift_suspected = flags1 ^ flags2
+        cq = {q: min(cq[q], cq2.get(q, cq[q])) for q in cq}
+        # best-timing can clear a both-runs flag too (ratio from min)
+        confirmed = {q for q in confirmed if q in _flags(pq, cq)}
+        runs = 2
+    else:
+        confirmed = flags1
     common = sorted(set(pq) & set(cq))
     prev_total = sum(pq[q] for q in common)
     cur_total = sum(cq[q] for q in common)
-    regressed = [
-        (q, pq[q], cq[q])
-        for q in common
-        if cq[q] > pq[q] * THRESHOLD and cq[q] > MIN_SEC
-    ]
+    regressed = [(q, pq[q], cq[q]) for q in sorted(confirmed)]
     print(json.dumps({
         "baseline": os.path.basename(base_path),
         "common": len(common),
+        "runs": runs,
         "prev_total_sec": round(prev_total, 2),
         "cur_total_sec": round(cur_total, 2),
         "new_queries": sorted(set(cq) - set(pq)),
+        "drift_suspected": sorted(drift_suspected),
         "regressed": [
             {"query": q, "prev": round(a, 2), "cur": round(b, 2),
              "ratio": round(b / a, 2)}

@@ -45,7 +45,9 @@ for name, fn in qs.items():
         sdf = fn(spark, SF)
         srows = [tuple(r) for r in sdf.collect()]
         if name not in os_:
-            print(f"  {name}: rows-only {len(srows)} rows")
+            # rows-only check (no oracle): a legitimately-empty result
+            # is a FAILURE on both evidence trails — the artifact row
+            # and the printed verdict must agree (ADVICE r09 #4).
             record[name] = {
                 "rows_match": len(srows) > 0,
                 "schema_match": True,
@@ -54,6 +56,12 @@ for name, fn in qs.items():
                 "oracle_rows": None,
                 "err": None,
             }
+            if not srows:
+                fails.append(name)
+            print(
+                f"  {name}: rows-only {len(srows)} rows"
+                + ("" if srows else " EMPTY (counted as failure)")
+            )
             continue
         res = con.execute(os_[name])
         ocols = [d[0] for d in res.description]
