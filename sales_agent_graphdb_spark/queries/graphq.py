@@ -1374,3 +1374,90 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@register(
+    "graph_harmonic_closeness",
+    oracle="""
+    WITH RECURSIVE ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e AS (
+      SELECT DISTINCT a.brand AS ba, b.brand AS bb
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand <> b.brand),
+    walk(src, dst, d) AS (
+      SELECT ba, bb, 1 FROM e
+      UNION
+      SELECT w.src, e.bb, w.d + 1
+      FROM walk w JOIN e ON e.ba = w.dst
+      WHERE w.d < 8 AND e.bb <> w.src),
+    sp AS (SELECT src, dst, MIN(d) AS d FROM walk GROUP BY src, dst)
+    SELECT src AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_reachable,
+           CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_micro
+    FROM sp GROUP BY src
+    ORDER BY harmonic_micro DESC, brand
+    """,
+)
+def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARMONIC CLOSENESS CENTRALITY per node — Σ_{v≠u} 1/d(u,v), the
+    disconnection-safe closeness variant (unreachable pairs contribute
+    0 instead of poisoning the mean): 'which brand sits nearest to all
+    others in the co-occurrence graph', the centrality a merchandising
+    or recommendation layer ranks hubs by, complementing the
+    volume-based HITS/PageRank scores with a pure distance readout.
+    Distances come from ALL-PAIRS frontier BFS as a driver loop of
+    DataFrame steps over the projected brand graph (depth-capped at 8
+    on BOTH engines — the co-occurrence graph's diameter is 2-3, and
+    the shared cap keeps the two sides identical even if it weren't);
+    scores are INTEGER micro-units (1000000 div d — truncating
+    division, pinned identical across engines in r10), so the hash
+    never sees a float.
+
+    Scale: the BFS runs on the PROJECTED |brand|²-bounded edge list
+    from the shared okey-BUCKETED layout (_order_brand_pairs, 5th
+    consumer — the candidate self-join is Exchange-free), never the
+    fact table; each level shuffles only frontier×edges. On a big
+    graph this is the same wavefront shape as operators/graph.py's
+    bfs_distances, sharded by source vertex."""
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .select(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reach = edges.withColumn("d", F.lit(1)).localCheckpoint(eager=True)
+    frontier = edges
+    for depth in range(2, 9):
+        step = edges.select(
+            F.col("src").alias("mid"), F.col("dst").alias("nxt")
+        )
+        cand = (
+            frontier.join(step, frontier.dst == step.mid)
+            .select("src", F.col("nxt").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        nxt = cand.join(
+            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(
+            nxt.withColumn("d", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return (
+        reach.groupBy(F.col("src").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reachable"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias("harmonic_micro"),
+        )
+        .orderBy(F.col("harmonic_micro").desc(), "brand")
+    )

@@ -834,3 +834,89 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(e)
     return out.orderBy("fk")
+
+
+# Benford first-digit expectations in exact ppm, computed ONCE here
+# (round(1e6*log10(1+1/d))) and inlined as the SAME integer literals
+# into both engines' statements — the log10 never executes inside
+# either engine, keeping the no-transcendentals-in-hashed-values
+# discipline. They sum to exactly 1_000_000.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+_BENFORD_VALUES_SQL = ", ".join(
+    f"({d}, {ppm})" for d, ppm in _BENFORD_PPM.items()
+)
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)))
+                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+               AS digit
+      FROM orders WHERE o_totalprice > 0),
+    obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+    exp AS (SELECT * FROM (VALUES {_BENFORD_VALUES_SQL}) AS t(digit, exp_ppm))
+    SELECT e.digit, COALESCE(o.n, 0) AS n,
+           CAST(COALESCE(o.n, 0) * 1000000 // tot.total AS BIGINT) AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(ABS(COALESCE(o.n, 0) * 1000000 // tot.total - e.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM exp e LEFT JOIN obs o ON e.digit = o.digit CROSS JOIN tot
+    ORDER BY e.digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENFORD'S-LAW first-digit audit over order amounts — the
+    fraud/synthetic-data screen every financial data-quality suite
+    ships: naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d), and a generator (or manipulation) that
+    draws amounts uniformly shows up as a flat digit profile with
+    huge deviations on digit 1. The readout is per-digit observed vs
+    expected frequency in integer ppm (truncating division — Spark
+    `div` == DuckDB `//`, pinned cross-engine in r10) plus the
+    absolute deviation; the expectation constants are precomputed
+    Python literals inlined into both statements, so no transcendental
+    ever executes in either engine. This synthetic TPC-H-ish corpus is
+    drawn uniform-ish, so LARGE deviations are the correct verdict —
+    the audit certifies the detector fires, the complement of the
+    null-baseline discipline in stats_diff_in_diff.
+
+    Scale: first digit is one string op on the scan, then a 9-group
+    map-side-combinable count — sketch-free, one pass, 9 rows out."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("bigint")
+        .cast("string"),
+        1,
+        1,
+    ).cast("int")
+    obs = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exp = spark.createDataFrame(
+        sorted(_BENFORD_PPM.items()), "digit int, exp_ppm bigint"
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    obs_ppm = F.expr("coalesce(n, 0) * 1000000 div total")
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            obs_ppm.cast("bigint").alias("obs_ppm"),
+            F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+            F.abs(obs_ppm - F.col("exp_ppm")).cast("bigint").alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -1143,3 +1143,130 @@ def ts_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_gap_fill_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY event_type, hour),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS min_h,
+             date_trunc('hour', MAX(ts)) AS max_h
+      FROM events),
+    spine AS (
+      SELECT t.event_type,
+             unnest(generate_series(b.min_h, b.max_h, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN bounds b),
+    joined AS (
+      SELECT s.event_type, s.hour, h.total_value,
+             row_number() OVER (PARTITION BY s.event_type ORDER BY s.hour)
+               AS rn
+      FROM spine s LEFT JOIN hourly h
+        ON s.event_type = h.event_type AND s.hour = h.hour),
+    ctx AS (
+      SELECT event_type, hour, total_value,
+             last_value(total_value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN total_value IS NOT NULL THEN rn END
+                        IGNORE NULLS) OVER wb AS prn,
+             first_value(total_value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN total_value IS NOT NULL THEN rn END
+                         IGNORE NULLS) OVER wf AS nrn,
+             rn
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY hour
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           (total_value IS NULL) AS filled,
+           CASE WHEN total_value IS NOT NULL THEN ROUND(total_value, 6)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  ROUND(pv + (nv - pv) * (CAST(rn - prn AS DOUBLE)
+                                          / (nrn - prn)), 6)
+                ELSE NULL END AS total_value_interp
+    FROM ctx ORDER BY event_type, hour
+    """,
+)
+def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR INTERPOLATION — the companion
+    to ts_gap_fill_locf for quantities that trend between observations
+    (sensor readings, balances) rather than hold (status): each
+    missing hour on the dense per-key spine gets the straight-line
+    value between its nearest observed neighbors; hours before the
+    first or after the last observation stay NULL (strict
+    interpolation, no extrapolation — LOCF is the variant that
+    extends). Interpolation positions are ROW NUMBERS on the hourly
+    spine (dense, so rows == hours): integer gap distances feed one
+    double division and one multiply-add, the identical expression
+    tree on both engines, 6-dp round — no timestamp arithmetic that a
+    timezone or DST convention could skew.
+
+    Scale: identical shape to LOCF — the fact scan collapses to the
+    hourly aggregate first (map-side partial), the spine is generated
+    distributed (sequence + explode per key), and both neighbor
+    lookups are the SAME (key, hour) window pass — hours-per-key
+    state, sharded by key."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast(VAL)).cast("double").alias("total_value"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("min_h"),
+        F.date_trunc("hour", F.max("ts")).alias("max_h"),
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("min_h"), F.col("max_h"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    j = spine.join(hourly, ["event_type", "hour"], "left").withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("hour"))
+    )
+    wb = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_rn = F.when(F.col("total_value").isNotNull(), F.col("rn"))
+    ctx = j.select(
+        "event_type",
+        "hour",
+        "total_value",
+        "rn",
+        F.last("total_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_rn, ignorenulls=True).over(wb).alias("prn"),
+        F.first("total_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_rn, ignorenulls=True).over(wf).alias("nrn"),
+    )
+    interp = (
+        F.when(F.col("total_value").isNotNull(), F.round(F.col("total_value"), 6))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.round(
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (
+                    (F.col("rn") - F.col("prn")).cast("double")
+                    / (F.col("nrn") - F.col("prn"))
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.col("total_value").isNull().alias("filled"),
+        interp.alias("total_value_interp"),
+    ).orderBy("event_type", "hour")

@@ -52,42 +52,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 9 #1: r08's one red row (DECIMAL-output canonicalization),
-    # re-registered with the chain cast to DOUBLE — needs its first
-    # GREEN driver row.
-    "sql_api_lateral_column_alias",
-    # Round 9 #2-3: green in every local sweep but never scheduled by
-    # the driver (r08 registered 51 names against a 50-slot budget).
-    "udf_map_in_arrow_sig", "ts_cross_correlation_lagged",
-    # Round 9 new registrations (deliberately few — VERDICT r08 #5's
-    # budget math: 14 priority names leave ~36 spare slots so the
-    # driver's tail re-checks the 7 r01 + oldest r02 stamps, now 7+
-    # rounds without a driver row).
-    # SQL front-end 20 -> 23 statements.
-    "sql_api_order_by_all", "sql_api_limit_offset", "sql_api_named_window",
-    # Model-eval + link-prediction + continuous-time coverage.
-    "stats_roc_auc", "graph_resource_allocation",
-    "ts_interval_union_coverage",
-    # Vocabulary-free featurizer, mergeable heavy-hitters sketch.
-    "feature_hashing_vectorizer", "agg_spacesaving_topk",
-    # Keep-best-copy dedup policy, line-oriented text source, MinHash
-    # estimator calibration.
-    "curation_canonical_by_quality", "s18_text_source_roundtrip",
-    "dedup_minhash_estimate_accuracy",
-    # Round 9, second wave: SQL front-end 23 -> 25 statements (inline
-    # VALUES relation, SQL TABLE function), the higher-order-lambda
-    # kit, and Spark 4's native approx_top_k next to the hand-built
-    # Misra-Gries twin. 18 priority names still leave ~32 spare
-    # driver slots for the stale-stamp tail.
-    "sql_api_values_inline", "sql_api_sql_table_udf",
-    "f20_higher_order_kit", "f21_approx_top_k_native",
-    # Round 9, third wave: quasi-experimental DiD readout, the
-    # calibration companion to AUC, and per-node clustering
-    # coefficients over the shared bucketed projection. 21 priority
-    # names -> ~29 spare slots still reach all 7 r01 stamps and the
-    # oldest r02 block.
-    "stats_diff_in_diff", "stats_calibration_bins",
-    "graph_clustering_coefficient",
+    # Round 10 new registrations (deliberately FEW — VERDICT r09 #3:
+    # the round's job is finishing the stale-stamp rotation, so 4
+    # priority names leave ~46 spare slots for the 17 r02 + oldest
+    # r03 stamps; one more disciplined round clears the tail).
+    # Distribution-level eval, strict linear gap fill, financial DQ
+    # screen, distance centrality on the shared bucketed projection.
+    "stats_ks_two_sample", "ts_gap_fill_linear",
+    "dq_benford_first_digit", "graph_harmonic_closeness",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
@@ -98,29 +70,14 @@ _PRIORITY: list[str] = [
 #   python tools/check_queries.py --stamp  (or the snippet in
 #   CHANGES_r07.md) after each round, folding the new greens in.
 _VERIFIED_ROUND: dict[str, int] = {
-    # --- latest green row: CORRECTNESS_r01 (7 names) ---
-    "st_late_data_policy": 1, "st_session_window": 1, "st_sliding_window": 1,
-    "st_tumbling_window": 1, "v4b_batch_embed_pandas": 1,
-    "v5_ingest_chunk_embed": 1, "v7_wipe_recreate": 1,
-    # --- latest green row: CORRECTNESS_r02 (39 names) ---
-    "agent_turn_check_order": 2, "corpus_mix_weights": 2,
-    "decontaminate_ngram_overlap": 2, "dedup_minhash_lsh_portable": 2,
-    "dedup_simhash_portable": 2, "flagship_revenue_by_brand": 2,
-    "funnel_conversion": 2, "graph_brand_projection": 2, "graph_pagerank": 2,
-    "incremental_agg_maintenance": 2, "ingest_invalidate_pipeline": 2,
-    "join_bucketed_collocated": 2, "join_salted_skew": 2,
-    "m2_csv_upsert_preserve": 2, "m4_guarded_cancel": 2,
-    "m5_register_unique": 2, "mm_arrow_fidelity_probe": 2,
-    "nl2plan_broad_scan": 2, "nl2plan_category_browse": 2,
-    "nl2plan_fuzzy_name": 2, "p11_result_validity": 2,
-    "p1_point_lookup_sku": 2, "p2_lookup_by_email": 2,
-    "p3_ilike_substring": 2, "p5_multistage_fallback": 2,
-    "pipeline_curate_corpus": 2, "retention_cohorts": 2, "route_dispatch": 2,
-    "s6_graph_scan_limit": 2, "s9b_orc_roundtrip": 2,
-    "s9c_schema_evolution": 2, "sample_stratified_hash": 2,
-    "st_stream_foreachbatch_upsert": 2, "st_stream_interval_join": 2,
-    "st_stream_sessions_complete": 2, "text_bm25_search": 2,
-    "text_boilerplate_ngrams": 2, "text_pii_scrub": 2,
+    # --- latest green row: CORRECTNESS_r02 (17 names) ---
+    "p2_lookup_by_email": 2, "p3_ilike_substring": 2,
+    "p5_multistage_fallback": 2, "pipeline_curate_corpus": 2,
+    "retention_cohorts": 2, "route_dispatch": 2, "s6_graph_scan_limit": 2,
+    "s9b_orc_roundtrip": 2, "s9c_schema_evolution": 2,
+    "sample_stratified_hash": 2, "st_stream_foreachbatch_upsert": 2,
+    "st_stream_interval_join": 2, "st_stream_sessions_complete": 2,
+    "text_bm25_search": 2, "text_boilerplate_ngrams": 2, "text_pii_scrub": 2,
     "w6_rank_distributions": 2,
     # --- latest green row: CORRECTNESS_r03 (43 names) ---
     "asof_join_last_purchase": 3, "corpus_token_budget_pack": 3,
@@ -246,6 +203,31 @@ _VERIFIED_ROUND: dict[str, int] = {
     "vec_mmr_rerank": 8, "vec_random_projection_topk": 8,
     "w10_gaps_islands_streak": 8, "w11_markov_transitions": 8,
     "w12_decay_weighted_score": 8,
+    # --- latest green row: CORRECTNESS_r09 (50 names) ---
+    "agent_turn_check_order": 9, "agg_spacesaving_topk": 9,
+    "corpus_mix_weights": 9, "curation_canonical_by_quality": 9,
+    "decontaminate_ngram_overlap": 9, "dedup_minhash_estimate_accuracy": 9,
+    "dedup_minhash_lsh_portable": 9, "dedup_simhash_portable": 9,
+    "f20_higher_order_kit": 9, "f21_approx_top_k_native": 9,
+    "feature_hashing_vectorizer": 9, "flagship_revenue_by_brand": 9,
+    "funnel_conversion": 9, "graph_brand_projection": 9,
+    "graph_clustering_coefficient": 9, "graph_pagerank": 9,
+    "graph_resource_allocation": 9, "incremental_agg_maintenance": 9,
+    "ingest_invalidate_pipeline": 9, "join_bucketed_collocated": 9,
+    "join_salted_skew": 9, "m2_csv_upsert_preserve": 9,
+    "m4_guarded_cancel": 9, "m5_register_unique": 9,
+    "mm_arrow_fidelity_probe": 9, "nl2plan_broad_scan": 9,
+    "nl2plan_category_browse": 9, "nl2plan_fuzzy_name": 9,
+    "p11_result_validity": 9, "p1_point_lookup_sku": 9,
+    "s18_text_source_roundtrip": 9, "sql_api_lateral_column_alias": 9,
+    "sql_api_limit_offset": 9, "sql_api_named_window": 9,
+    "sql_api_order_by_all": 9, "sql_api_sql_table_udf": 9,
+    "sql_api_values_inline": 9, "st_late_data_policy": 9,
+    "st_session_window": 9, "st_sliding_window": 9, "st_tumbling_window": 9,
+    "stats_calibration_bins": 9, "stats_diff_in_diff": 9, "stats_roc_auc": 9,
+    "ts_cross_correlation_lagged": 9, "ts_interval_union_coverage": 9,
+    "udf_map_in_arrow_sig": 9, "v4b_batch_embed_pandas": 9,
+    "v5_ingest_chunk_embed": 9, "v7_wipe_recreate": 9,
 }
 
 # Kept for compatibility with tools that membership-test the verified

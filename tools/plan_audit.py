@@ -85,6 +85,10 @@ ALLOW_BNLJ = {
     "agg_equidepth_histogram",  # one-row total-count crossJoin (ntile size rule)
     "agg_spacesaving_topk",  # one-row stream-total crossJoin (heavy threshold n/k)
     "dedup_minhash_estimate_accuracy",  # one-row candidate-count crossJoin
+    # r10 additions — all the one-row broadcast total/bounds pattern.
+    "stats_ks_two_sample",  # one-row (N1, N2) totals crossJoin
+    "ts_gap_fill_linear",  # one-row hour-bounds crossJoin (spine generation)
+    "dq_benford_first_digit",  # one-row total-count crossJoin (ppm denominator)
 }
 
 # Queries expected to raise during plan derivation (none today: every
