@@ -218,6 +218,11 @@ HEADLINE = [
     "stats_diff_in_diff",
     "stats_calibration_bins",
     "graph_clustering_coefficient",
+    # Round 10.
+    "stats_ks_two_sample",
+    "ts_gap_fill_linear",
+    "dq_benford_first_digit",
+    "graph_harmonic_closeness",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -76,6 +76,11 @@ PROBED = [
     "ts_interval_union_coverage",  # one user-keyed window, no interval self-join
     "agg_spacesaving_topk",        # MG summaries: k·partitions rows move, not keys
     "graph_resource_allocation",   # bucketed layout: pair agg shuffle only
+    # Round 10 additions.
+    "stats_ks_two_sample",         # |distinct cents|-row histogram shuffle only
+    "ts_gap_fill_linear",          # hourly-aggregate shuffle, spine generated
+    "dq_benford_first_digit",      # 9-digit group partials only
+    "graph_harmonic_closeness",    # BFS frontiers over the projected brand graph
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
