@@ -109,3 +109,33 @@ def test_order_brand_layout_self_join_is_exchange_free(spark):
         assert "SortMergeJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_order_brand_layout_version_addressed_no_inplace_rewrite(spark, monkeypatch):
+    """ADVICE r09 TOCTOU pin: a recipe/source change must land the
+    rebuilt layout in a NEW directory (atomic-rename publication),
+    leaving the previous version's bucket files untouched for any
+    session still scanning them — a stale layout is never rewritten
+    in place."""
+    import os
+
+    from sales_agent_graphdb_spark.queries import graphq
+
+    sf = "/root/testdata/sf0.001"
+    ob1 = graphq._order_brand_pairs(spark, sf)
+    n1 = ob1.count()
+    # locate the published dir for the current recipe version
+    base = "/root/repo/.scratch/graph_ob"
+    dirs_before = {d for d in os.listdir(base) if not d.endswith("_tmp")}
+    # simulate a recipe change: bump the version tag -> new key
+    monkeypatch.setattr(graphq, "_OB_VERSION", "obvtest")
+    ob2 = graphq._order_brand_pairs(spark, sf)
+    assert ob2.count() == n1
+    dirs_after = {d for d in os.listdir(base)}
+    new_dirs = dirs_after - dirs_before
+    assert new_dirs, "recipe change must publish a NEW layout dir"
+    # every pre-existing dir survived intact (marker still present)
+    for d in dirs_before:
+        assert os.path.exists(os.path.join(base, d, "_SRC_STAMP")), d
+    # no half-built tmp dirs left behind
+    assert not [d for d in dirs_after if ".build_" in d]
