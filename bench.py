@@ -223,6 +223,8 @@ HEADLINE = [
     "ts_gap_fill_linear",
     "dq_benford_first_digit",
     "graph_harmonic_closeness",
+    "stats_cuped_variance_reduction",
+    "ts_cusum_changepoint",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

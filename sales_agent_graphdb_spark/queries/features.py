@@ -761,3 +761,136 @@ def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("d_stat"),
         )
     )
+
+
+_CUPED_ARM = (
+    "CAST(('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || 'ab8'), 1, 15)) "
+    "AS BIGINT) % 2"
+)
+
+
+@register(
+    "stats_cuped_variance_reduction",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts <  TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                      THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CASE WHEN {_CUPED_ARM} = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS nt,
+             CAST(SUM(CASE WHEN {_CUPED_ARM} = 0 THEN x ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sxt,
+             CAST(SUM(CASE WHEN {_CUPED_ARM} = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS syt
+      FROM u)
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           ROUND(1.0 - (syy - 2 * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sxy
+                        + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sxx
+                        - (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                          * (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+                       / (syy - sy * sy / n), 6) AS var_reduction,
+           ROUND(syt / nt - (sy - syt) / (n - nt)
+                 - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                   * (sxt / nt - (sx - sxt) / (n - nt)), 6) AS lift_cuped,
+           ROUND(syt / nt - (sy - syt) / (n - nt), 6) AS lift_raw
+    FROM m
+    """,
+)
+def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard variance-reduction adjustment next to the A/B
+    readout (stats_ab_test_lift) and DiD (stats_diff_in_diff): each
+    user's post-period outcome Y is adjusted by their own pre-period
+    covariate X, Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X), which
+    shrinks metric variance by corr²(X,Y) and keeps the treatment
+    estimate unbiased (arm assignment is independent of pre-period
+    behavior). Reported: θ, the achieved variance-reduction fraction,
+    and the arm lift both raw and CUPED-adjusted — on this synthetic
+    null-effect stream the two lifts agree ≈0 and the reduction is
+    the honest corr² of pre/post user activity.
+
+    Exactness: per-user X/Y are exact DECIMAL period sums (one
+    groupBy), every population moment (Σx, Σy, Σx², Σxy, Σy², per-arm
+    sums) is an exact DECIMAL sum of exact DECIMAL products, and the
+    closed forms evaluate in doubles over an identical expression
+    tree on both engines with one 6-dp round — the
+    feature_correlation discipline at user grain.
+
+    Scale: two map-side-combinable aggregations (events → users →
+    one moments row); nothing but group partials ever moves. At
+    100 TB this is the cheapest variance win an experimentation
+    platform ships."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value").cast("decimal(18,2)"))
+            .otherwise(dec0)
+        ).alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value").cast("decimal(18,2)"))
+            .otherwise(dec0)
+        ).alias("y"),
+    )
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("ab8"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.when(treat, 1).otherwise(0)).cast("double").alias("nt"),
+        F.sum(F.when(treat, F.col("x")).otherwise(dec0))
+        .cast("double")
+        .alias("sxt"),
+        F.sum(F.when(treat, F.col("y")).otherwise(dec0))
+        .cast("double")
+        .alias("syt"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    nt, sxt, syt = F.col("nt"), F.col("sxt"), F.col("syt")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # var(Y') * n = Σy² − 2θΣxy + θ²Σx² − (Σy − θΣx)²/n (identical tree
+    # on both sides; θ is spelled out inline in the SQL oracle)
+    var_adj = syy - 2 * theta * sxy + theta * theta * sxx - (
+        (sy - theta * sx) * (sy - theta * sx) / n
+    )
+    var_raw = syy - sy * sy / n
+    lift_raw = syt / nt - (sy - syt) / (n - nt)
+    lift_cuped = lift_raw - theta * (sxt / nt - (sx - sxt) / (n - nt))
+    return m.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.lit(1.0) - var_adj / var_raw, 6).alias("var_reduction"),
+        F.round(lift_cuped, 6).alias("lift_cuped"),
+        F.round(lift_raw, 6).alias("lift_raw"),
+    )

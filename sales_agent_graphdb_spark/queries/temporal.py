@@ -1270,3 +1270,112 @@ def ts_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").isNull().alias("filled"),
         interp.alias("total_value_interp"),
     ).orderBy("event_type", "hour")
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    c AS (
+      SELECT event_type, ts, event_id,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DECIMAL(28,2)) AS cum_v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS t,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS DECIMAL(28,2)) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM e),
+    s AS (
+      SELECT event_type, ts, event_id, t, n,
+             ABS(CAST(cum_v * CAST(n AS DECIMAL(9,0)) AS DECIMAL(38,2))
+                 - CAST(tot * CAST(t AS DECIMAL(9,0)) AS DECIMAL(38,2)))
+               AS num
+      FROM c),
+    r AS (
+      SELECT event_type, ts, t, n, num,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY num DESC, ts, event_id) AS rk
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS cp_ts,
+           CAST(t AS BIGINT) AS cp_pos,
+           ROUND(CAST(num AS DOUBLE) / n, 6) AS max_cusum_dev
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection per monitored series — "when did
+    the level shift": the cumulative-sum statistic S_t = Σ_{i≤t}(v_i −
+    v̄) peaks (in |·|) at the most likely mean-shift point, the
+    classical offline CUSUM scan every metric-monitoring stack runs
+    over daily pipelines. Reported per event_type: the argmax
+    timestamp, its position, and the peak deviation. On this
+    stationary synthetic stream the peak is small random-walk
+    excursion — the null baseline, same discipline as DiD/KS.
+
+    Exactness: S_t needs the mean, so it is evaluated as the exact
+    integer-style numerator n·cum_t − t·total in DECIMAL(38,2)
+    (cumulative DECIMAL sums are order-exact; products carry explicit
+    casts so both engines hit the same precision), argmax is a
+    decimal comparison with a total (ts, event_id) tiebreak, and ONE
+    double division per series at presentation (6-dp round).
+
+    Scale: one hash-partitioned window pass per series — state is the
+    running decimal pair, shuffle carries each event into its series
+    shard exactly once (the sessionize exchange). Five series here;
+    production monitors per (entity, metric) — thousands of shards,
+    same plan."""
+    e = catalog.load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    c = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("v").over(wc).cast("decimal(28,2)").alias("cum_v"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("t"),
+        F.sum("v").over(wp).cast("decimal(28,2)").alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    num = F.abs(
+        (F.col("cum_v") * F.col("n").cast("decimal(9,0)")).cast("decimal(38,2)")
+        - (F.col("tot") * F.col("t").cast("decimal(9,0)")).cast("decimal(38,2)")
+    )
+    r = c.select(
+        "event_type",
+        "ts",
+        "t",
+        "n",
+        num.alias("num"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                num.desc(), F.col("ts"), F.col("event_id")
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("cp_ts"),
+            F.col("t").cast("bigint").alias("cp_pos"),
+            F.round(F.col("num").cast("double") / F.col("n"), 6).alias(
+                "max_cusum_dev"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -60,6 +60,11 @@ _PRIORITY: list[str] = [
     # screen, distance centrality on the shared bucketed projection.
     "stats_ks_two_sample", "ts_gap_fill_linear",
     "dq_benford_first_digit", "graph_harmonic_closeness",
+    # Round 10, second wave: CUPED variance reduction (the
+    # experimentation-platform adjustment next to A/B + DiD) and the
+    # offline CUSUM changepoint scan. 6 priority names still leave
+    # ~44 spare slots on the r02/r03 tail.
+    "stats_cuped_variance_reduction", "ts_cusum_changepoint",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -81,6 +81,8 @@ PROBED = [
     "ts_gap_fill_linear",          # hourly-aggregate shuffle, spine generated
     "dq_benford_first_digit",      # 9-digit group partials only
     "graph_harmonic_closeness",    # BFS frontiers over the projected brand graph
+    "stats_cuped_variance_reduction",  # two map-side agg levels, one moments row
+    "ts_cusum_changepoint",        # one series-sharded window pass (sessionize exchange)
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
