@@ -225,6 +225,9 @@ HEADLINE = [
     "graph_harmonic_closeness",
     "stats_cuped_variance_reduction",
     "ts_cusum_changepoint",
+    "graph_weighted_assortativity",
+    "stats_power_analysis",
+    "sample_balanced_class",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

@@ -818,3 +818,69 @@ def curation_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("keep_doc_id")
     )
+
+
+@register(
+    "sample_balanced_class",
+    oracle="""
+    WITH counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_label
+      FROM embeddings GROUP BY label),
+    mn AS (SELECT MIN(n_label) AS m FROM counts),
+    ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR) || 'bal10'),
+                                         vec_id) AS rn
+      FROM embeddings),
+    kept AS (
+      SELECT r.label, r.vec_id FROM ranked r, mn WHERE r.rn <= mn.m)
+    SELECT k.label, c.n_label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(k.vec_id) AS BIGINT) AS kept_id_sum
+    FROM kept k JOIN counts c ON c.label = k.label
+    GROUP BY k.label, c.n_label ORDER BY k.label
+    """,
+)
+def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-BALANCED downsampling — the standard treatment for label
+    imbalance before classifier training: every class is cut to the
+    MINORITY class's count by keeping each label's first m rows in a
+    deterministic md5-keyed order (stable under re-ingestion and
+    reproducible in SQL — the corpus_shuffle_epoch discipline; a
+    random() sample would be unverifiable). The per-label kept-id SUM
+    rides the output so the driver hash certifies the exact membership
+    of every sample, not just its size.
+
+    Scale: one count aggregate (broadcast one minimum back) + one
+    rank-per-label window sharded by label — per-label sort state, no
+    global order. For billion-row classes the same shape degrades
+    gracefully to the hash-threshold form (keep where
+    pmod(hash) < m/n_label) that sample_stratified_hash uses; the
+    exact-m window form here is the verifiable variant."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_label"))
+    mn = counts.agg(F.min("n_label").alias("m"))
+    ranked = emb.select(
+        "label",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("label").orderBy(
+                F.md5(F.concat(F.col("vec_id").cast("string"), F.lit("bal10"))),
+                "vec_id",
+            )
+        )
+        .alias("rn"),
+    )
+    kept = ranked.crossJoin(F.broadcast(mn)).filter(F.col("rn") <= F.col("m"))
+    return (
+        kept.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("vec_id").cast("bigint").alias("kept_id_sum"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_label", "n_kept", "kept_id_sum")
+        .orderBy("label")
+    )

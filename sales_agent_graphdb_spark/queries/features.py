@@ -894,3 +894,72 @@ def stats_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(lift_cuped, 6).alias("lift_cuped"),
         F.round(lift_raw, 6).alias("lift_raw"),
     )
+
+
+# z-quantiles for alpha=0.05 (two-sided) and power=0.80, precomputed
+# ONCE here as literals inlined into BOTH statements — no inverse-CDF
+# (transcendental) ever executes in either engine.
+_Z_ALPHA_2 = 1.959964
+_Z_BETA = 0.841621
+_POWER_EFFECT_FRAC = 0.02  # minimum detectable effect: 2% of the mean
+
+
+@register(
+    "stats_power_analysis",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2))
+                           * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                  AS DOUBLE) AS ss
+      FROM events WHERE event_type = 'purchase')
+    SELECT n AS n_obs,
+           ROUND(s / n, 6) AS mean_value,
+           ROUND(sqrt((n * ss - s * s) / (n * (n - 1.0))), 6) AS sd_value,
+           ROUND({_POWER_EFFECT_FRAC} * s / n, 6) AS delta_target,
+           CAST(CEIL(2.0 * ((n * ss - s * s) / (n * (n - 1.0)))
+                     * ({_Z_ALPHA_2} + {_Z_BETA}) * ({_Z_ALPHA_2} + {_Z_BETA})
+                     / (({_POWER_EFFECT_FRAC} * s / n)
+                        * ({_POWER_EFFECT_FRAC} * s / n)))
+                AS BIGINT) AS n_required_per_arm
+    FROM m
+    """,
+)
+def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B SAMPLE-SIZE (power) ANALYSIS — the question every
+    experiment starts with: how many observations per arm to detect a
+    2% lift in purchase value at alpha=0.05 (two-sided) with 80%
+    power? n/arm = 2·sigma²·(z_alpha/2 + z_beta)² / delta² — the
+    workhorse normal-approximation formula. The z-quantiles are
+    PRECOMPUTED literals inlined into both statements (the Benford
+    discipline: no transcendental inverse-CDF executes in either
+    engine); sigma² comes from exact DECIMAL moments (n·Σv² − (Σv)²
+    over n(n−1)), evaluated in doubles on an identical expression
+    tree; sqrt is IEEE-correctly-rounded and safe in hashed output
+    (the stats_ab_test_lift precedent); CEIL of the identical double
+    is identical.
+
+    Scale: one filtered map-side-combinable aggregate — three partials
+    move, nothing else. The cheapest pre-experiment artifact there is,
+    and the one that prevents underpowered launches."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    m = ev.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(v).cast("double").alias("s"),
+        F.sum((v * v).cast("decimal(38,4)")).cast("double").alias("ss"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    delta = F.lit(_POWER_EFFECT_FRAC) * s / n
+    z = F.lit(_Z_ALPHA_2) + F.lit(_Z_BETA)
+    return m.select(
+        n.alias("n_obs"),
+        F.round(s / n, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("sd_value"),
+        F.round(delta, 6).alias("delta_target"),
+        F.ceil(F.lit(2.0) * var * z * z / (delta * delta))
+        .cast("bigint")
+        .alias("n_required_per_arm"),
+    )

@@ -65,6 +65,12 @@ _PRIORITY: list[str] = [
     # offline CUSUM changepoint scan. 6 priority names still leave
     # ~44 spare slots on the r02/r03 tail.
     "stats_cuped_variance_reduction", "ts_cusum_changepoint",
+    # Round 10, third wave: weighted assortativity (the unweighted
+    # form is degenerate — the projected brand graph is complete),
+    # pre-experiment power analysis, class-balanced downsampling.
+    # 9 priority names still leave 41 spare slots on the stamp tail.
+    "graph_weighted_assortativity", "stats_power_analysis",
+    "sample_balanced_class",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

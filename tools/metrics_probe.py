@@ -83,6 +83,8 @@ PROBED = [
     "graph_harmonic_closeness",    # BFS frontiers over the projected brand graph
     "stats_cuped_variance_reduction",  # two map-side agg levels, one moments row
     "ts_cusum_changepoint",        # one series-sharded window pass (sessionize exchange)
+    "graph_weighted_assortativity",  # moment pass over the bucketed projection
+    "sample_balanced_class",       # label-sharded rank window, one-row min broadcast
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).

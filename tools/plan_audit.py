@@ -89,6 +89,7 @@ ALLOW_BNLJ = {
     "stats_ks_two_sample",  # one-row (N1, N2) totals crossJoin
     "ts_gap_fill_linear",  # one-row hour-bounds crossJoin (spine generation)
     "dq_benford_first_digit",  # one-row total-count crossJoin (ppm denominator)
+    "sample_balanced_class",  # one-row minority-count crossJoin (balance threshold)
 }
 
 # Queries expected to raise during plan derivation (none today: every
