@@ -128,7 +128,11 @@ def test_order_brand_layout_version_addressed_no_inplace_rewrite(spark, monkeypa
     base = "/root/repo/.scratch/graph_ob"
     dirs_before = {d for d in os.listdir(base) if not d.endswith("_tmp")}
     # simulate a recipe change: bump the version tag -> new key
-    monkeypatch.setattr(graphq, "_OB_VERSION", "obvtest")
+    # (unique per run — a fixed fake tag would already be published
+    # on the second invocation and no new dir would appear)
+    import uuid
+
+    monkeypatch.setattr(graphq, "_OB_VERSION", f"obvtest{uuid.uuid4().hex[:6]}")
     ob2 = graphq._order_brand_pairs(spark, sf)
     assert ob2.count() == n1
     dirs_after = {d for d in os.listdir(base)}
