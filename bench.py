@@ -228,6 +228,7 @@ HEADLINE = [
     "graph_weighted_assortativity",
     "stats_power_analysis",
     "sample_balanced_class",
+    "ts_rolling_regression_slope",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

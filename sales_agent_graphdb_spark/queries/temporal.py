@@ -1379,3 +1379,100 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ROLL_W = 24  # trailing observations per rolling fit
+
+
+@register(
+    "ts_rolling_regression_slope",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DECIMAL(20,6)) AS y
+      FROM events GROUP BY event_type, hour),
+    idx AS (
+      SELECT event_type, hour, y,
+             CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour)
+                  AS BIGINT) AS t
+      FROM hourly),
+    wsum AS (
+      SELECT event_type, hour,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(t) OVER w AS BIGINT) AS st,
+             CAST(SUM(t * t) OVER w AS BIGINT) AS stt,
+             CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(t AS DECIMAL(10,0)) * y AS DECIMAL(31,6)))
+                  OVER w AS DOUBLE) AS sty
+      FROM idx
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW))
+    SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           ROUND((n * sty - st * sy) / (n * stt - st * st), 6) AS slope
+    FROM wsum WHERE n = {_ROLL_W} ORDER BY event_type, hour
+    """,
+)
+def ts_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING OLS TREND — the slope of a least-squares line over the
+    trailing 24 hourly observations per series: the standard
+    trend-detection readout between raw deltas (too noisy) and a full
+    model (too heavy), feeding alerting ("metric decaying for 24h")
+    and feature pipelines (trend-at-time-t features). The time axis is
+    the OBSERVATION RANK (row_number over the series), so the fit is
+    per-observation trend and no timezone/DST convention can skew the
+    two engines.
+
+    Exactness: inside each frame every sum is exact — t and t·t are
+    BIGINTs, y is an exact DECIMAL hourly total, t·y an exact DECIMAL
+    product — and the closed-form slope is one double expression over
+    identical inputs, 6-dp round. Only full 24-point windows emit
+    (partial-window slopes are a different statistic).
+
+    Scale: the fact scan collapses to the hourly aggregate first
+    (map-side partial); ONE (series)-sharded window pass computes all
+    five frame sums together — state is the 24-row frame, shuffle is
+    the hourly-aggregate exchange the gap-fill family already
+    measured (SCALE.md)."""
+    e = catalog.load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.sum(F.col("value").cast(VAL)).cast(VAL).alias("y"))
+    idx = hourly.withColumn(
+        "t",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("hour"))
+        .cast("bigint"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_ROLL_W - 1), W.currentRow)
+    )
+    ws = idx.select(
+        "event_type",
+        "hour",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("t").over(w).cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("bigint").alias("stt"),
+        F.sum("y").over(w).cast("double").alias("sy"),
+        F.sum((F.col("t").cast("decimal(10,0)") * F.col("y")).cast("decimal(31,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sty"),
+    )
+    n, st, stt, sy, sty = (
+        F.col("n"),
+        F.col("st"),
+        F.col("stt"),
+        F.col("sy"),
+        F.col("sty"),
+    )
+    return (
+        ws.filter(n == _ROLL_W)
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.round((n * sty - st * sy) / (n * stt - st * st), 6).alias("slope"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -71,6 +71,9 @@ _PRIORITY: list[str] = [
     # 9 priority names still leave 41 spare slots on the stamp tail.
     "graph_weighted_assortativity", "stats_power_analysis",
     "sample_balanced_class",
+    # Round 10, fourth wave: rolling OLS trend (alerting + trend
+    # features). 10 priority names, 40 spare slots on the stamp tail.
+    "ts_rolling_regression_slope",
 ]
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash

@@ -85,6 +85,7 @@ PROBED = [
     "ts_cusum_changepoint",        # one series-sharded window pass (sessionize exchange)
     "graph_weighted_assortativity",  # moment pass over the bucketed projection
     "sample_balanced_class",       # label-sharded rank window, one-row min broadcast
+    "ts_rolling_regression_slope",  # hourly-aggregate exchange, 5 frame sums in one pass
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
