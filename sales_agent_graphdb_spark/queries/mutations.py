@@ -571,8 +571,11 @@ def m9_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
     root = _scratch(sf_dir, "lineitem_by_month_m9")
     li = catalog.load_table(spark, sf_dir, "lineitem")
     month = F.date_format("l_shipdate", "yyyy-MM")
-    if not stamp.is_fresh(root, src_path):
-        (
+    stamp.ensure(
+        root,
+        src_path,
+        "",
+        lambda: (
             li.select(
                 "l_extendedprice",
                 "l_discount",
@@ -583,8 +586,8 @@ def m9_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFram
             .write.mode("overwrite")
             .partitionBy("ship_month")
             .parquet(root)
-        )
-        stamp.mark(root, src_path)
+        ),
+    )
     # Re-derive the corrected month from the SOURCE table (idempotent:
     # rerunning overwrites the same partition with the same rows).
     # Price math stays in exact DECIMAL end-to-end: (18,2) × (2,1)

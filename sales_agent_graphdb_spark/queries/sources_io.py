@@ -243,14 +243,17 @@ def s10_sorted_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load_table(spark, sf_dir, "lineitem")
     root = _scratch(sf_dir, "lineitem_by_shipdate")
     src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
-    if not stamp.is_fresh(root, src):
-        (
+    stamp.ensure(
+        root,
+        src,
+        "",
+        lambda: (
             li.repartitionByRange(8, F.col("l_shipdate"))
             .sortWithinPartitions("l_shipdate")
             .write.mode("overwrite")
             .parquet(root)
-        )
-        stamp.mark(root, src)
+        ),
+    )
     back = spark.read.parquet(root)
     year = back.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -364,14 +367,17 @@ def s12_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and persisted in a sidecar next to the stamp; warm calls read two
     # ints instead of rescanning the fact table.
     meta_path = os.path.join(root, "_MAXES.json")
-    mx = None
-    if stamp.is_fresh(root, src, version=_Z_RECIPE):
+    holder: dict = {}
+
+    def _maxes_valid() -> bool:
         try:
             with open(meta_path) as f:
-                mx = _json.load(f)
+                holder["mx"] = _json.load(f)
+            return True
         except (OSError, ValueError):
-            mx = None  # corrupt/missing sidecar -> rebuild below
-    if mx is None:
+            return False  # corrupt/missing sidecar -> locked rebuild
+
+    def _build_zorder() -> None:
         row = li.agg(
             F.max("l_partkey").alias("mp"), F.max("l_suppkey").alias("ms")
         ).head()
@@ -391,7 +397,10 @@ def s12_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         with open(meta_path, "w") as f:
             _json.dump(mx, f)
-        stamp.mark(root, src, version=_Z_RECIPE)
+        holder["mx"] = mx
+
+    stamp.ensure(root, src, _Z_RECIPE, _build_zorder, valid=_maxes_valid)
+    mx = holder["mx"]
     back = spark.read.parquet(root)
     # SF-relative box (20%-30% of each key range, integer arithmetic
     # identical to the oracle's) so the check is non-vacuous at every
@@ -504,23 +513,29 @@ def s13_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     frag = _scratch(sf_dir, "events_fragmented")
     compact = _scratch(sf_dir, "events_compacted")
     with_day = ev.withColumn("day", F.to_date(F.col("ts")))
-    if not stamp.is_fresh(frag, src, version=f"frag{_FRAG_FILES}"):
-        (
+    stamp.ensure(
+        frag,
+        src,
+        f"frag{_FRAG_FILES}",
+        lambda: (
             with_day.repartition(_FRAG_FILES)  # fragment every day across 8 writers
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(frag)
-        )
-        stamp.mark(frag, src, version=f"frag{_FRAG_FILES}")
-    if not stamp.is_fresh(compact, src, version="compact1"):
-        (
+        ),
+    )
+    stamp.ensure(
+        compact,
+        src,
+        "compact1",
+        lambda: (
             spark.read.parquet(frag)
             .repartition(F.col("day"))  # one task owns each day => one file
             .write.mode("overwrite")
             .partitionBy("day")
             .parquet(compact)
-        )
-        stamp.mark(compact, src, version="compact1")
+        ),
+    )
     back = spark.read.parquet(compact)
     return (
         back.groupBy("day")
@@ -917,35 +932,43 @@ def build_dpp_layout(spark: SparkSession, sf_dir: str) -> None:
     src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
     fact_root = dpp_fact_path(sf_dir)
     dim_root = dpp_dim_path(sf_dir)
-    if stamp.is_fresh(fact_root, src) and stamp.is_fresh(dim_root, src):
-        return
-    li = catalog.load_table(spark, sf_dir, "lineitem")
-    month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
-    (
-        li.select("l_extendedprice", "l_discount", "l_quantity", month)
-        # one file per month directory: the writer-side shuffle groups
-        # each partition's rows instead of every task writing 83 files
-        .repartition(F.col("ship_month"))
-        .write.mode("overwrite")
-        .partitionBy("ship_month")
-        .parquet(fact_root)
-    )
-    stamp.mark(fact_root, src)
-    (
-        li.select(month)
-        .distinct()
-        .select(
-            "ship_month",
-            F.substring("ship_month", 1, 4).cast("int").alias("cal_year"),
-            ((F.substring("ship_month", 6, 2).cast("int") - 1) / 3 + 1)
-            .cast("int")
-            .alias("cal_quarter"),
+    def _build_both() -> None:
+        li = catalog.load_table(spark, sf_dir, "lineitem")
+        month = F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+        (
+            li.select("l_extendedprice", "l_discount", "l_quantity", month)
+            # one file per month directory: the writer-side shuffle groups
+            # each partition's rows instead of every task writing 83 files
+            .repartition(F.col("ship_month"))
+            .write.mode("overwrite")
+            .partitionBy("ship_month")
+            .parquet(fact_root)
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(dim_root)
+        (
+            li.select(month)
+            .distinct()
+            .select(
+                "ship_month",
+                F.substring("ship_month", 1, 4).cast("int").alias("cal_year"),
+                ((F.substring("ship_month", 6, 2).cast("int") - 1) / 3 + 1)
+                .cast("int")
+                .alias("cal_quarter"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_root)
+        )
+        stamp.mark(dim_root, src)
+
+    # one lock (the fact root's) guards BOTH directories; the dim
+    # stamp rides the valid predicate so a half-built pair rebuilds
+    stamp.ensure(
+        fact_root,
+        src,
+        "",
+        _build_both,
+        valid=lambda: stamp.is_fresh(dim_root, src),
     )
-    stamp.mark(dim_root, src)
 
 
 @register(
@@ -1019,27 +1042,27 @@ def build_nested_orders(spark: SparkSession, sf_dir: str) -> None:
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
     root = nested_orders_path(sf_dir)
-    if stamp.is_fresh(root, src):
-        return
-    o = catalog.load_table(spark, sf_dir, "orders")
-    (
-        o.select(
-            "o_orderkey",
-            F.struct(
-                F.col("o_custkey").alias("custkey"),
-                F.col("o_orderpriority").alias("priority"),
-            ).alias("customer"),
-            F.struct(
-                F.col("o_totalprice").alias("total"),
-                (F.floor(F.col("o_totalprice") / 50000)).alias("bucket"),
-            ).alias("money"),
-            "o_orderstatus",
+    def _build_nested() -> None:
+        o = catalog.load_table(spark, sf_dir, "orders")
+        (
+            o.select(
+                "o_orderkey",
+                F.struct(
+                    F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderpriority").alias("priority"),
+                ).alias("customer"),
+                F.struct(
+                    F.col("o_totalprice").alias("total"),
+                    (F.floor(F.col("o_totalprice") / 50000)).alias("bucket"),
+                ).alias("money"),
+                "o_orderstatus",
+            )
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(root)
         )
-        .coalesce(4)
-        .write.mode("overwrite")
-        .parquet(root)
-    )
-    stamp.mark(root, src)
+
+    stamp.ensure(root, src, "", _build_nested)
 
 
 @register(
@@ -1111,23 +1134,23 @@ def build_order_snapshots(spark: SparkSession, sf_dir: str) -> None:
 
     src = f"{sf_dir.rstrip('/')}/orders.parquet"
     root = snapshot_root(sf_dir)
-    if stamp.is_fresh(root, src):
-        return
-    o = catalog.load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
-    o.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v1"))
-    v2 = o.filter(F.col("o_orderkey") % _TT_DELETE_MOD != 0).select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % _TT_CANCEL_MOD == 0, F.lit("X"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        "o_totalprice",
-    )
-    v2.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v2"))
-    with open(os.path.join(root, "_MANIFEST.json"), "w") as f:
-        _json.dump({"versions": ["v1", "v2"], "current": "v2"}, f)
-    stamp.mark(root, src)
+    def _build_snapshots() -> None:
+        o = catalog.load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        o.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v1"))
+        v2 = o.filter(F.col("o_orderkey") % _TT_DELETE_MOD != 0).select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % _TT_CANCEL_MOD == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            "o_totalprice",
+        )
+        v2.coalesce(4).write.mode("overwrite").parquet(os.path.join(root, "v2"))
+        with open(os.path.join(root, "_MANIFEST.json"), "w") as f:
+            _json.dump({"versions": ["v1", "v2"], "current": "v2"}, f)
+
+    stamp.ensure(root, src, "", _build_snapshots)
 
 
 def read_snapshot(spark: SparkSession, sf_dir: str, version: str | None = None) -> DataFrame:

@@ -118,19 +118,19 @@ def ensure_api_pages(spark: SparkSession, sf_dir: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_") or "sf"
     endpoint = f"/root/repo/.scratch/api_pages/{tag}"
     src = f"{sf_dir}/part.parquet"
-    if stamp.is_fresh(endpoint, src, _VERSION):
-        return endpoint
-    part = spark.read.parquet(src).select(
-        "p_partkey", "p_name", "p_brand", "p_retailprice"
-    )
-    (
-        part.withColumn("page", F.col("p_partkey") % _N_PAGES)
-        .repartition(1)  # one file per page dir: page count == file count
-        .write.partitionBy("page")
-        .mode("overwrite")
-        .json(endpoint)
-    )
-    stamp.mark(endpoint, src, _VERSION)
+    def _build_pages() -> None:
+        part = spark.read.parquet(src).select(
+            "p_partkey", "p_name", "p_brand", "p_retailprice"
+        )
+        (
+            part.withColumn("page", F.col("p_partkey") % _N_PAGES)
+            .repartition(1)  # one file per page dir: page count == file count
+            .write.partitionBy("page")
+            .mode("overwrite")
+            .json(endpoint)
+        )
+
+    stamp.ensure(endpoint, src, _VERSION, _build_pages)
     return endpoint
 
 

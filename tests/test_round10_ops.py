@@ -132,3 +132,69 @@ def test_pq_encode_arrow_empty_batch(spark):
     # and the non-empty path still encodes every row
     full = pq_encode_arrow(df, books, vec_col="emb")
     assert full.count() == 64
+
+
+def test_stamp_ensure_single_builder_under_race(tmp_path):
+    """stamp.ensure generalizes the r09 first-build-race fix to every
+    stamped layout: of N sessions racing a cold layout, exactly ONE
+    builds (exclusive lock + double-checked freshness) and the rest
+    wait and reuse. Two threads with independent lock fds contend the
+    same flock, so this exercises the real serialization path."""
+    import threading
+    import time
+
+    from sales_agent_graphdb_spark.sources import stamp
+
+    lay = str(tmp_path / "layout")
+    src = tmp_path / "src.txt"
+    src.write_text("x")
+    builds = []
+
+    def build():
+        time.sleep(0.3)  # hold the lock long enough for the race
+        (tmp_path / "layout").mkdir(exist_ok=True)
+        builds.append(threading.get_ident())
+
+    ts = [
+        threading.Thread(target=stamp.ensure, args=(lay, str(src), "v", build))
+        for _ in range(4)
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert len(builds) == 1, builds
+    assert stamp.is_fresh(lay, str(src), "v")
+
+
+def test_stamp_ensure_sidecar_recovery(tmp_path):
+    """A fresh stamp with a corrupt/missing sidecar must rebuild (the
+    per-site try/except recovery the ANN indexes had, now centralized
+    behind ensure's `valid` predicate)."""
+    import os
+
+    from sales_agent_graphdb_spark.sources import stamp
+
+    lay = str(tmp_path / "layout")
+    side = tmp_path / "layout" / "SIDE.json"
+    src = tmp_path / "src.txt"
+    src.write_text("x")
+    builds = []
+
+    def build():
+        (tmp_path / "layout").mkdir(exist_ok=True)
+        side.write_text("payload")
+        builds.append(1)
+
+    def valid():
+        try:
+            return side.read_text() == "payload"
+        except OSError:
+            return False
+
+    stamp.ensure(lay, str(src), "v", build, valid=valid)
+    stamp.ensure(lay, str(src), "v", build, valid=valid)  # fresh+valid: no-op
+    assert len(builds) == 1
+    os.remove(side)  # corrupt the sidecar while the stamp stays fresh
+    stamp.ensure(lay, str(src), "v", build, valid=valid)
+    assert len(builds) == 2 and valid()
