@@ -52,58 +52,22 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 10 new registrations (deliberately FEW — VERDICT r09 #3:
-    # the round's job is finishing the stale-stamp rotation, so 4
-    # priority names leave ~46 spare slots for the 17 r02 + oldest
-    # r03 stamps; one more disciplined round clears the tail).
-    # Distribution-level eval, strict linear gap fill, financial DQ
-    # screen, distance centrality on the shared bucketed projection.
-    "stats_ks_two_sample", "ts_gap_fill_linear",
-    "dq_benford_first_digit", "graph_harmonic_closeness",
-    # Round 10, second wave: CUPED variance reduction (the
-    # experimentation-platform adjustment next to A/B + DiD) and the
-    # offline CUSUM changepoint scan. 6 priority names still leave
-    # ~44 spare slots on the r02/r03 tail.
-    "stats_cuped_variance_reduction", "ts_cusum_changepoint",
-    # Round 10, third wave: weighted assortativity (the unweighted
-    # form is degenerate — the projected brand graph is complete),
-    # pre-experiment power analysis, class-balanced downsampling.
-    # 9 priority names still leave 41 spare slots on the stamp tail.
-    "graph_weighted_assortativity", "stats_power_analysis",
-    "sample_balanced_class",
-    # Round 10, fourth wave: rolling OLS trend (alerting + trend
-    # features). 10 priority names, 40 spare slots on the stamp tail.
-    "ts_rolling_regression_slope",
+    # Round 11 new registrations go here (kept FEW — VERDICT r10 #1:
+    # the round's job is clearing the 20-name r03 stamp tail and
+    # reaching the oldest r04 stamps, so <=10 priority names leave
+    # >=40 spare slots = all 20 r03 + the 20 oldest r04 names).
 ]
 
+
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
-# green, no err), derived from CORRECTNESS_r01..r06. The verified tail
+# green, no err), derived from CORRECTNESS_r01..r10. The verified tail
 # runs in ascending stamp order so re-check budget lands on the names
 # the driver has not seen longest; every name here has been green at
 # least once and never red. Regenerate with:
 #   python tools/check_queries.py --stamp  (or the snippet in
 #   CHANGES_r07.md) after each round, folding the new greens in.
 _VERIFIED_ROUND: dict[str, int] = {
-    # --- latest green row: CORRECTNESS_r02 (17 names) ---
-    "p2_lookup_by_email": 2, "p3_ilike_substring": 2,
-    "p5_multistage_fallback": 2, "pipeline_curate_corpus": 2,
-    "retention_cohorts": 2, "route_dispatch": 2, "s6_graph_scan_limit": 2,
-    "s9b_orc_roundtrip": 2, "s9c_schema_evolution": 2,
-    "sample_stratified_hash": 2, "st_stream_foreachbatch_upsert": 2,
-    "st_stream_interval_join": 2, "st_stream_sessions_complete": 2,
-    "text_bm25_search": 2, "text_boilerplate_ngrams": 2, "text_pii_scrub": 2,
-    "w6_rank_distributions": 2,
-    # --- latest green row: CORRECTNESS_r03 (43 names) ---
-    "asof_join_last_purchase": 3, "corpus_token_budget_pack": 3,
-    "dedup_cluster_canonical_portable": 3, "dedup_containment": 3,
-    "dedup_embedding_lsh": 3, "dedup_incremental_minhash_portable": 3,
-    "f11_chunk_documents": 3, "f12_f13_json_coalesce": 3,
-    "f14_f15_validation": 3, "f2_f3_price_and_surrogate": 3,
-    "f4_f5_dates_numbers": 3, "f6_f8_f9_text_kit": 3,
-    "j2_order_items_nested": 3, "o1_orderby_desc": 3, "o2_two_key_sort": 3,
-    "o4_topk_by_score": 3, "p10_validity_filter": 3,
-    "p4_conjunctive_ilike": 3, "p6_isin_status": 3, "p7_compound_key": 3,
-    "p9_client_search_filter": 3, "pct_approx_value": 3, "pct_exact_disc": 3,
+    # --- latest green row: CORRECTNESS_r03 (20 names) ---
     "range_join_value_bands": 3, "s10_sorted_scan_pruning": 3,
     "s1_s2_csv_roundtrip_golden_dialect": 3,
     "s1_s2_csv_roundtrip_scraper_dialect": 3,
@@ -242,7 +206,33 @@ _VERIFIED_ROUND: dict[str, int] = {
     "ts_cross_correlation_lagged": 9, "ts_interval_union_coverage": 9,
     "udf_map_in_arrow_sig": 9, "v4b_batch_embed_pandas": 9,
     "v5_ingest_chunk_embed": 9, "v7_wipe_recreate": 9,
+    # --- latest green row: CORRECTNESS_r10 (50 names) ---
+    "asof_join_last_purchase": 10, "corpus_token_budget_pack": 10,
+    "dedup_cluster_canonical_portable": 10, "dedup_containment": 10,
+    "dedup_embedding_lsh": 10, "dedup_incremental_minhash_portable": 10,
+    "dq_benford_first_digit": 10, "f11_chunk_documents": 10,
+    "f12_f13_json_coalesce": 10, "f14_f15_validation": 10,
+    "f2_f3_price_and_surrogate": 10, "f4_f5_dates_numbers": 10,
+    "f6_f8_f9_text_kit": 10, "graph_harmonic_closeness": 10,
+    "graph_weighted_assortativity": 10, "j2_order_items_nested": 10,
+    "o1_orderby_desc": 10, "o2_two_key_sort": 10, "o4_topk_by_score": 10,
+    "p10_validity_filter": 10, "p2_lookup_by_email": 10,
+    "p3_ilike_substring": 10, "p4_conjunctive_ilike": 10,
+    "p5_multistage_fallback": 10, "p6_isin_status": 10, "p7_compound_key": 10,
+    "p9_client_search_filter": 10, "pct_approx_value": 10,
+    "pct_exact_disc": 10, "pipeline_curate_corpus": 10,
+    "retention_cohorts": 10, "route_dispatch": 10, "s6_graph_scan_limit": 10,
+    "s9b_orc_roundtrip": 10, "s9c_schema_evolution": 10,
+    "sample_balanced_class": 10, "sample_stratified_hash": 10,
+    "st_stream_foreachbatch_upsert": 10, "st_stream_interval_join": 10,
+    "st_stream_sessions_complete": 10, "stats_cuped_variance_reduction": 10,
+    "stats_ks_two_sample": 10, "stats_power_analysis": 10,
+    "text_bm25_search": 10, "text_boilerplate_ngrams": 10,
+    "text_pii_scrub": 10, "ts_cusum_changepoint": 10,
+    "ts_gap_fill_linear": 10, "ts_rolling_regression_slope": 10,
+    "w6_rank_distributions": 10,
 }
+
 
 # Kept for compatibility with tools that membership-test the verified
 # set (tools/plan_audit.py iterates all_queries() and does not, but
