@@ -960,9 +960,8 @@ def ann_ivfpq_pruned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_SIDECAR.json",
         _build_ivfpq,
         lambda t: (
-            np.asarray(json.loads(t)["cents"]),
-            np.asarray(json.loads(t)["books"]),
-        ),
+            lambda d: (np.asarray(d["cents"]), np.asarray(d["books"]))
+        )(json.loads(t)),  # parse the sidecar payload once (ADVICE r10)
     )
     qv = _query_vec(spark, sf_dir)
     probe = [int(c) for c in np.argsort(-(cents @ np.asarray(qv)))[:_IVFPQ_PROBE]]

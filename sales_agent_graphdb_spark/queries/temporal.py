@@ -1366,11 +1366,22 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rk"),
     )
+    # Domain guard (ADVICE r10): the n/t factors ride DECIMAL(9,0), so
+    # a series past 1e9 events would overflow — silently to NULL in
+    # non-ANSI Spark (corrupting the argmax upstream of any check)
+    # while DuckDB errors. assert_true on the one output row per
+    # series makes BOTH engines fail loudly at the same bound; a >1e9
+    # deployment widens v to DECIMAL(9,2)/cum to DECIMAL(19,2) so n
+    # can carry DECIMAL(19,0) inside precision 38.
+    guard = F.assert_true(
+        F.col("n") < F.lit(1_000_000_000),
+        F.lit("ts_cusum_changepoint: series exceeds the 1e9-event DECIMAL(9,0) bound"),
+    )
     return (
         r.filter(F.col("rk") == 1)
         .select(
             "event_type",
-            F.col("n").cast("bigint").alias("n_events"),
+            F.when(guard.isNull(), F.col("n").cast("bigint")).alias("n_events"),
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("cp_ts"),
             F.col("t").cast("bigint").alias("cp_pos"),
             F.round(F.col("num").cast("double") / F.col("n"), 6).alias(

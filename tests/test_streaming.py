@@ -189,20 +189,24 @@ def _kmv_batches(spark):
 import pytest
 
 
-@pytest.mark.parametrize(
-    "factory_name,mk_batches",
-    [
-        ("make_upsert_sink", _febu_batches),
-        ("make_kmv_fold_sink", _kmv_batches),
-    ],
-)
-def test_foreachbatch_markers_survive_replay(spark, tmp_path, factory_name, mk_batches):
+def _upsert_current(spark, tbl_root):
+    return sorted(
+        map(
+            tuple,
+            spark.read.parquet(
+                pipelines.latest_committed_version(tbl_root)[1]
+            ).collect(),
+        )
+    )
+
+
+def test_kmv_markers_survive_replay(spark, tmp_path):
     import os
 
     tbl_dir = str(tmp_path / "tbl")
     applied_dir = str(tmp_path / "applied")
-    sink = getattr(pipelines, factory_name)(tbl_dir, applied_dir)
-    batches = mk_batches(spark)
+    sink = pipelines.make_kmv_fold_sink(tbl_dir, applied_dir)
+    batches = _kmv_batches(spark)
     for i, b in enumerate(batches):
         sink(b, i)
     # (a) every marker survived the sink's own overwrites — the class bug
@@ -215,6 +219,77 @@ def test_foreachbatch_markers_survive_replay(spark, tmp_path, factory_name, mk_b
     sink(batches[0], 0)
     after = sorted(map(tuple, spark.read.parquet(tbl_dir).collect()))
     assert after == before
+
+
+def test_upsert_versions_are_markers_and_replay_noops(spark, tmp_path):
+    """The upsert sink's version dirs ARE its applied-batch markers
+    (published by one atomic rename). All three must survive the full
+    drain, and re-delivering batch 0 — the case a latest-only marker
+    could never protect — must leave the current table byte-identical
+    and publish nothing new."""
+    import os
+
+    tbl_root = str(tmp_path / "tbl")
+    sink = pipelines.make_upsert_sink(tbl_root)
+    batches = _febu_batches(spark)
+    for i, b in enumerate(batches):
+        sink(b, i)
+    versions = sorted(n for n in os.listdir(tbl_root) if n.startswith("v_"))
+    assert versions == ["v_0", "v_1", "v_2"], versions
+    before = _upsert_current(spark, tbl_root)
+    sink(batches[0], 0)
+    assert _upsert_current(spark, tbl_root) == before
+    assert sorted(
+        n for n in os.listdir(tbl_root) if n.startswith("v_")
+    ) == versions
+
+
+def test_upsert_crash_between_write_and_publish_no_double_count(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 #2: simulate a crash in the old vulnerable window —
+    after the batch's table data is fully written but before its
+    marker commits. With the atomic-rename protocol the publication IS
+    the marker, so the failed attempt leaves nothing visible and the
+    retry re-merges from the PREVIOUS version: the non-idempotent
+    SUM/COUNT fold must not double-count the batch."""
+    import os
+
+    tbl_root = str(tmp_path / "tbl")
+    sink = pipelines.make_upsert_sink(tbl_root)
+    batches = _febu_batches(spark)
+    sink(batches[0], 0)
+    expected_once = sorted(
+        map(
+            tuple,
+            batches[0]
+            .unionByName(batches[1])
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(20,6)")).alias("total_d"),
+            )
+            .collect(),
+        )
+    )
+
+    real_rename = os.rename
+
+    def crash_at_publish(src, dst, *a, **kw):
+        if "/v_" in dst or dst.split(os.sep)[-1].startswith("v_"):
+            raise OSError("simulated crash between table write and publish")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", crash_at_publish)
+    with pytest.raises(OSError, match="simulated crash"):
+        sink(batches[1], 1)
+    monkeypatch.setattr(os, "rename", real_rename)
+    # Nothing was published: v_0 is still current, no v_1 marker.
+    names = sorted(n for n in os.listdir(tbl_root) if n.startswith("v_"))
+    assert names == ["v_0"], names
+    # foreachBatch redelivers batch 1; the retry must count it ONCE.
+    sink(batches[1], 1)
+    assert _upsert_current(spark, tbl_root) == expected_once
 
 
 def test_no_foreachbatch_sink_keeps_state_in_its_output_dir():

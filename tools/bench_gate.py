@@ -107,8 +107,13 @@ def main() -> int:
         confirmed = flags1 & flags2
         drift_suspected = flags1 ^ flags2
         cq = {q: min(cq[q], cq2.get(q, cq[q])) for q in cq}
-        # best-timing can clear a both-runs flag too (ratio from min)
-        confirmed = {q for q in confirmed if q in _flags(pq, cq)}
+        # best-timing can clear a both-runs flag too (ratio from min) —
+        # but a flag raised in BOTH runs must never vanish silently:
+        # demote it to drift_suspected so borderline two-run regressions
+        # stay visible in the gate output (ADVICE r10).
+        cleared = confirmed - _flags(pq, cq)
+        confirmed -= cleared
+        drift_suspected |= cleared
         runs = 2
     else:
         confirmed = flags1

@@ -226,6 +226,60 @@ def ensure() -> str:
     return OUT
 
 
+# --------------------------------------------------------------------------
+# Third decade for the GRAPH family (VERDICT r10 #4): 10x the synthetic
+# decade's fact AND 10x the brand vocabulary, so the shared projection
+# itself widens (|brand| 25 -> 250, projected edge space 300 -> 31,125
+# undirected pairs). Only the projection's two inputs are generated
+# (lineitem keys + part brand map) — this variant exists solely to
+# measure _order_brand_pairs and its consumers; nothing else reads it.
+# --------------------------------------------------------------------------
+
+VERSION3 = 1
+OUT3 = os.path.join(os.path.dirname(OUT), "sfsynth10.b250")
+N_ORDERS3 = 15_000_000   # 10x the decade-2 orders; lines/order unchanged
+N_PARTS3 = 2_000_000     # parts keep scaling with SF (driver convention)
+N_BRANDS3 = 250          # 10x the TPC-H-fixed 25 brands
+
+
+def ensure_decade3() -> str:
+    stamp3 = os.path.join(OUT3, "_SYNTH_STAMP")
+    try:
+        if json.load(open(stamp3)).get("version") == VERSION3:
+            return OUT3
+    except (OSError, ValueError):
+        pass
+    print(f"generating graph decade-3 under {OUT3} ...", file=sys.stderr)
+    os.makedirs(OUT3, exist_ok=True)
+    rng = np.random.default_rng(43)
+    lines_per_order = 1 + rng.poisson(3.075, N_ORDERS3)
+    okey = np.repeat(np.arange(N_ORDERS3, dtype=np.int64), lines_per_order)
+    n = len(okey)
+    pq.write_table(
+        pa.table({
+            "l_orderkey": okey,
+            "l_partkey": rng.integers(0, N_PARTS3, n, dtype=np.int64),
+            "l_quantity": rng.integers(1, 51, n).astype(np.float64),
+        }),
+        os.path.join(OUT3, "lineitem.parquet"),
+    )
+    brands = pa.array(
+        np.array([f"Brand#{i}" for i in range(1, N_BRANDS3 + 1)])[
+            rng.integers(0, N_BRANDS3, N_PARTS3)
+        ]
+    )
+    pq.write_table(
+        pa.table({
+            "p_partkey": np.arange(N_PARTS3, dtype=np.int64),
+            "p_brand": brands,
+        }),
+        os.path.join(OUT3, "part.parquet"),
+    )
+    with open(stamp3, "w") as fh:
+        json.dump({"version": VERSION3, "lineitem_rows": int(n)}, fh)
+    return OUT3
+
+
 if __name__ == "__main__":
     ensure()
     print(OUT)

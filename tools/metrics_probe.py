@@ -86,6 +86,7 @@ PROBED = [
     "graph_weighted_assortativity",  # moment pass over the bucketed projection
     "sample_balanced_class",       # label-sharded rank window, one-row min broadcast
     "ts_rolling_regression_slope",  # hourly-aggregate exchange, 5 frame sums in one pass
+    "stats_power_analysis",        # two map-side moment rows; shuffle ≈ 2 rows (ADVICE r10)
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).

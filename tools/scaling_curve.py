@@ -95,16 +95,57 @@ DECADE2 = [
 ]
 
 
+# --decade3graph (VERDICT r10 #4): the shared brand projection and its
+# consumers across a decade where |brand| ALSO grows — sfsynth1.0 (6M
+# lineitem, 25 brands) -> sfsynth10.b250 (60M lineitem, 250 brands), so
+# the projected edge space widens 300 -> 31,125 undirected pairs. The
+# projection BUILD is timed separately (layouts dropped first so both
+# sides build cold); the consumer rows then measure the query path over
+# the warm bucketed layout, exactly like bench.py's WARM_FIRST split.
+GRAPH3 = [
+    "graph_brand_projection",
+    "graph_modularity_score",
+    "graph_clustering_coefficient",
+    "graph_harmonic_closeness",
+]
+
+
 def main() -> int:
     names = DEFAULT
     sfs = SFS
     argv = sys.argv[1:]
+    build_rows: list[dict] = []
     if argv and argv[0] == "--decade2":
         from gen_synth_decade import ensure
 
         names = DECADE2
         sfs = ("/root/testdata/sf0.1", ensure())
         argv = argv[1:]
+    elif argv and argv[0] == "--decade3graph":
+        import glob
+        import shutil
+
+        from gen_synth_decade import ensure, ensure_decade3
+
+        from sales_agent_graphdb_spark.queries import graphq
+
+        names = GRAPH3
+        sfs = (ensure(), ensure_decade3())
+        argv = argv[1:]
+        spark3 = get_spark(app_name="scaling_curve", shuffle_partitions=32)
+        for sf_dir in sfs:
+            tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+            for d in glob.glob(f"/root/repo/.scratch/graph_ob/{tag}_*"):
+                shutil.rmtree(d, ignore_errors=True)
+            t0 = time.monotonic()
+            n_pairs = graphq._order_brand_pairs(spark3, sf_dir).count()
+            build_rows.append({
+                "query": "projection_build(_order_brand_pairs)",
+                "sf": tag,
+                "wall_s": round(time.monotonic() - t0, 2),
+                "ob_rows": n_pairs,
+            })
+            print(json.dumps(build_rows[-1]), flush=True)
     if len(argv) > 1 and argv[0] == "--queries":
         names = argv[1].split(",")
     specs = all_queries()

@@ -30,9 +30,11 @@ Corpus shape matches tools/gen_synth_decade.py's documents table
 (PCG64(42), uniform 10..100 words/doc); perf-only, never used for
 correctness oracles. Results are appended to SCALE.md by hand.
 
-Usage: python tools/vocab_probe.py   (quiet box — the 50k corpora
-broadcast verify frames that OOM the driver when a second Spark JVM
-holds half the box)
+Usage: python tools/vocab_probe.py           (fixed-width 2×2 grid)
+       python tools/vocab_probe.py --heaps   (Heaps'-law decade:
+       vocabulary grows ∝ n_docs^0.5, V=100→316 — VERDICT r10 #3)
+(quiet box — the 50k corpora broadcast verify frames that OOM the
+driver when a second Spark JVM holds half the box)
 """
 
 from __future__ import annotations
@@ -67,6 +69,22 @@ VOCAB31 = [
 
 SIZES = [5_000, 50_000]
 WIDTHS = [31, 310]
+
+# --heaps mode (VERDICT r10 #3): real corpora do not hold vocabulary
+# fixed as they grow — Heaps' law gives V ∝ N_tokens^β, β ≈ 0.4–0.6.
+# The r10 probe proved banding candidates are quadratic at ANY fixed
+# vocabulary (≈97×/decade at widths 31 and 310) and argued real
+# corpora escape via vocabulary growth; this mode measures that
+# escape on one decade where the vocabulary grows with the corpus:
+# V(5k docs) = 100, V(50k docs) = 100·√10 ≈ 316 character-diverse
+# words. If the Heaps' argument is right, the banding candidate ratio
+# falls from ≈97× toward the 10× data ratio.
+HEAPS_BETA = 0.5
+HEAPS_W0 = 100  # vocabulary at the 5k-doc anchor
+
+
+def heaps_width(n_docs: int) -> int:
+    return int(round(HEAPS_W0 * (n_docs / SIZES[0]) ** HEAPS_BETA))
 
 
 def vocab(width: int) -> list[str]:
@@ -162,45 +180,60 @@ def containment_candidates(spark, sf_dir: str) -> int:
 
 
 def main() -> None:
+    heaps = "--heaps" in sys.argv
+    if heaps:
+        cells = [(heaps_width(n), n) for n in SIZES]
+    else:
+        cells = [(w, n) for w in WIDTHS for n in SIZES]
     qs = all_queries()
     spark = get_spark(app_name="vocab_probe", shuffle_partitions=32)
     rows = []
-    for width in WIDTHS:
-        for n in SIZES:
-            sf_dir = gen_corpus(n, width)
-            t0 = time.time()
-            est = qs["dedup_minhash_estimate_accuracy"].fn(
-                spark, sf_dir
-            ).collect()[0]
-            t1 = time.time()
-            n_contain = containment_candidates(spark, sf_dir)
-            t2 = time.time()
-            row = {
-                "width": width,
-                "n_docs": n,
-                "minhash_banding_candidates": est["n_candidates"],
-                "minhash_planted": est["n_planted"],
-                "containment_candidates": n_contain,
-                "minhash_wall_sec": round(t1 - t0, 2),
-                "containment_wall_sec": round(t2 - t1, 2),
-            }
-            rows.append(row)
-            print(json.dumps(row))
+    for width, n in cells:
+        sf_dir = gen_corpus(n, width)
+        t0 = time.time()
+        est = qs["dedup_minhash_estimate_accuracy"].fn(
+            spark, sf_dir
+        ).collect()[0]
+        t1 = time.time()
+        n_contain = containment_candidates(spark, sf_dir)
+        t2 = time.time()
+        row = {
+            "width": width,
+            "n_docs": n,
+            "minhash_banding_candidates": est["n_candidates"],
+            "minhash_planted": est["n_planted"],
+            "containment_candidates": n_contain,
+            "minhash_wall_sec": round(t1 - t0, 2),
+            "containment_wall_sec": round(t2 - t1, 2),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    def ratio(lo, hi, k):
+        return round(hi[k] / lo[k], 1) if lo[k] else None
+
+    if heaps:
+        lo, hi = rows[0], rows[1]
+        print(json.dumps({
+            "mode": f"heaps_beta_{HEAPS_BETA}",
+            "widths": [lo["width"], hi["width"]],
+            "decade_minhash_candidate_ratio": ratio(
+                lo, hi, "minhash_banding_candidates"),
+            "decade_containment_candidate_ratio": ratio(
+                lo, hi, "containment_candidates"),
+        }))
+        return
     for width in WIDTHS:
         lo = next(r for r in rows
                   if r["width"] == width and r["n_docs"] == SIZES[0])
         hi = next(r for r in rows
                   if r["width"] == width and r["n_docs"] == SIZES[1])
-
-        def ratio(k):
-            return round(hi[k] / lo[k], 1) if lo[k] else None
-
         print(json.dumps({
             "width": width,
             "decade_minhash_candidate_ratio": ratio(
-                "minhash_banding_candidates"),
+                lo, hi, "minhash_banding_candidates"),
             "decade_containment_candidate_ratio": ratio(
-                "containment_candidates"),
+                lo, hi, "containment_candidates"),
         }))
 
 
