@@ -963,3 +963,293 @@ def stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_required_per_arm"),
     )
+
+
+_MW_ARM = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || 'mw11'), 1, 15)) "
+    "AS BIGINT) % 2"
+)
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CASE WHEN {_MW_ARM} = 0 THEN 1 ELSE 0 END AS a
+      FROM events),
+    g AS (
+      SELECT cents, CAST(SUM(a) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(a) AS BIGINT) AS n2
+      FROM t GROUP BY cents),
+    c AS (
+      SELECT n1, n2,
+             SUM(n2) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+      FROM g),
+    u AS (
+      SELECT CAST(SUM(CAST(n1 AS DECIMAL(19,0))
+                      * CAST(2 * c2 - n2 AS DECIMAL(19,0))) AS DOUBLE)
+               AS u1_x2,
+             CAST(SUM(n1) AS BIGINT) AS nt,
+             CAST(SUM(n2) AS BIGINT) AS nc
+      FROM c)
+    SELECT nt AS n_treat, nc AS n_control, u1_x2,
+           ROUND(u1_x2 / (2.0 * nt * nc), 6) AS effect_cl
+    FROM u
+    """,
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U — the rank-based two-sample test next to the KS
+    distance: U1 counts (treatment, control) pairs where treatment
+    wins (+ half credit for ties), so U1/(n1*n2) is the
+    common-language effect size P(X>Y) + P(X=Y)/2 — the same quantity
+    as a classifier AUC, and the robust alternative to the t-test
+    when values are heavy-tailed (purchase values are).
+
+    Exactness: the pairwise count never enumerates pairs — over the
+    per-cent histogram, 2*U1 = SUM_v n1(v) * (2*cumB(<v) + n2(v))
+    = SUM_v n1(v) * (2*c2(v) - n2(v)) with c2 the inclusive control
+    cumsum, an INTEGER identity (the tie half-credit rides the
+    factor-2 scaling). The sum is carried in DECIMAL(38,0) — n1*n2
+    pairs pass BIGINT near ~3e9 rows per arm — and cast to double
+    only at output (integral and < 2^53 at driver SFs, so exact);
+    ONE double division yields the effect size. Same saturating
+    histogram trick as stats_ks_two_sample/roc_auc: the cumulative
+    window runs over |distinct cents| (~5.6k), never raw events.
+
+    Null baseline by design: the md5 arms are exchangeable, so the
+    effect size sits at ~0.5 — the discipline every stats_* query
+    here follows."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    arm_treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("mw11"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0
+    )
+    g = (
+        ev.select(
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            F.when(arm_treat, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("a").alias("n1"),
+            (F.count(F.lit(1)) - F.sum("a")).alias("n2"),
+        )
+    )
+    w = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = g.select("n1", "n2", F.sum("n2").over(w).alias("c2"))
+    u = c.agg(
+        F.sum(
+            F.col("n1").cast("decimal(19,0)")
+            * (F.lit(2) * F.col("c2") - F.col("n2")).cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("u1_x2"),
+        F.sum("n1").cast("bigint").alias("nt"),
+        F.sum("n2").cast("bigint").alias("nc"),
+    )
+    return u.select(
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        "u1_x2",
+        F.round(
+            F.col("u1_x2") / (F.lit(2.0) * F.col("nt") * F.col("nc")), 6
+        ).alias("effect_cl"),
+    )
+
+
+@register(
+    "stats_gini_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM spend),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(i AS DECIMAL(19,0))
+                      * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS ws
+      FROM r)
+    SELECT n AS n_customers,
+           ROUND(s / 100.0, 2) AS total_spend,
+           ROUND((2.0 * ws - (n + 1.0) * s) / (n * s), 6) AS gini
+    FROM m
+    """,
+)
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer spend concentration — "what share
+    of revenue sits with the top customers": G = (2*SUM i*x_(i)
+    - (n+1)*SUM x) / (n*SUM x) over the ascending-sorted per-customer
+    totals, the closed rank form of the Lorenz-curve area. The
+    standard concentration/inequality KPI for revenue, token budgets,
+    and data-source mix audits.
+
+    Exactness: spend is aggregated in DECIMAL cents (BIGINT per
+    customer), the rank weight i*x_i is a DECIMAL(19,0)*DECIMAL(19,0)
+    product summed in DECIMAL(38,0), and the G formula is evaluated
+    in doubles on an identical expression tree with one 6-dp round.
+    Ties carry a total (cents, custkey) rank order on both engines.
+
+    Scale: the global rank window runs over the AGGREGATED
+    per-customer frame — |customers| rows, not orders (the same
+    aggregate-first collapse as pct_exact_disc); at 100 TB the
+    window input is the dimension cardinality and the fact table
+    never leaves its map-side SUM partials."""
+    o = catalog.load_table(spark, sf_dir, "orders")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    r = spend.select(
+        "cents",
+        F.row_number().over(W.orderBy("cents", "o_custkey")).alias("i"),
+    )
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double").alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(19,0)") * F.col("cents").cast("decimal(19,0)")
+        )
+        .cast("double")
+        .alias("ws"),
+    )
+    n, s, ws = F.col("n"), F.col("s"), F.col("ws")
+    return m.select(
+        n.alias("n_customers"),
+        F.round(s / F.lit(100.0), 2).alias("total_spend"),
+        F.round(
+            (F.lit(2.0) * ws - (n + F.lit(1.0)) * s) / (n * s), 6
+        ).alias("gini"),
+    )
+
+
+_BOOT_B = 20      # bootstrap replicas
+_BOOT_MOD = 3     # keep ~1/3 of rows per replica (m-out-of-n)
+_BOOT_LO_RK = 2   # order statistics of the B replica means
+_BOOT_HI_RK = 19
+
+
+@register(
+    "stats_bootstrap_ci_hash",
+    oracle=f"""
+    WITH reps AS (
+      SELECT t.b, CAST(e.value AS DECIMAL(18,2)) AS v
+      FROM events e CROSS JOIN range({_BOOT_B}) t(b)
+      WHERE e.event_type = 'purchase'
+        AND CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || ':'
+                  || CAST(t.b AS VARCHAR) || 'boot11'), 1, 15)) AS BIGINT)
+            % {_BOOT_MOD} = 0),
+    means AS (
+      SELECT b, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM reps GROUP BY b),
+    r AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+    base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS pm
+      FROM events WHERE event_type = 'purchase')
+    SELECT base.n_obs, ROUND(base.pm, 6) AS point_mean,
+           ROUND(MAX(CASE WHEN rk = {_BOOT_LO_RK} THEN m END), 6) AS ci_lo,
+           ROUND(MAX(CASE WHEN rk = {_BOOT_HI_RK} THEN m END), 6) AS ci_hi
+    FROM r, base GROUP BY base.n_obs, base.pm
+    """,
+)
+def stats_bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP CONFIDENCE INTERVAL for the mean purchase value via
+    HASH-DETERMINISTIC m-out-of-n resampling — the distribution-free
+    error bar for any pipeline metric. Classical bootstrap draws
+    random with-replacement samples; on a cluster (and against a
+    cross-engine oracle) randomness is a liability, so replica b
+    keeps the rows where md5(event_id, b) lands in a fixed residue
+    class (~n/3 rows) — the m-out-of-n subsampling bootstrap, fully
+    deterministic, reproducible at any parallelism, and embarrassingly
+    parallel: the B=20 replicas materialize as ONE explode + one
+    grouped aggregate, never B passes over the data.
+
+    Exactness: per-replica sums ride DECIMAL(18,2) (order-exact), the
+    per-replica mean is the identical double expression on both
+    engines, and the CI endpoints are exact ORDER STATISTICS (ranks
+    2 and 19 of the 20 sorted replica means — a central ~85%
+    interval) with a (mean, b) total tiebreak — no inverse-CDF, no
+    RNG, nothing transcendental in the hashed doubles.
+
+    Scale: the explode multiplies the filtered fact by B before the
+    map-side combine, so shuffle is B×|partials|; at 100 TB pick
+    B~100 and the residue class per budget — still one pass. The
+    replica-mean window runs over B rows."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    pur = ev.filter(F.col("event_type") == "purchase")
+    keep = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                        F.lit("boot11"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BOOT_MOD
+        == 0
+    )
+    reps = (
+        pur.select("event_id", v.alias("v"))
+        .withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+        )
+        .filter(keep)
+    )
+    means = reps.groupBy("b").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    r = means.select(
+        "m", F.row_number().over(W.orderBy("m", "b")).alias("rk")
+    )
+    base = pur.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("pm"),
+    )
+    return (
+        r.crossJoin(F.broadcast(base))
+        .groupBy("n_obs", "pm")
+        .agg(
+            F.max(F.when(F.col("rk") == _BOOT_LO_RK, F.col("m"))).alias("lo"),
+            F.max(F.when(F.col("rk") == _BOOT_HI_RK, F.col("m"))).alias("hi"),
+        )
+        .select(
+            "n_obs",
+            F.round(F.col("pm"), 6).alias("point_mean"),
+            F.round(F.col("lo"), 6).alias("ci_lo"),
+            F.round(F.col("hi"), 6).alias("ci_hi"),
+        )
+    )

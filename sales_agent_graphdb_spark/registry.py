@@ -52,10 +52,14 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 11 new registrations go here (kept FEW — VERDICT r10 #1:
+    # Round 11 new registrations (kept FEW — VERDICT r10 #1:
     # the round's job is clearing the 20-name r03 stamp tail and
     # reaching the oldest r04 stamps, so <=10 priority names leave
     # >=40 spare slots = all 20 r03 + the 20 oldest r04 names).
+    # First wave: rank-based two-sample test, revenue concentration,
+    # deterministic bootstrap error bars.
+    "stats_mann_whitney_u", "stats_gini_concentration",
+    "stats_bootstrap_ci_hash",
 ]
 
 
