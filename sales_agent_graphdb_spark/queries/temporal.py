@@ -1487,3 +1487,232 @@ def ts_rolling_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "ts_var_expected_shortfall",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, cents),
+    c AS (
+      SELECT event_type, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+             SUM(CAST(cents AS DECIMAL(19,0)) * cnt) OVER (
+               PARTITION BY event_type ORDER BY cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g),
+    k AS (
+      SELECT event_type, cents, cnt, c, s, n, (n + 99) // 100 AS k
+      FROM c),
+    hit AS (
+      SELECT event_type, n, k, cents,
+             CAST(s - CAST(cents AS DECIMAL(19,0)) * cnt
+                  + CAST(cents AS DECIMAL(19,0)) * (k - (c - cnt))
+                  AS DOUBLE) AS tail_sum
+      FROM k WHERE c >= k AND c - cnt < k)
+    SELECT event_type, CAST(n AS BIGINT) AS n_events,
+           ROUND(CAST(cents AS DOUBLE) / 100, 2) AS var_99,
+           ROUND(tail_sum / (k * 100.0), 6) AS es_99
+    FROM hit ORDER BY event_type
+    """,
+)
+def ts_var_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-AT-RISK (p99) and EXPECTED SHORTFALL per monitored
+    series — the tail-risk pair behind cost/latency/fraud alerting:
+    VaR_99 is the smallest value such that at most 1% of events
+    exceed it; ES_99 is the MEAN of that worst 1% (the coherent risk
+    measure Basel replaced VaR with, and the better alerting signal
+    because it sees how bad the tail is, not just where it starts).
+
+    Exactness: both ride the per-cent VALUE HISTOGRAM (the
+    roc_auc/ks saturating trick): per (series, cents) counts, one
+    descending cumulative window per series, tail size k =
+    (n+99) div 100 (integer-division parity is by construction —
+    r10 probe), and the unique histogram row where the cumulative
+    count first reaches k yields VaR; ES's tail sum consumes that
+    boundary row PARTIALLY — (k − cum_above) copies — keeping the
+    top-k mean exact under ties, all in DECIMAL(19,0)·BIGINT
+    integer arithmetic with ONE double division per series.
+
+    Scale: the window input is |distinct cents per series| (bounded
+    by value precision), never raw events — the fact table
+    contributes only map-side histogram partials at 100 TB."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wd = (
+        W.partitionBy("event_type")
+        .orderBy(F.col("cents").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wd).alias("c"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cnt"))
+        .over(wd)
+        .alias("s"),
+        F.sum("cnt").over(wp).alias("n"),
+    ).withColumn("k", F.expr("(n + 99) div 100"))
+    hit = c.filter(
+        (F.col("c") >= F.col("k")) & (F.col("c") - F.col("cnt") < F.col("k"))
+    ).select(
+        "event_type",
+        "n",
+        "k",
+        "cents",
+        (
+            F.col("s")
+            - F.col("cents").cast("decimal(19,0)") * F.col("cnt")
+            + F.col("cents").cast("decimal(19,0)")
+            * (F.col("k") - (F.col("c") - F.col("cnt")))
+        )
+        .cast("double")
+        .alias("tail_sum"),
+    )
+    return hit.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(F.col("cents").cast("double") / 100, 2).alias("var_99"),
+        F.round(F.col("tail_sum") / (F.col("k") * F.lit(100.0)), 6).alias(
+            "es_99"
+        ),
+    ).orderBy("event_type")
+
+
+_ACF_LAGS = (1, 24)  # adjacent-hour persistence + daily seasonality
+
+
+@register(
+    "ts_acf_hourly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y
+      FROM events GROUP BY event_type, hour),
+    idx AS (
+      SELECT event_type, y,
+             row_number() OVER (PARTITION BY event_type ORDER BY hour) AS t,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(SUM(CAST(y AS DECIMAL(38,0)))
+                  OVER (PARTITION BY event_type) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  OVER (PARTITION BY event_type) AS DECIMAL(38,0)) AS ss
+      FROM hourly),
+    lagged AS (
+      SELECT i.event_type, l.lag, i.n, i.s, i.ss,
+             CAST(SUM(CAST(i.y AS DECIMAL(19,0)) * CAST(j.y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(i.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sh,
+             CAST(SUM(CAST(j.y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS st,
+             CAST(COUNT(*) AS BIGINT) AS np
+      FROM idx i
+      JOIN (SELECT UNNEST(ARRAY{list(_ACF_LAGS)}) AS lag) l ON TRUE
+      JOIN idx j ON j.event_type = i.event_type AND j.t = i.t + l.lag
+      GROUP BY i.event_type, l.lag, i.n, i.s, i.ss)
+    SELECT event_type, lag, n AS n_hours, np AS n_pairs,
+           ROUND((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+                    * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+                  + CAST(np AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(n AS DOUBLE) * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)),
+                 6) AS acf
+    FROM lagged ORDER BY event_type, lag
+    """,
+)
+def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION of each hourly revenue series at lags 1 and 24
+    — the seasonality detector: r_1 measures hour-to-hour
+    persistence, r_24 the daily cycle; together they are the
+    standard pre-model screen for "does this metric need a seasonal
+    term" and the feature pair fed to forecasting models. Companion
+    to ts_cross_correlation_lagged (which correlates two DIFFERENT
+    series): ACF is the self-lag structure of one series.
+
+    Exactness: the textbook r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)²
+    is evaluated with the mean CLEARED — multiply through by n²:
+    num = n²·Σy_t·y_{t+k} − n·s·(Σ_head y + Σ_tail y) + n_pairs·s²,
+    den = n²·Σy² − n·s² — every term an exact DECIMAL(38,0) integer
+    (y in hourly cents; at sf0.1 |y| < 1e9, n < 1e4, so n²·Σyy <
+    1e31; headroom to ~1e5 hours × 1e12-cent hourly sums), then ONE
+    double expression per (series, lag), identical trees both
+    engines, 6-dp round. No float cumsum, no mean subtraction.
+
+    Scale: the hourly-aggregate-first collapse (the
+    rolling-regression exchange): the fact table reduces map-side to
+    calendar-sized series; the self-join on (series, t+lag) moves
+    |hours| rows per lag. The n² clearing caps n at ~1e9 hours
+    before DECIMAL(38) binds — 100k years of hourly data."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    wp = W.partitionBy("event_type")
+    idx = hourly.select(
+        "event_type",
+        "y",
+        F.row_number().over(wp.orderBy("hour")).alias("t"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+        F.sum(F.col("y").cast("decimal(38,0)")).over(wp).alias("s"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .over(wp)
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    lags = spark.createDataFrame([(l,) for l in _ACF_LAGS], "lag int")
+    i, j = idx.alias("i"), idx.alias("j")
+    lagged = (
+        i.crossJoin(F.broadcast(lags))
+        .join(
+            j,
+            (F.col("j.event_type") == F.col("i.event_type"))
+            & (F.col("j.t") == F.col("i.t") + F.col("lag")),
+        )
+        .groupBy("i.event_type", "lag", "i.n", "i.s", "i.ss")
+        .agg(
+            F.sum(
+                F.col("i.y").cast("decimal(19,0)")
+                * F.col("j.y").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("syy"),
+            F.sum(F.col("i.y").cast("decimal(38,0)")).alias("sh"),
+            F.sum(F.col("j.y").cast("decimal(38,0)")).alias("st"),
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+        )
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    acf = (
+        n * n * F.col("syy").cast("double")
+        - n * s * (F.col("sh").cast("double") + F.col("st").cast("double"))
+        + F.col("np").cast("double") * s * s
+    ) / (n * n * F.col("ss").cast("double") - n * s * s)
+    return lagged.select(
+        F.col("i.event_type").alias("event_type"),
+        "lag",
+        F.col("n").alias("n_hours"),
+        F.col("np").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("event_type", "lag")

@@ -60,6 +60,9 @@ _PRIORITY: list[str] = [
     # deterministic bootstrap error bars.
     "stats_mann_whitney_u", "stats_gini_concentration",
     "stats_bootstrap_ci_hash",
+    # Second wave: tail risk (VaR+ES via the value histogram) and
+    # per-series autocorrelation at the persistence/daily lags.
+    "ts_var_expected_shortfall", "ts_acf_hourly",
 ]
 
 
