@@ -1376,6 +1376,61 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _all_pairs_brand_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs shortest distances over the projected brand graph —
+    frontier-wavefront BFS as a driver loop of DataFrame steps,
+    depth-capped at 8 on BOTH engines (the co-occurrence graph's
+    diameter is 2-3; the shared cap keeps the two sides identical even
+    if it weren't). Edges come from the shared okey-BUCKETED layout
+    (_order_brand_pairs), so the candidate self-join is Exchange-free
+    and each BFS level shuffles only frontier×edges — |brand|²-bounded,
+    never the fact table (held at 10× brands in SCALE.md §r11).
+    Returns (src, dst, d) for every reachable ordered pair."""
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") != F.col("b.brand")),
+        )
+        .select(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _bfs_all_pairs(edges)
+
+
+def _bfs_all_pairs(edges: DataFrame) -> DataFrame:
+    """Frontier-wavefront BFS from every vertex over a directed,
+    distinct, checkpointed (src, dst) edge frame (depth cap 8 — shared
+    with every oracle's recursive CTE). Shared by
+    graph_harmonic_closeness (full projected edges) and
+    graph_avg_path_length (weight-thresholded backbone)."""
+    reach = edges.withColumn("d", F.lit(1)).localCheckpoint(eager=True)
+    frontier = edges
+    for depth in range(2, 9):
+        step = edges.select(
+            F.col("src").alias("mid"), F.col("dst").alias("nxt")
+        )
+        cand = (
+            frontier.join(step, frontier.dst == step.mid)
+            .select("src", F.col("nxt").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        nxt = cand.join(
+            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(
+            nxt.withColumn("d", F.lit(depth))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return reach
+
+
 @register(
     "graph_harmonic_closeness",
     oracle="""
@@ -1420,39 +1475,7 @@ def graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table; each level shuffles only frontier×edges. On a big
     graph this is the same wavefront shape as operators/graph.py's
     bfs_distances, sharded by source vertex."""
-    ob = _order_brand_pairs(spark, sf_dir)
-    a, b = ob.alias("a"), ob.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") != F.col("b.brand")),
-        )
-        .select(F.col("a.brand").alias("src"), F.col("b.brand").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    reach = edges.withColumn("d", F.lit(1)).localCheckpoint(eager=True)
-    frontier = edges
-    for depth in range(2, 9):
-        step = edges.select(
-            F.col("src").alias("mid"), F.col("dst").alias("nxt")
-        )
-        cand = (
-            frontier.join(step, frontier.dst == step.mid)
-            .select("src", F.col("nxt").alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-            .distinct()
-        )
-        nxt = cand.join(
-            reach.select("src", "dst"), ["src", "dst"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
-            break
-        reach = reach.unionByName(
-            nxt.withColumn("d", F.lit(depth))
-        ).localCheckpoint(eager=True)
-        frontier = nxt
+    reach = _all_pairs_brand_distances(spark, sf_dir)
     return (
         reach.groupBy(F.col("src").alias("brand"))
         .agg(
@@ -1547,4 +1570,230 @@ def graph_weighted_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("assortativity"),
+    )
+
+
+@register(
+    "graph_avg_path_length",
+    oracle="""
+    WITH RECURSIVE ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e0 AS (
+      SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY ba, bb),
+    ranked AS (
+      SELECT ba, bb, row_number() OVER (ORDER BY w DESC, ba, bb) AS rk,
+             COUNT(*) OVER () AS ne
+      FROM e0),
+    kept AS (SELECT ba, bb FROM ranked WHERE rk <= (ne * 2) // 5),
+    e AS (SELECT ba, bb FROM kept UNION ALL SELECT bb AS ba, ba AS bb FROM kept),
+    walk(src, dst, d) AS (
+      SELECT ba, bb, 1 FROM e
+      UNION
+      SELECT w.src, e.bb, w.d + 1
+      FROM walk w JOIN e ON e.ba = w.dst
+      WHERE w.d < 8 AND e.bb <> w.src),
+    sp AS (SELECT src, dst, MIN(d) AS d FROM walk GROUP BY src, dst)
+    SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs_reachable,
+           CAST(MAX(d) AS BIGINT) AS diameter,
+           CAST(SUM(d) AS BIGINT) AS sum_dist,
+           ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS avg_path_len
+    FROM sp
+    """,
+)
+def graph_avg_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTERISTIC PATH LENGTH + DIAMETER of the brand graph's
+    weighted BACKBONE — the global small-world readout next to the
+    per-node centralities: mean shortest-path distance over all
+    reachable ordered pairs, and the longest shortest path. Distances
+    are measured on the top-40% strongest co-occurrence edges
+    (rank <= (|E|*2) div 5 by (weight desc, pair)), the standard
+    backbone-extraction step before any distance analysis of a
+    projection — the RAW projected brand graph is COMPLETE at every
+    driver SF (probed: diameter 1, APL exactly 1.0 — a degenerate
+    constant, the same trap the unweighted assortativity hit in r10),
+    while the backbone has real structure (diameter 2-3, APL
+    1.43-1.58 across SFs).
+
+    Exactness: the backbone cut uses a total (weight, pair) order and
+    integer-division-parity-safe (|E|*2) div 5 on both engines;
+    distances come from the shared depth-capped frontier BFS
+    (_bfs_all_pairs, the harmonic-closeness machinery);
+    sum/max/count are exact BIGINTs and ONE double division yields
+    the mean (6-dp round).
+
+    Scale: the edge ranking and BFS live on the |brand|²-bounded
+    projection off the shared okey-BUCKETED layout (6th
+    distance-family consumer); the global aggregate collapses
+    |brand|² reach rows to one — the projection consumers are
+    measured at 10× brands in SCALE.md §r11 (shuffles stay KB)."""
+    from pyspark.sql import Window as W
+
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ranked = e0.select(
+        "ba",
+        "bb",
+        F.row_number()
+        .over(W.orderBy(F.col("w").desc(), "ba", "bb"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("ne"),
+    )
+    kept = ranked.filter(F.col("rk") <= F.expr("(ne * 2) div 5")).select(
+        "ba", "bb"
+    )
+    edges = (
+        kept.select(F.col("ba").alias("src"), F.col("bb").alias("dst"))
+        .unionByName(
+            kept.select(F.col("bb").alias("src"), F.col("ba").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    reach = _bfs_all_pairs(edges)
+    return reach.agg(
+        F.countDistinct("src").cast("bigint").alias("n_nodes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs_reachable"),
+        F.max("d").cast("bigint").alias("diameter"),
+        F.sum("d").cast("bigint").alias("sum_dist"),
+        F.round(
+            F.sum("d").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_path_len"),
+    )
+
+
+@register(
+    "graph_rich_club_weighted",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e AS (
+      SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY ba, bb),
+    st AS (
+      SELECT v, CAST(SUM(w) AS BIGINT) AS s FROM (
+        SELECT ba AS v, w FROM e UNION ALL SELECT bb AS v, w FROM e)
+      GROUP BY v),
+    rich AS (
+      SELECT v FROM (
+        SELECT v, row_number() OVER (ORDER BY s DESC, v) AS rk,
+               COUNT(*) OVER () AS n
+        FROM st)
+      WHERE rk <= (n + 4) // 5),
+    re AS (
+      SELECT e.w FROM e
+      JOIN rich ra ON ra.v = e.ba JOIN rich rb ON rb.v = e.bb),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_rich,
+                   CAST(COALESCE(SUM(w), 0) AS BIGINT) AS w_rich
+            FROM re),
+    ranked AS (
+      SELECT w, row_number() OVER (ORDER BY w DESC, ba, bb) AS rk FROM e),
+    top AS (
+      SELECT CAST(COALESCE(SUM(ranked.w), 0) AS BIGINT) AS w_top
+      FROM ranked, cnt WHERE ranked.rk <= cnt.e_rich)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rich) AS n_rich,
+           cnt.e_rich, cnt.w_rich, top.w_top,
+           ROUND(CAST(cnt.w_rich AS DOUBLE) / top.w_top, 6) AS phi_w
+    FROM cnt, top
+    """,
+)
+def graph_rich_club_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED RICH-CLUB COEFFICIENT (Opsahl's phi_w) of the brand
+    graph — do the strongest brands co-occur with EACH OTHER more
+    than the weight distribution predicts? The club is the top 20%
+    of brands by strength (sum of incident co-occurrence weights);
+    phi_w = (weight inside the club) / (sum of the E_club strongest
+    edge weights anywhere) — the weighted normalization that keeps
+    the measure in [0,1] and comparable across graphs. The
+    merchandising readout: phi_w → 1 means the head of the catalog
+    is a closed clique (bundle them); low phi_w means strong brands
+    spread their weight into the tail (cross-sell surface).
+
+    Exactness: weights and strengths are exact BIGINT co-occurrence
+    counts; club membership and the global edge ranking use total
+    (key, name) orders; (n+4) div 5 is integer-division-parity-safe
+    (r10 probe); ONE double division at presentation. The
+    data-dependent cutoff E_club reaches the edge ranking through a
+    one-row broadcast, not a correlated subquery.
+
+    Scale: strengths and the edge ranking live on the |brand|²-bounded
+    projection off the shared okey-BUCKETED layout (7th consumer);
+    the rank windows run over |brand| and |brand|² frames (31k rows
+    at 250 brands — SCALE.md §r11), never fact rows."""
+    from pyspark.sql import Window as W
+
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)  # feeds strengths AND both rankings
+    )
+    st = (
+        e.select(F.col("ba").alias("v"), "w")
+        .unionByName(e.select(F.col("bb").alias("v"), "w"))
+        .groupBy("v")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    ranked_nodes = st.select(
+        "v",
+        F.row_number().over(W.orderBy(F.col("s").desc(), "v")).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    rich = ranked_nodes.filter(
+        F.col("rk") <= F.expr("(n + 4) div 5")
+    ).select("v")
+    re = e.join(
+        F.broadcast(rich.withColumnRenamed("v", "ba")), "ba"
+    ).join(F.broadcast(rich.withColumnRenamed("v", "bb")), "bb")
+    cnt = re.agg(
+        F.count(F.lit(1)).cast("bigint").alias("e_rich"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w_rich"),
+    )
+    ranked_edges = e.select(
+        "w",
+        F.row_number()
+        .over(W.orderBy(F.col("w").desc(), "ba", "bb"))
+        .alias("rk"),
+    )
+    top = (
+        ranked_edges.crossJoin(F.broadcast(cnt))
+        .filter(F.col("rk") <= F.col("e_rich"))
+        .groupBy("e_rich", "w_rich")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w_top"))
+    )
+    n_rich = rich.agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    return (
+        top.crossJoin(F.broadcast(n_rich))
+        .select(
+            "n_rich",
+            "e_rich",
+            "w_rich",
+            "w_top",
+            F.round(
+                F.col("w_rich").cast("double") / F.col("w_top"), 6
+            ).alias("phi_w"),
+        )
     )

@@ -731,3 +731,133 @@ _bind_hamming_oracle()
 vec_binary_hamming_topk.__doc__ = vec_binary_hamming_topk.__doc__.format(
     cand=_HAM_CAND, floor=_HAM_RECALL_FLOOR
 )
+
+
+# NDCG@10 discount weights in ppm: round(1e6 / log2(i+1)) for rank
+# i = 1..10, and their prefix sums (the ideal DCG for r relevant docs).
+# PRECOMPUTED Python literals inlined into BOTH statements — the
+# Benford/power-analysis discipline: no log2 executes in either engine.
+_NDCG_K = 10
+_NDCG_W_PPM = [1000000, 630930, 500000, 430677, 386853, 356207, 333333,
+               315465, 301030, 289065]
+_NDCG_CUM_PPM = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667,
+                 3638000, 3953465, 4254495, 4543560]
+
+
+def _ndcg_oracle() -> str:
+    cos = sim.duckdb_cosine_sql("e.embedding", "q.embedding")
+    w_case = " ".join(
+        f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W_PPM)
+    )
+    cum_case = " ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM_PPM)
+    )
+    return f"""
+    WITH q AS (SELECT embedding, label FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT e.vec_id, e.label, {cos} AS sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+      ORDER BY sim DESC, e.vec_id LIMIT {_NDCG_K}),
+    r AS (
+      SELECT label, row_number() OVER (ORDER BY sim DESC, vec_id) AS rk
+      FROM top),
+    rel AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM embeddings e, q WHERE e.vec_id <> 0 AND e.label = q.label),
+    d AS (
+      SELECT CAST(SUM(CASE WHEN r.label = q.label
+                   THEN CASE rk {w_case} ELSE 0 END ELSE 0 END) AS BIGINT)
+               AS dcg_ppm
+      FROM r, q)
+    SELECT CAST(q.label AS BIGINT) AS query_label, rel.n_rel AS n_relevant,
+           d.dcg_ppm,
+           CAST(CASE (CASE WHEN rel.n_rel < {_NDCG_K}
+                           THEN rel.n_rel ELSE {_NDCG_K} END)
+                {cum_case} ELSE 0 END AS BIGINT) AS idcg_ppm,
+           ROUND(CAST(d.dcg_ppm AS DOUBLE)
+                 / (CASE (CASE WHEN rel.n_rel < {_NDCG_K}
+                                THEN rel.n_rel ELSE {_NDCG_K} END)
+                    {cum_case} ELSE NULL END), 6) AS ndcg
+    FROM q, rel, d
+    """
+
+
+@register("eval_ndcg_at_k", oracle=_ndcg_oracle())
+def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the exact cosine retriever against label relevance —
+    the standard RANKING-QUALITY metric every retrieval/RAG eval
+    harness reports: rel_i = 1 iff the i-th retrieved vector shares
+    the query's label; DCG discounts hits by 1/log2(rank+1); NDCG
+    normalizes by the ideal ordering so 1.0 = perfect ranking. On
+    random synthetic embeddings the expected value is low — the
+    honest null baseline (labels are independent of geometry), same
+    discipline as the stats_* family.
+
+    Exactness: the ranking is v1_knn_cosine_top5's bit-identical
+    strict-fold cosine with a (sim desc, vec_id) total order; the
+    discounts are PRECOMPUTED ppm integer literals (no log2 runs in
+    either engine), so DCG and IDCG are exact BIGINTs and ONE double
+    division produces the metric. IDCG = prefix-sum literal at
+    min(n_relevant, k) — correct when the corpus holds fewer than k
+    relevant docs (the sf0.001 case).
+
+    Scale: one map-side scored scan + TakeOrderedAndProject top-k
+    (each partition keeps k, no global sort) + one count aggregate —
+    the eval costs one pass regardless of corpus size."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding", "label").head()
+    qvec, qlabel = [float(x) for x in qrow.embedding], int(qrow.label)
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            sim.cosine(F.col("embedding"), sim.lit_vector(qvec)).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(_NDCG_K)
+    )
+    from pyspark.sql.window import Window as W
+
+    r = scored.select(
+        "label",
+        F.row_number()
+        .over(W.orderBy(F.col("sim").desc(), "vec_id"))
+        .alias("rk"),
+    )
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W_PPM])
+    dcg = r.agg(
+        F.sum(
+            F.when(
+                F.col("label") == qlabel, F.element_at(w_arr, F.col("rk"))
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("dcg_ppm")
+    )
+    rel = emb.filter(
+        (F.col("vec_id") != 0) & (F.col("label") == qlabel)
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUM_PPM])
+    out = dcg.crossJoin(F.broadcast(rel)).select(
+        F.lit(qlabel).cast("bigint").alias("query_label"),
+        F.col("n_rel").alias("n_relevant"),
+        "dcg_ppm",
+        F.when(
+            F.col("n_rel") > 0,
+            F.element_at(
+                cum_arr, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int")
+            ),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("idcg_ppm"),
+    )
+    return out.withColumn(
+        "ndcg",
+        F.round(
+            F.col("dcg_ppm").cast("double")
+            / F.when(F.col("idcg_ppm") > 0, F.col("idcg_ppm")),
+            6,
+        ),
+    )

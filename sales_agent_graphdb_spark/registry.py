@@ -63,6 +63,14 @@ _PRIORITY: list[str] = [
     # Second wave: tail risk (VaR+ES via the value histogram) and
     # per-series autocorrelation at the persistence/daily lags.
     "ts_var_expected_shortfall", "ts_acf_hourly",
+    # Third wave: retrieval ranking quality with precomputed ppm
+    # discount literals (no log2 in either engine).
+    "eval_ndcg_at_k",
+    # Fourth wave: global distance readout + weighted rich-club over
+    # the shared bucketed brand projection (6th/7th distance-family
+    # consumers; BFS machinery factored into
+    # _all_pairs_brand_distances and shared with harmonic closeness).
+    "graph_avg_path_length", "graph_rich_club_weighted",
 ]
 
 
