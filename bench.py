@@ -229,6 +229,17 @@ HEADLINE = [
     "stats_power_analysis",
     "sample_balanced_class",
     "ts_rolling_regression_slope",
+    # Round 11.
+    "stats_mann_whitney_u",
+    "stats_gini_concentration",
+    "stats_bootstrap_ci_hash",
+    "ts_var_expected_shortfall",
+    "ts_acf_hourly",
+    "eval_ndcg_at_k",
+    "graph_avg_path_length",
+    "graph_rich_club_weighted",
+    "curation_pareto_front",
+    "st_stream_topk_maintain",
 ]
 
 # Queries whose first call materializes an ingest-time index (source-

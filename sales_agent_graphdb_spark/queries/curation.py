@@ -884,3 +884,78 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_label", "n_kept", "kept_id_sum")
         .orderBy("label")
     )
+
+
+@register(
+    "curation_pareto_front",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS len_chars,
+             (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+              * 1000000)
+             // CAST(len(string_split(text, ' ')) AS BIGINT) AS uniq_ppm
+      FROM documents)
+    SELECT u.doc_id, u.len_chars, u.uniq_ppm
+    FROM d u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM d v
+      WHERE v.len_chars >= u.len_chars AND v.uniq_ppm >= u.uniq_ppm
+        AND (v.len_chars > u.len_chars OR v.uniq_ppm > u.uniq_ppm))
+    ORDER BY u.len_chars DESC, u.uniq_ppm DESC, u.doc_id
+    """,
+)
+def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO FRONT (skyline) of the document corpus on (length,
+    lexical diversity) — the docs no other doc beats on BOTH axes:
+    the classic SKYLINE operator, used in curation to pick the
+    "efficient frontier" of candidates when two quality signals
+    trade off (long docs repeat themselves; diverse docs are short)
+    instead of collapsing them into one arbitrary weighted score.
+    Axes: n_chars (maximize) and distinct-word ratio in integer ppm
+    (maximize) — both exact integers, split on the literal space so
+    tokenization is engine-identical.
+
+    The oracle runs the textbook NOT EXISTS dominance test (O(n²) —
+    fine at oracle scale); the Spark side is the SINGLE-PASS window
+    skyline: sort by len, then u is on the front iff its uniq_ppm
+    equals its own len-group max AND strictly exceeds the running
+    max over all strictly-longer docs (a RANGE frame from len+1 to
+    unbounded). Equal-(len, uniq) duplicates dominate nothing and
+    are all kept — strict-dominance semantics match the oracle
+    exactly.
+
+    Scale: one exchange into the window sort. For 100 TB the
+    standard two-phase skyline applies unchanged: each partition
+    computes its local front map-side with this same window (a
+    point dominated locally is dominated globally), and only local
+    fronts — typically thousands of rows — reach the global pass."""
+    from pyspark.sql.window import Window as W
+
+    d = catalog.load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("len_chars"),
+        F.expr(
+            "(CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"
+            " * 1000000) div CAST(size(split(text, ' ')) AS BIGINT)"
+        ).alias("uniq_ppm"),
+    )
+    wg = W.partitionBy("len_chars")
+    wr = W.orderBy("len_chars").rangeBetween(1, W.unboundedFollowing)
+    flagged = d.select(
+        "doc_id",
+        "len_chars",
+        "uniq_ppm",
+        F.max("uniq_ppm").over(wg).alias("gmax"),
+        F.max("uniq_ppm").over(wr).alias("rmax"),
+    )
+    return (
+        flagged.filter(
+            (F.col("uniq_ppm") == F.col("gmax"))
+            & (
+                F.col("rmax").isNull()
+                | (F.col("uniq_ppm") > F.col("rmax"))
+            )
+        )
+        .select("doc_id", "len_chars", "uniq_ppm")
+        .orderBy(F.col("len_chars").desc(), F.col("uniq_ppm").desc(), "doc_id")
+    )

@@ -363,3 +363,30 @@ def st_stream_kmv_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole streaming fold, estimate included. O(k) state per
     stream forever. See streaming/pipelines.py:kmv_sketch_stream."""
     return pipelines.kmv_sketch_stream(spark, sf_dir)
+
+
+@register(
+    "st_stream_topk_maintain",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(value AS DECIMAL(18,2)) DESC, event_id) AS rk
+      FROM events)
+    SELECT event_type, CAST(rk AS BIGINT) AS rank, event_id,
+           CAST(v AS DOUBLE) AS value
+    FROM r WHERE rk <= 3 ORDER BY event_type, rank
+    """,
+)
+def st_stream_topk_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 — foreachBatch sink maintaining the exact per-event_type
+    top-3 leaderboard across 3 microbatches. Top-k selection is a
+    semilattice (topk(topk(A) ∪ topk(B)) = topk(A ∪ B)), so the
+    drained k·|types|-row state must equal the one-shot batch top-k,
+    which the driver hash-checks. Publication reuses the
+    version-addressed atomic-rename commit (second consumer of
+    make_upsert_sink's protocol; the fold is also idempotent, so
+    replay is safe by algebra AND by marker). See
+    streaming/pipelines.py:topk_maintain_stream."""
+    return pipelines.topk_maintain_stream(spark, sf_dir)

@@ -71,6 +71,12 @@ _PRIORITY: list[str] = [
     # consumers; BFS machinery factored into
     # _all_pairs_brand_distances and shared with harmonic closeness).
     "graph_avg_path_length", "graph_rich_club_weighted",
+    # Fifth wave: the skyline operator (Pareto-efficient curation
+    # frontier) via a single-pass window dominance test.
+    "curation_pareto_front",
+    # Sixth wave: streaming per-type top-k leaderboard maintenance
+    # (second consumer of the atomic version-publish sink protocol).
+    "st_stream_topk_maintain",
 ]
 
 
