@@ -1680,11 +1680,12 @@ def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,0)")
         .alias("ss"),
     )
-    lags = spark.createDataFrame([(l,) for l in _ACF_LAGS], "lag int")
-    i, j = idx.alias("i"), idx.alias("j")
+    i = idx.withColumn(
+        "lag", F.explode(F.array(*[F.lit(l) for l in _ACF_LAGS]))
+    ).alias("i")
+    j = idx.alias("j")
     lagged = (
-        i.crossJoin(F.broadcast(lags))
-        .join(
+        i.join(
             j,
             (F.col("j.event_type") == F.col("i.event_type"))
             & (F.col("j.t") == F.col("i.t") + F.col("lag")),

@@ -90,6 +90,11 @@ ALLOW_BNLJ = {
     "ts_gap_fill_linear",  # one-row hour-bounds crossJoin (spine generation)
     "dq_benford_first_digit",  # one-row total-count crossJoin (ppm denominator)
     "sample_balanced_class",  # one-row minority-count crossJoin (balance threshold)
+    # r11 additions — the same one-row broadcast total/bounds pattern.
+    "stats_mann_whitney_u",  # one-row (N1, N2) totals crossJoin
+    "stats_bootstrap_ci_hash",  # one-row (n, point-mean) base crossJoin
+    "eval_ndcg_at_k",  # one-row relevant-count crossJoin (IDCG cutoff)
+    "graph_rich_club_weighted",  # one-row E_club cutoff + one-row club-size crossJoins
 }
 
 # Queries expected to raise during plan derivation (none today: every
