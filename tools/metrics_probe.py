@@ -87,6 +87,17 @@ PROBED = [
     "sample_balanced_class",       # label-sharded rank window, one-row min broadcast
     "ts_rolling_regression_slope",  # hourly-aggregate exchange, 5 frame sums in one pass
     "stats_power_analysis",        # two map-side moment rows; shuffle ≈ 2 rows (ADVICE r10)
+    # Round 11 additions.
+    "stats_mann_whitney_u",        # |distinct cents| histogram partials + one-row totals
+    "stats_gini_concentration",    # |customers| aggregated rows into the rank window
+    "stats_bootstrap_ci_hash",     # B×partials from one explode; 20 replica means
+    "ts_var_expected_shortfall",   # per-(series, cents) histogram into series shards
+    "ts_acf_hourly",               # hourly-aggregate collapse; |hours| rows per lag join
+    "eval_ndcg_at_k",              # top-k scored scan + one-row relevant count
+    "graph_avg_path_length",       # backbone rank + BFS over projected edges (KB)
+    "graph_rich_club_weighted",    # strength/edge rank windows over |brand|² frame
+    "curation_pareto_front",       # one exchange into the skyline window sort
+    "st_stream_topk_maintain",     # k·|types| state rows per batch version
 ]
 
 # SQLMetric map keys worth aggregating (camelCase internal names).
