@@ -886,6 +886,56 @@ def sample_balanced_class(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKYLINE_SHARDS = 32
+
+
+def skyline_2d(
+    df: DataFrame, d1: str, d2: str, shard_key: str
+) -> DataFrame:
+    """TWO-PHASE 2-D SKYLINE under strict dominance (maximize both
+    axes): phase 1 computes each deterministic shard's LOCAL front —
+    any point dominated within a shard is dominated globally, so
+    shards prune independently in parallel (no global sort of the
+    corpus); phase 2 runs the same window dominance test over the
+    surviving local fronts (typically thousands of rows). Within a
+    frame, u is on the front iff its d2 equals its own d1-group max
+    AND strictly exceeds the running d2-max over all strictly-larger
+    d1 (a RANGE frame from d1+1 to unbounded). Equal-(d1, d2)
+    duplicates dominate nothing and are all kept. Shards come from a
+    hash of ``shard_key`` (content-deterministic — plan-stable across
+    runs and partitionings, unlike spark_partition_id).
+
+    Measured (SCALE.md §r11): the single-pass form was 12.3× wall at
+    10× documents (one single-partition window sort); two-phase
+    shards the sort 32 ways and the global pass sees only fronts."""
+    from pyspark.sql.window import Window as W
+
+    def front(frame: DataFrame, extra_part: list[str]) -> DataFrame:
+        wg = W.partitionBy(*extra_part, d1)
+        wr = (
+            W.partitionBy(*extra_part)
+            .orderBy(d1)
+            .rangeBetween(1, W.unboundedFollowing)
+        )
+        return (
+            frame.withColumn("_gmax", F.max(d2).over(wg))
+            .withColumn("_rmax", F.max(d2).over(wr))
+            .filter(
+                (F.col(d2) == F.col("_gmax"))
+                & (F.col("_rmax").isNull() | (F.col(d2) > F.col("_rmax")))
+            )
+            .drop("_gmax", "_rmax")
+        )
+
+    local = front(
+        df.withColumn(
+            "_shard", F.pmod(F.xxhash64(F.col(shard_key)), F.lit(_SKYLINE_SHARDS))
+        ),
+        ["_shard"],
+    ).drop("_shard")
+    return front(local, [])
+
+
 @register(
     "curation_pareto_front",
     oracle="""
@@ -916,21 +966,14 @@ def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization is engine-identical.
 
     The oracle runs the textbook NOT EXISTS dominance test (O(n²) —
-    fine at oracle scale); the Spark side is the SINGLE-PASS window
-    skyline: sort by len, then u is on the front iff its uniq_ppm
-    equals its own len-group max AND strictly exceeds the running
-    max over all strictly-longer docs (a RANGE frame from len+1 to
-    unbounded). Equal-(len, uniq) duplicates dominate nothing and
-    are all kept — strict-dominance semantics match the oracle
-    exactly.
-
-    Scale: one exchange into the window sort. For 100 TB the
-    standard two-phase skyline applies unchanged: each partition
-    computes its local front map-side with this same window (a
-    point dominated locally is dominated globally), and only local
-    fronts — typically thousands of rows — reach the global pass."""
-    from pyspark.sql.window import Window as W
-
+    fine at oracle scale); the Spark side is the TWO-PHASE window
+    skyline (skyline_2d): 32 deterministic shards prune their local
+    fronts in parallel, then the global pass sees only survivors —
+    the first single-pass form measured 12.3× wall at 10× documents
+    on its single-partition sort, so the two-phase form is the
+    registered one. Strict-dominance semantics (duplicates all kept)
+    match the oracle exactly and are pinned vs brute force in
+    tests/test_round11_ops.py."""
     d = catalog.load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("n_chars").cast("bigint").alias("len_chars"),
@@ -939,23 +982,6 @@ def curation_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000) div CAST(size(split(text, ' ')) AS BIGINT)"
         ).alias("uniq_ppm"),
     )
-    wg = W.partitionBy("len_chars")
-    wr = W.orderBy("len_chars").rangeBetween(1, W.unboundedFollowing)
-    flagged = d.select(
-        "doc_id",
-        "len_chars",
-        "uniq_ppm",
-        F.max("uniq_ppm").over(wg).alias("gmax"),
-        F.max("uniq_ppm").over(wr).alias("rmax"),
-    )
-    return (
-        flagged.filter(
-            (F.col("uniq_ppm") == F.col("gmax"))
-            & (
-                F.col("rmax").isNull()
-                | (F.col("uniq_ppm") > F.col("rmax"))
-            )
-        )
-        .select("doc_id", "len_chars", "uniq_ppm")
-        .orderBy(F.col("len_chars").desc(), F.col("uniq_ppm").desc(), "doc_id")
+    return skyline_2d(d, "len_chars", "uniq_ppm", "doc_id").orderBy(
+        F.col("len_chars").desc(), F.col("uniq_ppm").desc(), "doc_id"
     )

@@ -82,29 +82,18 @@ def test_topk_fold_semilattice_and_replay(spark, tmp_path):
 
 def test_skyline_window_equals_bruteforce(spark):
     """Random points with deliberate duplicates and axis ties: the
-    single-pass window skyline must equal the O(n²) dominance test."""
+    registered TWO-PHASE window skyline (sharded local fronts, then
+    the global pass) must equal the O(n²) dominance test regardless
+    of how the hash scatters points across shards."""
+    from sales_agent_graphdb_spark.queries.curation import skyline_2d
+
     rng = np.random.default_rng(11)
     pts = [(int(i), int(rng.integers(0, 12)), int(rng.integers(0, 12)))
            for i in range(120)]
     pts += [(200, 11, 11), (201, 11, 11)]  # equal points: both survive
     df = spark.createDataFrame(pts, "id long, d1 long, d2 long")
 
-    from pyspark.sql.window import Window as W
-
-    wg = W.partitionBy("d1")
-    wr = W.orderBy("d1").rangeBetween(1, W.unboundedFollowing)
-    sky = (
-        df.select(
-            "id", "d1", "d2",
-            F.max("d2").over(wg).alias("gmax"),
-            F.max("d2").over(wr).alias("rmax"),
-        )
-        .filter(
-            (F.col("d2") == F.col("gmax"))
-            & (F.col("rmax").isNull() | (F.col("d2") > F.col("rmax")))
-        )
-        .select("id")
-    )
+    sky = skyline_2d(df, "d1", "d2", "id").select("id")
     got = sorted(r.id for r in sky.collect())
 
     brute = []
@@ -290,3 +279,45 @@ def test_bootstrap_ci_deterministic_and_ordered(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# Atomic version publish: concurrent builders of the SAME batch
+# ---------------------------------------------------------------------------
+
+
+def test_upsert_publish_race_single_winner(spark, tmp_path):
+    """Two sessions delivering the SAME batch concurrently (the
+    at-least-once overlap case): the version-addressed rename makes
+    exactly one publish win; the loser discards its build and defers.
+    The table must count the batch ONCE and the root must hold exactly
+    one version dir and no orphaned .build_* dirs."""
+    import threading
+
+    root = str(tmp_path / "tbl")
+    sink = pipelines.make_upsert_sink(root)
+    batch = spark.createDataFrame(
+        [("click", 1.0), ("buy", 2.0), ("click", 3.0)],
+        "event_type string, value double",
+    )
+    errs = []
+
+    def run():
+        try:
+            sink(batch, 0)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    names = sorted(os.listdir(root))
+    assert names == ["v_0"], names  # one winner, zero orphaned builds
+    rows = {
+        r.event_type: (r.n_events, float(r.total_d))
+        for r in spark.read.parquet(os.path.join(root, "v_0")).collect()
+    }
+    assert rows == {"click": (2, 4.0), "buy": (1, 2.0)}

@@ -92,6 +92,17 @@ DECADE2 = [
     "graph_resource_allocation",
     "dedup_minhash_estimate_accuracy",
     "curation_canonical_by_quality",
+    # r11 wave: the new data-sized families — the rank two-sample test
+    # and tail-risk pair (events-sized histograms), the 20-replica
+    # bootstrap explode (the heaviest new line by construction), the
+    # hourly ACF (calendar-collapse + lag self-join), the per-customer
+    # Gini rank window, and the skyline window sort (documents-sized).
+    "stats_mann_whitney_u",
+    "stats_bootstrap_ci_hash",
+    "stats_gini_concentration",
+    "ts_var_expected_shortfall",
+    "ts_acf_hourly",
+    "curation_pareto_front",
 ]
 
 
