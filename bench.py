@@ -279,6 +279,12 @@ WARM_FIRST = [
     # of it and the sf0.1 first touch drops to ~1.6 s ≈ warm). Warmed
     # so the bench line measures the recurring query path.
     "w5_ntile_buckets",
+    # same class as w5 (NOT an index build): the two-phase skyline's
+    # first execution pays ~6 s of plan-shape-bound one-time cost
+    # (Janino codegen of the double window-dominance plan); warm runs
+    # measure 0.8-1.0 s at sf0.1. Warmed so the bench line measures
+    # the recurring query path.
+    "curation_pareto_front",
     # first call builds the shared okey-bucketed (okey, brand) layout
     # (graphq._order_brand_pairs, stamped + reused by the three
     # projection consumers); the timed lines measure the projection
