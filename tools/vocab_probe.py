@@ -79,12 +79,12 @@ WIDTHS = [31, 310]
 # V(5k docs) = 100, V(50k docs) = 100·√10 ≈ 316 character-diverse
 # words. If the Heaps' argument is right, the banding candidate ratio
 # falls from ≈97× toward the 10× data ratio.
-HEAPS_BETA = 0.5
-HEAPS_W0 = 100  # vocabulary at the 5k-doc anchor
+HEAPS_BETA = 0.5  # default; override with `--heaps 0.75` etc. — more
+HEAPS_W0 = 100    # cells turn the escape into a monotone curve in β
 
 
-def heaps_width(n_docs: int) -> int:
-    return int(round(HEAPS_W0 * (n_docs / SIZES[0]) ** HEAPS_BETA))
+def heaps_width(n_docs: int, beta: float = HEAPS_BETA) -> int:
+    return int(round(HEAPS_W0 * (n_docs / SIZES[0]) ** beta))
 
 
 def vocab(width: int) -> list[str]:
@@ -181,8 +181,15 @@ def containment_candidates(spark, sf_dir: str) -> int:
 
 def main() -> None:
     heaps = "--heaps" in sys.argv
+    beta = HEAPS_BETA
     if heaps:
-        cells = [(heaps_width(n), n) for n in SIZES]
+        i = sys.argv.index("--heaps")
+        if i + 1 < len(sys.argv):
+            try:
+                beta = float(sys.argv[i + 1])
+            except ValueError:
+                pass
+        cells = [(heaps_width(n, beta), n) for n in SIZES]
     else:
         cells = [(w, n) for w in WIDTHS for n in SIZES]
     qs = all_queries()
@@ -215,7 +222,7 @@ def main() -> None:
     if heaps:
         lo, hi = rows[0], rows[1]
         print(json.dumps({
-            "mode": f"heaps_beta_{HEAPS_BETA}",
+            "mode": f"heaps_beta_{beta}",
             "widths": [lo["width"], hi["width"]],
             "decade_minhash_candidate_ratio": ratio(
                 lo, hi, "minhash_banding_candidates"),
