@@ -1778,12 +1778,25 @@ def graph_rich_club_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.col("w").desc(), "ba", "bb"))
         .alias("rk"),
     )
-    top = (
-        ranked_edges.crossJoin(F.broadcast(cnt))
-        .filter(F.col("rk") <= F.col("e_rich"))
-        .groupBy("e_rich", "w_rich")
-        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("w_top"))
+    # Global (groupBy-less) agg over the conditional sum so the frame
+    # stays ONE row even when e_rich = 0 (rk <= 0 matches nothing): a
+    # filter+groupBy here would yield ZERO groups while the DuckDB
+    # oracle's aggregate `top` CTE still emits w_top = 0 — a latent
+    # cross-engine mismatch on data sparser than the driver SFs
+    # (ADVICE r11 #1; unreachable here because the brand projection
+    # is complete, but pinned by test_rich_club_empty_club_one_row).
+    w_top = (
+        ranked_edges.crossJoin(F.broadcast(cnt.select("e_rich")))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rk") <= F.col("e_rich"), F.col("w"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("w_top")
+        )
     )
+    top = cnt.crossJoin(F.broadcast(w_top))
     n_rich = rich.agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
     return (
         top.crossJoin(F.broadcast(n_rich))

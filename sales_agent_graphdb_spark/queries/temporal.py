@@ -1367,10 +1367,11 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rk"),
     )
     # Domain guard (ADVICE r10): the n/t factors ride DECIMAL(9,0), so
-    # a series past 1e9 events would overflow — silently to NULL in
-    # non-ANSI Spark (corrupting the argmax upstream of any check)
-    # while DuckDB errors. assert_true on the one output row per
-    # series makes BOTH engines fail loudly at the same bound; a >1e9
+    # a series past 1e9 events would overflow. Spark 4 runs ANSI-on by
+    # default, so overflow would already throw (NUMERIC_VALUE_OUT_OF_
+    # RANGE) rather than return NULL — the guard exists for a CLEAR,
+    # engine-symmetric message at the same bound DuckDB errors at, not
+    # to catch silent NULLs (ADVICE r11 #3); a >1e9
     # deployment widens v to DECIMAL(9,2)/cum to DECIMAL(19,2) so n
     # can carry DECIMAL(19,0) inside precision 38.
     guard = F.assert_true(

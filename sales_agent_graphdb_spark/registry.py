@@ -52,65 +52,29 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
 # (VERDICT r06 #3) so the driver's spare budget refreshes the stalest
 # rows instead of re-checking last round's.
 _PRIORITY: list[str] = [
-    # Round 11 new registrations (kept FEW — VERDICT r10 #1:
-    # the round's job is clearing the 20-name r03 stamp tail and
-    # reaching the oldest r04 stamps, so <=10 priority names leave
-    # >=40 spare slots = all 20 r03 + the 20 oldest r04 names).
-    # First wave: rank-based two-sample test, revenue concentration,
-    # deterministic bootstrap error bars.
-    "stats_mann_whitney_u", "stats_gini_concentration",
-    "stats_bootstrap_ci_hash",
-    # Second wave: tail risk (VaR+ES via the value histogram) and
-    # per-series autocorrelation at the persistence/daily lags.
-    "ts_var_expected_shortfall", "ts_acf_hourly",
-    # Third wave: retrieval ranking quality with precomputed ppm
-    # discount literals (no log2 in either engine).
-    "eval_ndcg_at_k",
-    # Fourth wave: global distance readout + weighted rich-club over
-    # the shared bucketed brand projection (6th/7th distance-family
-    # consumers; BFS machinery factored into
-    # _all_pairs_brand_distances and shared with harmonic closeness).
-    "graph_avg_path_length", "graph_rich_club_weighted",
-    # Fifth wave: the skyline operator (Pareto-efficient curation
-    # frontier) via a single-pass window dominance test.
-    "curation_pareto_front",
-    # Sixth wave: streaming per-type top-k leaderboard maintenance
-    # (second consumer of the atomic version-publish sink protocol).
-    "st_stream_topk_maintain",
+    # Round 12 new registrations (kept to EXACTLY 7 — VERDICT r11 #1:
+    # the round's job is finishing the stamp rotation to a zero tail,
+    # so 7 priority names + the 15 r04-stamped + the 28 r05-stamped
+    # verified names fill the driver's 50 slots precisely; after r12
+    # the minimum stamp becomes r06).
+    "graph_betweenness_backbone", "ts_seasonal_profile",
+    "stats_spearman_rho", "eval_map_at_k",
+    "text_ttr_lexical_diversity", "ts_theil_sen_slope",
+    "s19_parquet_bloom_probe",
 ]
 
 
 # name -> round of the LATEST hash-green driver row (rows+schema+hash
-# green, no err), derived from CORRECTNESS_r01..r10. The verified tail
+# green, no err), derived from CORRECTNESS_r01..r11. The verified tail
 # runs in ascending stamp order so re-check budget lands on the names
 # the driver has not seen longest; every name here has been green at
 # least once and never red. Regenerate with:
 #   python tools/check_queries.py --stamp  (or the snippet in
 #   CHANGES_r07.md) after each round, folding the new greens in.
 _VERIFIED_ROUND: dict[str, int] = {
-    # --- latest green row: CORRECTNESS_r03 (20 names) ---
-    "range_join_value_bands": 3, "s10_sorted_scan_pruning": 3,
-    "s1_s2_csv_roundtrip_golden_dialect": 3,
-    "s1_s2_csv_roundtrip_scraper_dialect": 3,
-    "s3_s4_json_envelope_roundtrip": 3, "set_intersect_except": 3,
-    "set_union_sources": 3, "st_stream_stateful_sessions": 3,
-    "st_stream_tumbling_exec": 3, "text_bpe_token_estimate": 3,
-    "text_fingerprint": 3, "text_gopher_repetition": 3, "text_langid": 3,
-    "text_quality_score": 3, "text_token_count": 3, "w1_last6_per_session": 3,
-    "w2_running_sum": 3, "w3_topn_per_group": 3, "w4_lag_delta": 3,
-    "w7_global_running_sum": 3,
-    # --- latest green row: CORRECTNESS_r04 (35 names) ---
-    "agg_countmin_portable": 4, "agg_hll_rollup": 4,
-    "anomaly_rolling_zscore": 4, "data_quality_report": 4,
-    "dedup_semantic_cell": 4, "feature_correlation": 4,
-    "feature_winsorize": 4, "graph_shortest_paths": 4,
-    "graph_triangle_count": 4, "join_fuzzy_blocked": 4,
-    "join_runtime_prefilter": 4, "join_scd2_asof": 4, "m6_scd2_history": 4,
-    "m7_table_diff": 4, "range_join_grid_bucketed": 4,
-    "range_join_interval_overlap": 4, "rollup_hierarchy": 4,
-    "s11_xml_roundtrip": 4, "s12_zorder_pruning": 4,
-    "s8_api_source_ingest": 4, "sample_group_topk": 4,
-    "sample_weighted_hash": 4, "split_leakage_safe": 4, "st_stream_dedup": 4,
+    # --- latest green row: CORRECTNESS_r04 (15 names) ---
+    "sample_group_topk": 4, "sample_weighted_hash": 4,
+    "split_leakage_safe": 4, "st_stream_dedup": 4,
     "st_stream_interval_join_outer": 4, "st_stream_sliding_exec": 4,
     "st_stream_static_enrich": 4, "st_stream_user_profile": 4,
     "text_bm25_phrase": 4, "text_tfidf_keywords": 4, "text_vocab_build": 4,
@@ -252,6 +216,31 @@ _VERIFIED_ROUND: dict[str, int] = {
     "text_pii_scrub": 10, "ts_cusum_changepoint": 10,
     "ts_gap_fill_linear": 10, "ts_rolling_regression_slope": 10,
     "w6_rank_distributions": 10,
+    # --- latest green row: CORRECTNESS_r11 (50 names) ---
+    "agg_countmin_portable": 11, "agg_hll_rollup": 11,
+    "anomaly_rolling_zscore": 11, "curation_pareto_front": 11,
+    "data_quality_report": 11, "dedup_semantic_cell": 11,
+    "eval_ndcg_at_k": 11, "feature_correlation": 11, "feature_winsorize": 11,
+    "graph_avg_path_length": 11, "graph_rich_club_weighted": 11,
+    "graph_shortest_paths": 11, "graph_triangle_count": 11,
+    "join_fuzzy_blocked": 11, "join_runtime_prefilter": 11,
+    "join_scd2_asof": 11, "m6_scd2_history": 11, "m7_table_diff": 11,
+    "range_join_grid_bucketed": 11, "range_join_interval_overlap": 11,
+    "range_join_value_bands": 11, "rollup_hierarchy": 11,
+    "s10_sorted_scan_pruning": 11, "s11_xml_roundtrip": 11,
+    "s12_zorder_pruning": 11, "s1_s2_csv_roundtrip_golden_dialect": 11,
+    "s1_s2_csv_roundtrip_scraper_dialect": 11,
+    "s3_s4_json_envelope_roundtrip": 11, "s8_api_source_ingest": 11,
+    "set_intersect_except": 11, "set_union_sources": 11,
+    "st_stream_stateful_sessions": 11, "st_stream_topk_maintain": 11,
+    "st_stream_tumbling_exec": 11, "stats_bootstrap_ci_hash": 11,
+    "stats_gini_concentration": 11, "stats_mann_whitney_u": 11,
+    "text_bpe_token_estimate": 11, "text_fingerprint": 11,
+    "text_gopher_repetition": 11, "text_langid": 11, "text_quality_score": 11,
+    "text_token_count": 11, "ts_acf_hourly": 11,
+    "ts_var_expected_shortfall": 11, "w1_last6_per_session": 11,
+    "w2_running_sum": 11, "w3_topn_per_group": 11, "w4_lag_delta": 11,
+    "w7_global_running_sum": 11,
 }
 
 

@@ -555,6 +555,37 @@ def latest_committed_version(tbl_root: str):  # noqa: ANN201
     return best
 
 
+# Superseded versions kept after each publish (VERDICT r11 #3). N+1
+# dirs bound the root regardless of stream length; the N most recent
+# markers stay on disk so the common replay (latest batch re-delivered
+# after a crash) hits its own marker, and OLDER replays no-op via the
+# monotone-batch guard in the sinks (any committed version with
+# bid >= batch_id proves the batch was applied, because foreachBatch
+# only starts batch b+1 after batch b's checkpoint commit).
+_RETAIN_VERSIONS = 3
+
+
+def prune_versions(tbl_root: str, keep_last: int = _RETAIN_VERSIONS) -> None:
+    """Keep-last-N retention for a version-addressed table root: remove
+    ``v_<bid>`` dirs with ``bid < max_committed - keep_last``. Runs
+    only AFTER a successful publish, never touches the current version
+    or the ``keep_last`` behind it, and tolerates concurrent pruners
+    (rmtree ignore_errors — losing a delete race is success)."""
+    cur = latest_committed_version(tbl_root)
+    if cur is None:
+        return
+    cutoff = cur[0] - keep_last
+    for name in os.listdir(tbl_root):
+        if not name.startswith("v_"):
+            continue
+        try:
+            bid = int(name[2:])
+        except ValueError:
+            continue
+        if bid < cutoff:
+            shutil.rmtree(os.path.join(tbl_root, name), ignore_errors=True)
+
+
 def make_upsert_sink(tbl_root: str):  # noqa: ANN201
     """The foreachBatch fold of ``foreachbatch_upsert_stream``, exposed
     as a factory so tests can drive replay directly. foreachBatch's
@@ -573,22 +604,28 @@ def make_upsert_sink(tbl_root: str):  # noqa: ANN201
     retry re-merges from the previous version; a crash after it leaves
     the version visible and the retry no-ops. A builder losing a
     publish race discards its own build and defers to the committed
-    winner. Superseded versions are retained as the batch markers —
-    the same fact a lakehouse MERGE keeps in the table's txn log
-    (VACUUM removes data files, never log entries); here each version
-    is a few-row aggregate, so retention is bytes.
-    tests/test_streaming.py pins replay of batch 0 AND a simulated
-    crash between the table write and the publication rename."""
+    winner. The last ``_RETAIN_VERSIONS`` superseded versions are
+    retained as replay markers and older ones pruned after each
+    publish (the lakehouse VACUUM analogue, VERDICT r11 #3) — safe
+    because batch ids are monotone: any committed version with
+    ``bid >= batch_id`` proves that batch was applied, so a replay of
+    a PRUNED batch still no-ops on the newer marker.
+    tests/test_streaming.py pins replay of batch 0, a simulated
+    crash between the table write and the publication rename, and
+    replay-after-prune."""
 
     def upsert(batch_df, batch_id):  # noqa: ANN001
         version_dir = os.path.join(tbl_root, f"v_{batch_id}")
-        if os.path.exists(version_dir):
-            return  # replay of a committed batch: the version IS the marker
+        prev = latest_committed_version(tbl_root)
+        if prev is not None and prev[0] >= batch_id:
+            # Replay of an applied batch: its own marker, or ANY newer
+            # committed version (its own may have been pruned), proves
+            # the checkpoint-commit ordering already folded it in.
+            return
         part = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(20,6)")).alias("total_d"),
         )
-        prev = latest_committed_version(tbl_root)
         if prev is not None:
             existing = batch_df.sparkSession.read.parquet(prev[1])
             merged = existing.unionByName(part)
@@ -610,6 +647,7 @@ def make_upsert_sink(tbl_root: str):  # noqa: ANN201
             if os.path.exists(version_dir):
                 return  # lost a publish race; the committed version wins
             raise  # genuine failure: nothing published, retry is safe
+        prune_versions(tbl_root)  # after commit only; keeps last N markers
 
     return upsert
 
@@ -659,6 +697,13 @@ def foreachbatch_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     current = latest_committed_version(tbl_dir)
+    # An empty source drains zero batches and commits nothing — fail
+    # with the table root named instead of an opaque TypeError on
+    # current[1] (ADVICE r11 #2).
+    assert current is not None, (
+        f"no committed version under {tbl_dir}: the drained stream "
+        "produced zero batches"
+    )
     final = (
         spark.read.parquet(current[1])
         .select(
@@ -1288,8 +1333,9 @@ def make_topk_fold_sink(tbl_root: str):  # noqa: ANN201
 
     def fold(batch_df, batch_id):  # noqa: ANN001
         version_dir = os.path.join(tbl_root, f"v_{batch_id}")
-        if os.path.exists(version_dir):
-            return  # replay of a committed batch
+        prev = latest_committed_version(tbl_root)
+        if prev is not None and prev[0] >= batch_id:
+            return  # applied: own marker or a newer one (post-prune replay)
         part = batch_df.select(
             "event_type",
             "event_id",
@@ -1300,7 +1346,6 @@ def make_topk_fold_sink(tbl_root: str):  # noqa: ANN201
             .filter(F.col("rk") <= _TOPK_STREAM_K)
             .drop("rk")
         )
-        prev = latest_committed_version(tbl_root)
         if prev is not None:
             standing = batch_df.sparkSession.read.parquet(prev[1])
             merged = standing.unionByName(topb).dropDuplicates(
@@ -1323,6 +1368,7 @@ def make_topk_fold_sink(tbl_root: str):  # noqa: ANN201
             if os.path.exists(version_dir):
                 return
             raise
+        prune_versions(tbl_root)
 
     return fold
 
@@ -1364,6 +1410,10 @@ def topk_maintain_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
 
     current = latest_committed_version(tbl_root)
+    assert current is not None, (
+        f"no committed version under {tbl_root}: the drained stream "
+        "produced zero batches"
+    )
     w = W.partitionBy("event_type").orderBy(F.col("v").desc(), "event_id")
     final = (
         spark.read.parquet(current[1])

@@ -1,6 +1,6 @@
 """Round-11 operator properties: the streaming top-k fold's
-semilattice + atomic-version commit, the single-pass window skyline vs
-brute-force dominance, the Mann-Whitney histogram identity, the
+semilattice + atomic-version commit, the two-phase sharded window
+skyline vs brute-force dominance, the Mann-Whitney histogram identity, the
 VaR/ES tail arithmetic under ties, the exact integer ACF vs numpy,
 NDCG's short-corpus IDCG path, and the backbone non-degeneracy pin."""
 
