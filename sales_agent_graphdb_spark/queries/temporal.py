@@ -1718,3 +1718,183 @@ def ts_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("np").alias("n_pairs"),
         F.round(acf, 6).alias("acf"),
     ).orderBy("event_type", "lag")
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(EXTRACT(dow FROM ts) * 24 + EXTRACT(hour FROM ts)
+                AS BIGINT) AS how,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_value,
+           ROUND((COUNT(*) * CAST(SUM(CAST(value AS DECIMAL(19,6))
+                                      * CAST(value AS DECIMAL(19,6)))
+                                  AS DOUBLE)
+                  - CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE)
+                    * CAST(SUM(CAST(value AS DECIMAL(19,6))) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * COUNT(*)), 6) + 0.0
+             AS var_value
+    FROM events
+    GROUP BY event_type, how
+    ORDER BY event_type, how
+    """,
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL PROFILE DECOMPOSITION per series — the hour-of-week
+    baseline (VERDICT r11 #6): for every (event_type, hour-of-week)
+    cell, the event count, the seasonal mean, and the RESIDUAL
+    (within-cell) population variance — what remains after the
+    weekly seasonality is removed, the noise floor an anomaly
+    detector thresholds against. Complements
+    anomaly_seasonal_baseline's hour-of-day means with the full
+    168-cell weekly grid and the second moment.
+
+    Exactness: hour-of-week uses Spark's ``dayofweek - 1`` to match
+    DuckDB's ``EXTRACT(dow)`` (both Sunday-0); value sums and
+    square-sums ride exact DECIMAL(19,6) (products stay inside
+    DuckDB's 38-digit multiply bound), are cast to double once, and
+    the mean / population-variance closed forms run on identical
+    double expression trees with one 6-dp presentation round — the
+    ts_cross_correlation_lagged discipline.
+
+    Scale: ONE pass over events with map-side combine into at most
+    168 x |event_type| calendar-bounded cells — per-cell state is
+    never data-sized, the same argument as anomaly_seasonal_baseline.
+    At 100 TB this is the canonical pre-aggregation a seasonal
+    forecast or anomaly layer maintains incrementally."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(19,6)")
+    g = ev.groupBy(
+        "event_type",
+        ((F.dayofweek("ts") - 1) * 24 + F.hour("ts"))
+        .cast("bigint")
+        .alias("how"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(v).alias("sx"),
+        F.sum(v * v).alias("sxx"),
+    )
+    n = F.col("n_events")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return g.select(
+        "event_type",
+        "how",
+        "n_events",
+        F.round(sx / n, 6).alias("mean_value"),
+        # + 0.0 collapses IEEE -0.0 (single-event cells cancel to a
+        # tiny negative before the round) to +0.0 on BOTH engines.
+        (
+            F.round((n * sxx - sx * sx) / (n.cast("double") * n), 6)
+            + F.lit(0.0)
+        ).alias("var_value"),
+    ).orderBy("event_type", "how")
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             DATE_DIFF('day', DATE '1970-01-01',
+                       CAST(date_trunc('day', ts) AS DATE)) AS d,
+             CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY event_type, d),
+    pairs AS (
+      SELECT i.event_type,
+             j.cents - i.cents AS num_c,
+             j.d - i.d AS den_d,
+             CAST(j.cents - i.cents AS DOUBLE)
+               / CAST((j.d - i.d) * 100 AS DOUBLE) AS sl
+      FROM daily i JOIN daily j
+        ON j.event_type = i.event_type AND j.d > i.d),
+    ranked AS (
+      SELECT event_type, sl,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY sl, num_c, den_d) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT r.event_type, nd.n_days, CAST(r.np AS BIGINT) AS n_pairs,
+           ROUND(r.sl, 6) AS sen_slope_per_day
+    FROM ranked r JOIN nd ON nd.event_type = r.event_type
+    WHERE r.rn = (r.np + 1) // 2
+    ORDER BY r.event_type
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND per series — the median of all pairwise
+    slopes of the DAILY value totals: the robust-regression companion
+    to ts_rolling_regression_slope's least-squares line, immune to
+    ~29% outlier contamination (a single flash-sale day cannot bend
+    it). The classic nonparametric trend estimator (Theil 1950, Sen
+    1968) every monitoring stack offers next to OLS.
+
+    Exactness: daily totals are exact BIGINT cents (per-row
+    DECIMAL(18,2)*100 quantization — the Mann-Whitney discipline);
+    each pairwise slope is ONE correctly-rounded double division of
+    exact integers (num_c / (den_d*100)), so both engines hold
+    bit-identical slope values; the median element is selected by the
+    TOTAL order (sl, num_c, den_d) at lower-median position
+    (np+1) div 2 — integer-division-parity-safe — and rounded 6 dp
+    only at presentation.
+
+    Scale: the fact table collapses FIRST to |days| x |series| daily
+    rows (map-side combine), and only that calendar-bounded frame
+    self-joins — |days|²/2 pairs per series (66k at a decade of
+    daily grain), sharded by series via the partitioned window,
+    never event-sized. The same two-phase shape as the sharded
+    skyline: aggregate-then-quadratic on the bounded domain."""
+    ev = catalog.load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.to_date(F.lit("1970-01-01")),
+        ).alias("d"),
+    ).agg(
+        F.sum(
+            (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    i, j = daily.alias("i"), daily.alias("j")
+    pairs = i.join(
+        j,
+        (F.col("j.event_type") == F.col("i.event_type"))
+        & (F.col("j.d") > F.col("i.d")),
+    ).select(
+        F.col("i.event_type").alias("event_type"),
+        (F.col("j.cents") - F.col("i.cents")).alias("num_c"),
+        (F.col("j.d") - F.col("i.d")).alias("den_d"),
+        (
+            (F.col("j.cents") - F.col("i.cents")).cast("double")
+            / ((F.col("j.d") - F.col("i.d")) * 100).cast("double")
+        ).alias("sl"),
+    )
+    wr = W.partitionBy("event_type").orderBy("sl", "num_c", "den_d")
+    ranked = pairs.select(
+        "event_type",
+        "sl",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("np"),
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    return (
+        ranked.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.round("sl", 6).alias("sen_slope_per_day"),
+        )
+        .orderBy("event_type")
+    )
