@@ -1253,3 +1253,144 @@ def stats_bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("hi"), 6).alias("ci_hi"),
         )
     )
+
+
+@register(
+    "stats_spearman_rho",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem),
+    joint AS (
+      SELECT q, cents, CAST(COUNT(*) AS BIGINT) AS m
+      FROM t GROUP BY q, cents),
+    hx AS (
+      SELECT q, CAST(SUM(m) AS BIGINT) AS nv,
+             CAST(2 * (SUM(SUM(m)) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - SUM(m)) + SUM(m) + 1 AS BIGINT) AS r2
+      FROM joint GROUP BY q),
+    hy AS (
+      SELECT cents, CAST(SUM(m) AS BIGINT) AS nv,
+             CAST(2 * (SUM(SUM(m)) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - SUM(m)) + SUM(m) + 1 AS BIGINT) AS r2
+      FROM joint GROUP BY cents),
+    nrow AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM joint),
+    dev AS (
+      SELECT j.m,
+             CAST(hx.r2 - (nrow.n + 1) AS DECIMAL(38,0)) AS dx,
+             CAST(hy.r2 - (nrow.n + 1) AS DECIMAL(38,0)) AS dy
+      FROM joint j
+      JOIN hx ON hx.q = j.q
+      JOIN hy ON hy.cents = j.cents
+      CROSS JOIN nrow),
+    s AS (
+      SELECT CAST(SUM(m * dx * dy) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(m * dx * dx) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(m * dy * dy) AS DECIMAL(38,0)) AS syy
+      FROM dev)
+    SELECT nrow.n AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hx) AS nx_distinct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hy) AS ny_distinct,
+           ROUND(CAST(s.sxy AS DOUBLE)
+                 / (sqrt(CAST(s.sxx AS DOUBLE))
+                    * sqrt(CAST(s.syy AS DOUBLE))), 6) AS spearman_rho
+    FROM s CROSS JOIN nrow
+    """,
+)
+def stats_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION between l_quantity and
+    l_extendedprice — the monotone-association companion to the
+    Pearson matrix (feature_correlation) and the Mann-Whitney rank
+    test: Pearson on tie-AVERAGED ranks, robust to the heavy right
+    tail of prices. Strongly positive by construction (extendedprice
+    is quantity x a bounded unit price) — a non-vacuous verdict at
+    every SF.
+
+    Exactness: ranks are never enumerated per row — both marginals
+    collapse to saturating value histograms (the Mann-Whitney
+    discipline), where the doubled average rank 2r(v) = 2*cum(<v) +
+    n(v) + 1 is an exact integer; centering by (n+1) makes the
+    deviations sum to zero EXACTLY, so rho = S_dxdy /
+    sqrt(S_dxdx * S_dydy) with all three sums carried in
+    DECIMAL(38,0) (|d| <= n per row bounds each sum by n^3 — inside
+    38 digits to ~1e12 rows). The decimal sums are integral and below
+    2^53 at driver SFs, so the double casts are exact; sqrt is
+    IEEE-correctly-rounded, ONE division, one 6-dp round.
+
+    Scale: two passes — the joint histogram groupBy (map-side
+    combine, saturating in the bounded (quantity x cent) value
+    domain), then rank maps BROADCAST back onto the joint cells. The
+    cumulative windows run over the value domains (50 quantities,
+    |distinct cents|), never fact rows — no global window touches
+    the table."""
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    joint = t.groupBy("q", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+
+    def rank_map(col: str):
+        h = joint.groupBy(col).agg(F.sum("m").alias("nv"))
+        cum = F.sum("nv").over(
+            W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return h.select(
+            col,
+            (2 * (cum - F.col("nv")) + F.col("nv") + 1)
+            .cast("bigint")
+            .alias("r2"),
+        )
+
+    hx = rank_map("q").withColumnRenamed("r2", "r2x")
+    hy = rank_map("cents").withColumnRenamed("r2", "r2y")
+    nrow = joint.agg(F.sum("m").cast("bigint").alias("n"))
+    dev = (
+        joint.join(F.broadcast(hx), "q")
+        .join(F.broadcast(hy), "cents")
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            "m",
+            (F.col("r2x") - (F.col("n") + 1)).cast("decimal(38,0)").alias("dx"),
+            (F.col("r2y") - (F.col("n") + 1)).cast("decimal(38,0)").alias("dy"),
+        )
+    )
+    s = dev.agg(
+        F.sum(F.col("m") * F.col("dx") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("m") * F.col("dx") * F.col("dx"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("m") * F.col("dy") * F.col("dy"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    nx = hx.agg(F.count(F.lit(1)).cast("bigint").alias("nx_distinct"))
+    ny = hy.agg(F.count(F.lit(1)).cast("bigint").alias("ny_distinct"))
+    return (
+        s.crossJoin(F.broadcast(nrow))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .select(
+            F.col("n").alias("n_rows"),
+            "nx_distinct",
+            "ny_distinct",
+            F.round(
+                F.col("sxy").cast("double")
+                / (
+                    F.sqrt(F.col("sxx").cast("double"))
+                    * F.sqrt(F.col("syy").cast("double"))
+                ),
+                6,
+            ).alias("spearman_rho"),
+        )
+    )
