@@ -994,3 +994,76 @@ def feature_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_ttr_lexical_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(list_transform(toks, w -> lower(w))))
+                  AS BIGINT) AS n_types
+      FROM t),
+    b AS (
+      SELECT (1000000 * n_types) // n_tokens AS ttr_micro, n_tokens, n_types
+      FROM d)
+    SELECT CAST(ttr_micro // 100000 AS BIGINT) AS ttr_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS sum_types,
+           CAST(MIN(ttr_micro) AS BIGINT) AS min_ttr_micro,
+           CAST(MAX(ttr_micro) AS BIGINT) AS max_ttr_micro
+    FROM b GROUP BY ttr_decile ORDER BY ttr_decile
+    """,
+)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-TOKEN RATIO (lexical diversity) profile of the corpus —
+    the vocabulary-richness filter a training-data pipeline runs next
+    to the Gopher repetition and entropy gates: distinct case-folded
+    types over whitespace tokens per document, histogrammed into TTR
+    deciles (low TTR = repetitive/boilerplate-heavy text, the same
+    signal text_gopher_repetition reads from duplicate n-grams,
+    measured here at whole-vocabulary grain).
+
+    Exactness: the tokenizer is the shared trim+\\s+ split
+    (text_token_count parity, pinned since r03); TTR rides exact
+    integer micro-units — (1e6 * types) div tokens, truncating
+    division pinned identical across engines (r10 probe) — so no
+    double ever reaches the hash; decile = ttr_micro div 1e5.
+
+    Scale: one pass, fully map-side until the ~11-row decile rollup
+    (map-side combine); the per-doc distinct runs INSIDE the token
+    array (array_distinct — no shuffle, bounded by document length),
+    never as a corpus-wide distinct. The decile histogram is the
+    fixed-width output regardless of corpus size."""
+    d = catalog.load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = d.select(
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.transform(toks, lambda w: F.lower(w)))
+        )
+        .cast("bigint")
+        .alias("n_types"),
+    )
+    b = base.select(
+        F.expr("(1000000 * n_types) div n_tokens").alias("ttr_micro"),
+        "n_tokens",
+        "n_types",
+    )
+    return (
+        b.groupBy(F.expr("ttr_micro div 100000").cast("bigint").alias("ttr_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum("n_types").cast("bigint").alias("sum_types"),
+            F.min("ttr_micro").cast("bigint").alias("min_ttr_micro"),
+            F.max("ttr_micro").cast("bigint").alias("max_ttr_micro"),
+        )
+        .orderBy("ttr_decile")
+    )
