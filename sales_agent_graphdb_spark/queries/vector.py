@@ -861,3 +861,153 @@ def eval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+# MAP@10 over the first _MAP_NQ vectors as queries — precision terms
+# ride exact ppm integers: (1e6 * cum_hits) div rank.
+_MAP_K = 10
+_MAP_NQ = 5
+
+
+def _map_oracle() -> str:
+    cos = sim.duckdb_cosine_sql("e.embedding", "q.qemb")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qemb, label AS qlabel
+      FROM embeddings WHERE vec_id < {_MAP_NQ}),
+    scored AS (
+      SELECT q.qid, q.qlabel, e.vec_id, e.label, {cos} AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, qlabel, vec_id, label,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id) AS rk
+      FROM scored),
+    hits AS (
+      SELECT qid, qlabel, rk,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit
+      FROM ranked WHERE rk <= {_MAP_K}),
+    cum AS (
+      SELECT qid, qlabel, rk, hit,
+             SUM(hit) OVER (PARTITION BY qid ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM hits),
+    per AS (
+      SELECT qid, qlabel,
+             CAST(SUM(hit) AS BIGINT) AS n_hits,
+             CAST(SUM(CASE WHEN hit = 1 THEN (1000000 * c) // rk
+                           ELSE 0 END) AS BIGINT) AS sum_prec_ppm
+      FROM cum GROUP BY qid, qlabel),
+    rel AS (
+      SELECT q.qid, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM embeddings e JOIN q
+        ON e.label = q.qlabel AND e.vec_id <> q.qid
+      GROUP BY q.qid)
+    SELECT per.qid AS query_id,
+           CAST(per.qlabel AS BIGINT) AS query_label,
+           rel.n_rel AS n_relevant, per.n_hits, per.sum_prec_ppm,
+           ROUND(CAST(per.sum_prec_ppm AS DOUBLE)
+                 / (1000000.0 * LEAST(rel.n_rel, {_MAP_K})), 6)
+             AS avg_precision
+    FROM per JOIN rel ON rel.qid = per.qid
+    ORDER BY query_id
+    """
+
+
+@register("eval_map_at_k", oracle=_map_oracle())
+def eval_map_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 — MEAN AVERAGE PRECISION over a 5-query panel, the
+    rank-sensitive retrieval metric next to eval_ndcg_at_k's single
+    query: AP = (1/min(n_rel,k)) * SUM over hit ranks i of
+    precision@i, reported per query so the driver hashes the whole
+    panel (the mean is a trivial fold over the avg_precision column).
+    On random synthetic embeddings AP sits near the label base rate —
+    the honest null baseline, same discipline as NDCG.
+
+    Exactness: every ranking uses the bit-identical strict-fold
+    cosine with a (sim desc, vec_id) total order; each precision
+    term is the exact ppm integer (1e6 * cum_hits) div rank
+    (truncating-division parity, r10), so sum_prec_ppm is a BIGINT
+    and ONE double division per query yields AP (6-dp round).
+
+    Scale: the query panel is a BROADCAST against one scored corpus
+    scan; top-k per query is TWO-PHASE — a local row_number per
+    (query, input partition) keeps k rows per partition, then the
+    global per-query window ranks only k * n_partitions survivors —
+    so no per-query corpus-sized sort exists (the sharded-skyline
+    shape applied to retrieval eval). Cum-precision windows run over
+    k rows per query."""
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _MAP_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            "label",
+            sim.cosine(F.col("embedding"), F.col("qemb")).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wl = W.partitionBy("qid", "pid").orderBy(F.col("sim").desc(), "vec_id")
+    cand = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrk", F.row_number().over(wl))
+        .filter(F.col("lrk") <= _MAP_K)
+        .drop("lrk", "pid")
+    )
+    wg = W.partitionBy("qid").orderBy(F.col("sim").desc(), "vec_id")
+    top = (
+        cand.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= _MAP_K)
+    )
+    wc = W.partitionBy("qid").orderBy("rk").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    hits = top.select(
+        "qid",
+        "qlabel",
+        "rk",
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0).alias("hit"),
+    ).withColumn("c", F.sum("hit").over(wc))
+    per = hits.groupBy("qid", "qlabel").agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.sum(
+            F.when(F.col("hit") == 1, F.expr("(1000000 * c) div rk")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("sum_prec_ppm"),
+    )
+    rel = (
+        emb.select("vec_id", "label")
+        .crossJoin(F.broadcast(q.select("qid", "qlabel")))
+        .filter(
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    return (
+        per.join(F.broadcast(rel), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").cast("bigint").alias("query_label"),
+            F.col("n_rel").alias("n_relevant"),
+            "n_hits",
+            "sum_prec_ppm",
+            F.round(
+                F.col("sum_prec_ppm").cast("double")
+                / (F.lit(1000000.0) * F.least(F.col("n_rel"), F.lit(_MAP_K))),
+                6,
+            ).alias("avg_precision"),
+        )
+        .orderBy("query_id")
+    )
