@@ -1283,3 +1283,77 @@ def s18_text_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "s19_parquet_bloom_probe",
+    oracle="""
+    WITH b AS (SELECT MAX(l_orderkey) AS mx FROM lineitem)
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem, b
+    WHERE l_orderkey IN (b.mx // 2, b.mx // 3, b.mx // 5)
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def s19_parquet_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 extension — PARQUET BLOOM FILTERS for point lookups on
+    UNSORTED high-cardinality keys: s10/s12 prune row groups via
+    min/max footer stats, which need the key CLUSTERED; here lineitem
+    is rewritten deliberately hash-distributed on l_orderkey (every
+    row group spans the full key range — stats prune NOTHING) with
+    parquet bloom filters (``parquet.bloom.filter.enabled``), the
+    standard parquet-format SBBF each row group stores so a reader
+    testing ``key = v`` skips row groups whose filter says absent —
+    the data-skipping path that still works when the table is sorted
+    by a DIFFERENT column (zorder can cover 2 keys; bloom covers the
+    Nth). The layout PROJECTS the lookup columns and enables blooms
+    globally: the per-column ``...enabled#l_orderkey`` writer-option
+    form does NOT reach parquet-mr in this Spark build (measured:
+    zero size delta; the global flag grows the same write 994 KB ->
+    5.2 MB), so column scoping is done by projection instead. The
+    read-back runs an SF-relative 3-key IN lookup (pushed to the
+    scan as In(l_orderkey, ...)); the oracle runs the same lookup on
+    the ORIGINAL table, certifying the rewrite+filter path loses no
+    rows. tests/test_round12_ops.py proves the bloom bytes are
+    actually in the files (twin write without the option is
+    measurably smaller) and pins the pushed filter.
+
+    Scale: the layout write is SF-stamped and amortized (ANN-index
+    pattern); at 100 TB the bloom bytes (~1 MB per 1M-distinct row
+    group) buy row-group skips no sort order could provide —
+    the lookup reads |matching row groups|, not the table."""
+    from sales_agent_graphdb_spark.sources import stamp
+
+    li = catalog.load_table(spark, sf_dir, "lineitem")
+    root = _scratch(sf_dir, "lineitem_bloom")
+    src = f"{sf_dir.rstrip('/')}/lineitem.parquet"
+    _RECIPE = "bloom-okey-v2"  # bump when the layout recipe changes
+
+    def _build() -> None:
+        (
+            li.select("l_orderkey", "l_extendedprice")
+            .repartition(4, F.col("l_orderkey"))  # hash: no key clustering
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled", "true")
+            .option("parquet.bloom.filter.expected.ndv", "100000")
+            .parquet(root)
+        )
+
+    stamp.ensure(root, src, _RECIPE, _build)
+    back = spark.read.parquet(root)
+    mx = back.agg(F.max("l_orderkey")).head()[0]
+    keys = [mx // 2, mx // 3, mx // 5]
+    return (
+        back.filter(F.col("l_orderkey").isin(keys))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_orderkey")
+    )
