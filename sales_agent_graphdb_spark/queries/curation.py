@@ -907,7 +907,18 @@ def skyline_2d(
 
     Measured (SCALE.md §r11): the single-pass form was 12.3× wall at
     10× documents (one single-partition window sort); two-phase
-    shards the sort 32 ways and the global pass sees only fronts."""
+    shards the sort 32 ways and the global pass sees only fronts.
+
+    Adversarial bound (VERDICT r11 #5): phase-2 input is at most
+    Σ_shards |local front(shard)|. On an ANTI-CHAIN (all points
+    pairwise incomparable — the 2-D worst case) nothing is ever
+    dominated, every local front is its whole shard, and phase 2
+    re-sorts all n rows in ONE partition — the two-phase form then
+    degrades to the single-pass cost but stays CORRECT (pinned by
+    tests/test_round12_ops.py::test_skyline_antichain_all_survive).
+    Real quality/length corpora are far from anti-chains (measured
+    fronts: 8-20 points across SFs); a d>2 or adversarial workload
+    would move phase 2 to a recursive shard-merge tree."""
     from pyspark.sql.window import Window as W
 
     def front(frame: DataFrame, extra_part: list[str]) -> DataFrame:

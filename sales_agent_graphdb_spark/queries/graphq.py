@@ -1431,6 +1431,193 @@ def _bfs_all_pairs(edges: DataFrame) -> DataFrame:
     return reach
 
 
+# The shared backbone CTE prefix (ob -> e0 -> ranked -> kept -> e) —
+# textually identical in every backbone oracle so the two engines cut
+# the same edge set.
+_BACKBONE_SQL = """ob AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    e0 AS (
+      SELECT a.brand AS ba, b.brand AS bb, CAST(COUNT(*) AS BIGINT) AS w
+      FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+      GROUP BY ba, bb),
+    ranked AS (
+      SELECT ba, bb, row_number() OVER (ORDER BY w DESC, ba, bb) AS rk,
+             COUNT(*) OVER () AS ne
+      FROM e0),
+    kept AS (SELECT ba, bb FROM ranked WHERE rk <= (ne * 2) // 5),
+    e AS MATERIALIZED (
+      SELECT ba, bb FROM kept UNION ALL SELECT bb AS ba, ba AS bb FROM kept)"""
+
+
+def _bfs_sigma(edges: DataFrame) -> DataFrame:
+    """Level-synchronous all-pairs BFS carrying SHORTEST-PATH COUNTS
+    (Brandes' sigma): at depth k, sigma(src, v) = sum of sigma(src, u)
+    over frontier predecessors u at depth k-1 with an edge u->v —
+    the anti-join against settled pairs keeps exactly the vertices
+    first reached at depth k, so the grouped sum counts precisely the
+    shortest paths (depth cap 8, shared with every oracle's DP).
+    Returns (src, dst, d, sg) for every reachable ordered pair.
+    Sibling of _bfs_all_pairs with per-level aggregation instead of
+    distinct."""
+    reach = (
+        edges.select("src", "dst")
+        .withColumn("d", F.lit(1))
+        .withColumn("sg", F.lit(1).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reach
+    for depth in range(2, 9):
+        step = edges.select(
+            F.col("src").alias("mid"), F.col("dst").alias("nxt")
+        )
+        cand = (
+            frontier.join(step, frontier.dst == step.mid)
+            .select("src", F.col("nxt").alias("dst"), "sg")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("sg").cast("bigint").alias("sg"))
+        )
+        nxt = cand.join(
+            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+        ).localCheckpoint(eager=True)
+        if nxt.limit(1).count() == 0:
+            break
+        reach = reach.unionByName(
+            nxt.withColumn("d", F.lit(depth)).select("src", "dst", "d", "sg")
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return reach
+
+
+def _betweenness_oracle() -> str:
+    """Generate the DuckDB oracle: the shared backbone prefix, the
+    recursive-CTE distances (graph_avg_path_length's technique), a
+    CHAINED non-recursive sigma DP over the distance layers (DuckDB
+    disallows aggregates in a recursive member, so levels 2..8 are
+    spelled as successive CTEs — each joins the previous level with
+    the edge list and keeps only pairs AT that distance), then the
+    pair-splitting triple join."""
+    sig_ctes, ap_parts = [], [
+        "SELECT src, dst, 1 AS d, CAST(1 AS BIGINT) AS sg FROM sg1"
+    ]
+    for k in range(2, 9):
+        sig_ctes.append(f"""sg{k} AS MATERIALIZED (
+      SELECT p.src, e.bb AS dst, CAST(SUM(p.sg) AS BIGINT) AS sg
+      FROM sg{k - 1} p JOIN e ON e.ba = p.dst
+      JOIN sp ON sp.src = p.src AND sp.dst = e.bb AND sp.d = {k}
+      GROUP BY p.src, e.bb)""")
+        ap_parts.append(f"SELECT src, dst, {k} AS d, sg FROM sg{k}")
+    sig_sql = ",\n    ".join(sig_ctes)
+    ap_sql = "\n      UNION ALL ".join(ap_parts)
+    return f"""
+    WITH RECURSIVE {_BACKBONE_SQL},
+    walk(src, dst, d) AS (
+      SELECT ba, bb, 1 FROM e
+      UNION
+      SELECT w.src, e.bb, w.d + 1
+      FROM walk w JOIN e ON e.ba = w.dst
+      WHERE w.d < 8 AND e.bb <> w.src),
+    sp AS MATERIALIZED (
+      SELECT src, dst, MIN(d) AS d FROM walk GROUP BY src, dst),
+    sg1 AS MATERIALIZED (
+      SELECT ba AS src, bb AS dst, CAST(1 AS BIGINT) AS sg FROM e),
+    {sig_sql},
+    ap AS MATERIALIZED ({ap_sql}),
+    bt AS (
+      SELECT sv.dst AS v,
+             CAST(SUM(sv.sg * vt.sg) AS BIGINT) AS stress,
+             CAST(SUM((1000000 * sv.sg * vt.sg) // st.sg) AS BIGINT)
+               AS betweenness_micro
+      FROM ap sv
+      JOIN ap vt ON vt.src = sv.dst
+      JOIN ap st ON st.src = sv.src AND st.dst = vt.dst
+      WHERE sv.src <> vt.dst AND sv.d + vt.d = st.d
+      GROUP BY sv.dst),
+    nodes AS (SELECT DISTINCT ba AS v FROM e)
+    SELECT n.v AS brand,
+           CAST(COALESCE(bt.stress, 0) AS BIGINT) AS stress,
+           CAST(COALESCE(bt.betweenness_micro, 0) AS BIGINT)
+             AS betweenness_micro
+    FROM nodes n LEFT JOIN bt ON bt.v = n.v
+    ORDER BY betweenness_micro DESC, brand
+    """
+
+
+@register("graph_betweenness_backbone", oracle=_betweenness_oracle())
+def graph_betweenness_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEENNESS + STRESS CENTRALITY on the brand backbone — the
+    last classic distance-family centrality (VERDICT r11 #2),
+    Brandes-style via the pair-splitting identity: sigma_st(v) =
+    sigma_sv * sigma_vt when d(s,v) + d(v,t) = d(s,t), else 0. So
+    stress(v) = SUM sigma_st(v) (Shimbel's stress — how many
+    shortest co-occurrence routes PASS THROUGH this brand) and
+    betweenness(v) = SUM sigma_st(v)/sigma_st (the broker score a
+    merchandiser reads as 'which mid-tail brand bridges otherwise
+    separate bundles'); both summed over ORDERED (s,t) pairs,
+    s != v != t. Computed from ONE all-pairs BFS that carries path
+    COUNTS per level (_bfs_sigma) plus a triple self-join of the
+    |brand|²-bounded (src,dst,d,sg) pair frame — no per-source
+    dependency accumulation pass is needed when the pair frame fits
+    a frame, which it does by the projection bound.
+
+    Exactness: path counts are exact BIGINTs from the level DP; each
+    betweenness term rides truncating integer micro-units
+    (1e6*sg_sv*sg_vt) div sg_st — integer-division-parity-safe, no
+    float reaches the hash; zero-betweenness vertices are restored
+    by a left join against the node list (the rich-club r11
+    empty-frame lesson). The oracle recomputes distances with the
+    shared recursive CTE and sigma with a chained 7-level DP.
+
+    Scale: BFS and the triple join live on the top-40% weighted
+    backbone off the shared okey-BUCKETED layout (8th
+    distance-family consumer) — the triple join is |pairs| * degree
+    bounded inside |brand|³, KB-scale state at 10× brands
+    (SCALE.md §r11 decade row), never fact-sized. Probed
+    non-degenerate at all driver SFs (stress > 0 for interior
+    backbone vertices; the COMPLETE raw projection would zero it,
+    which is why the backbone is the measurement frame)."""
+    return _pair_split_centrality(_backbone_edges(spark, sf_dir))
+
+
+def _pair_split_centrality(edges: DataFrame) -> DataFrame:
+    """stress + betweenness_micro per vertex of a bidirectional,
+    distinct, checkpointed edge frame via the pair-splitting triple
+    join over _bfs_sigma's (src, dst, d, sg) pairs. Factored out of
+    graph_betweenness_backbone so tests drive it on crafted graphs
+    with hand-computable centralities."""
+    ap = _bfs_sigma(edges)
+    sv, vt, st = ap.alias("sv"), ap.alias("vt"), ap.alias("st")
+    terms = (
+        sv.join(vt, F.col("sv.dst") == F.col("vt.src"))
+        .filter(F.col("sv.src") != F.col("vt.dst"))
+        .join(
+            st,
+            (F.col("st.src") == F.col("sv.src"))
+            & (F.col("st.dst") == F.col("vt.dst"))
+            & (F.col("sv.d") + F.col("vt.d") == F.col("st.d")),
+        )
+    )
+    bt = terms.groupBy(F.col("sv.dst").alias("brand")).agg(
+        F.sum(F.col("sv.sg") * F.col("vt.sg")).cast("bigint").alias("stress"),
+        F.sum(F.expr("(1000000 * sv.sg * vt.sg) div st.sg"))
+        .cast("bigint")
+        .alias("betweenness_micro"),
+    )
+    nodes = edges.select(F.col("src").alias("brand")).distinct()
+    return (
+        nodes.join(bt, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce(F.col("stress"), F.lit(0)).cast("bigint").alias("stress"),
+            F.coalesce(F.col("betweenness_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("betweenness_micro"),
+        )
+        .orderBy(F.col("betweenness_micro").desc(), "brand")
+    )
+
+
 @register(
     "graph_harmonic_closeness",
     oracle="""
@@ -1573,6 +1760,50 @@ def graph_weighted_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _backbone_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional edge frame of the brand graph's top-40% WEIGHTED
+    BACKBONE (rank <= (|E|*2) div 5 by (weight desc, pair)) — the
+    standard backbone-extraction step before any distance analysis of
+    the projection, because the RAW projected brand graph is COMPLETE
+    at every driver SF (r10/r11 probes: every distance metric
+    degenerates to a constant on it). Shared by graph_avg_path_length
+    and graph_betweenness_backbone; checkpointed so the BFS driver
+    loops iterate a settled frame."""
+    from pyspark.sql import Window as W
+
+    ob = _order_brand_pairs(spark, sf_dir)
+    a, b = ob.alias("a"), ob.alias("b")
+    e0 = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    ranked = e0.select(
+        "ba",
+        "bb",
+        F.row_number()
+        .over(W.orderBy(F.col("w").desc(), "ba", "bb"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("ne"),
+    )
+    kept = ranked.filter(F.col("rk") <= F.expr("(ne * 2) div 5")).select(
+        "ba", "bb"
+    )
+    return (
+        kept.select(F.col("ba").alias("src"), F.col("bb").alias("dst"))
+        .unionByName(
+            kept.select(F.col("bb").alias("src"), F.col("ba").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "graph_avg_path_length",
     oracle="""
@@ -1630,40 +1861,7 @@ def graph_avg_path_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance-family consumer); the global aggregate collapses
     |brand|² reach rows to one — the projection consumers are
     measured at 10× brands in SCALE.md §r11 (shuffles stay KB)."""
-    from pyspark.sql import Window as W
-
-    ob = _order_brand_pairs(spark, sf_dir)
-    a, b = ob.alias("a"), ob.alias("b")
-    e0 = (
-        a.join(
-            b,
-            (F.col("a.okey") == F.col("b.okey"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
-        .groupBy(
-            F.col("a.brand").alias("ba"), F.col("b.brand").alias("bb")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-    )
-    ranked = e0.select(
-        "ba",
-        "bb",
-        F.row_number()
-        .over(W.orderBy(F.col("w").desc(), "ba", "bb"))
-        .alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("ne"),
-    )
-    kept = ranked.filter(F.col("rk") <= F.expr("(ne * 2) div 5")).select(
-        "ba", "bb"
-    )
-    edges = (
-        kept.select(F.col("ba").alias("src"), F.col("bb").alias("dst"))
-        .unionByName(
-            kept.select(F.col("bb").alias("src"), F.col("ba").alias("dst"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    reach = _bfs_all_pairs(edges)
+    reach = _bfs_all_pairs(_backbone_edges(spark, sf_dir))
     return reach.agg(
         F.countDistinct("src").cast("bigint").alias("n_nodes"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs_reachable"),
