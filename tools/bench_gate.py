@@ -46,6 +46,18 @@ def _latest_baseline() -> tuple[str, dict]:
     if not paths:
         sys.exit("no BENCH_r*.json baseline found")
     path = paths[-1]
+    # Prefer the full-map sidecar bench.py writes alongside each run
+    # (VERDICT r11 #4): the driver envelope truncates its tail, losing
+    # the head of the per-query dict; BENCH_LOCAL_r{N}.json carries
+    # the complete map for the same round's code state.
+    rnd = int(re.search(r"BENCH_r(\d+)", path).group(1))
+    local = os.path.join(REPO, f"BENCH_LOCAL_r{rnd:02d}.json")
+    if os.path.exists(local):
+        doc = json.load(open(local))
+        if "queries" in doc:
+            print(f"note: using full-map sidecar {os.path.basename(local)} "
+                  f"({len(doc['queries'])} queries) as the r{rnd} baseline")
+            return local, doc
     doc = json.load(open(path))
     # Driver files wrap the bench line inside a capture envelope; accept
     # either the raw line or the envelope's tail.
