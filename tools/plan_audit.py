@@ -95,6 +95,10 @@ ALLOW_BNLJ = {
     "stats_bootstrap_ci_hash",  # one-row (n, point-mean) base crossJoin
     "eval_ndcg_at_k",  # one-row relevant-count crossJoin (IDCG cutoff)
     "graph_rich_club_weighted",  # one-row E_club cutoff + one-row club-size crossJoins
+    # r12 additions.
+    "stats_spearman_rho",  # one-row n / nx / ny totals crossJoins (rank centering)
+    "eval_map_at_k",  # 5-row broadcast query panel x corpus scan — the multi-query
+    # retrieval eval by design (bounded by the panel size, never data)
 }
 
 # Queries expected to raise during plan derivation (none today: every
