@@ -303,3 +303,44 @@ def test_ttr_bounds_and_totals(spark):
         assert r.sum_types <= r.sum_tokens
         assert 0 <= r.min_ttr_micro <= r.max_ttr_micro <= 1_000_000
         assert r.ttr_decile == r.min_ttr_micro // 100_000
+
+
+# ---------------------------------------------------------------------------
+# Oracle runtime budget (the MATERIALIZED-CTE lesson, pinned)
+# ---------------------------------------------------------------------------
+
+
+def test_r12_oracles_run_within_budget():
+    """Each round-12 oracle must complete at sf0.01 well under the
+    driver's patience. The betweenness oracle without MATERIALIZED
+    hints burned 75 CPU-minutes at sf0.1 (DuckDB 1.0 re-inlines a
+    CTE at every reference — exponential over chained levels that
+    each touch the recursive walk); this pins the materialized form
+    and guards every future chained-CTE oracle in this file's
+    families."""
+    import time
+
+    import duckdb
+
+    c = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    for name in (
+        "graph_betweenness_backbone",
+        "ts_seasonal_profile",
+        "stats_spearman_rho",
+        "eval_map_at_k",
+        "text_ttr_lexical_diversity",
+        "ts_theil_sen_slope",
+        "s19_parquet_bloom_probe",
+    ):
+        t0 = time.monotonic()
+        rows = c.execute(QS[name].oracle).fetchall()
+        wall = time.monotonic() - t0
+        assert rows, name
+        assert wall < 30.0, (name, wall)
