@@ -1092,9 +1092,14 @@ def pq_adc_score(books: np.ndarray, query_vec: list[float]) -> Column:
     for m in range(m_sub):
         qm = q[m * d_sub : (m + 1) * d_sub]
         lut = [float(qm @ books[m][c]) for c in range(k)]
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]), F.col(f"code_{m}") + 1
-        )
+        # One parsed SQL literal per sub-quantizer instead of
+        # F.array(*[F.lit(x)...]): M·K element-wise lits are M·K py4j
+        # round trips of pure driver time (seconds at M=8, K=256 —
+        # measured r12); one expr() string parses JVM-side. The 'D'
+        # suffix pins DoubleType (a bare decimal would parse as
+        # DECIMAL), and repr() is the exact shortest round-trip form.
+        lut_sql = "array(" + ",".join(repr(x) + "D" for x in lut) + ")"
+        term = F.element_at(F.expr(lut_sql), F.col(f"code_{m}") + 1)
         acc = term if acc is None else acc + term
     return acc
 

@@ -200,7 +200,10 @@ def minhash_lsh_pairs(
     # minhash_sigs: double-hash signature build (see its docstring).
     # sig feeds three consumers (banding + both sides of the estimate
     # join); cut lineage so the token→hash→min pipeline runs once, not
-    # three times. Lazy local checkpoint: materializes on first action.
+    # three times. Lazy is SAFE here (r12): the eager `survivors`
+    # checkpoint below materializes tokens+sig exactly once on its
+    # sequential path before any concurrent consumer (the sh broadcast
+    # threads) can race them.
     sig = minhash_sigs(tokens, n_hashes).localCheckpoint(eager=False)
     banded = band_rows(sig, n_bands, rows_per_band)
 
@@ -265,8 +268,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         # survivors feeds both the shingle-set build (via the id prune)
         # and the final pair join — checkpoint so the band join +
-        # estimate cascade runs once, not once per consumer.
-        .localCheckpoint(eager=False)
+        # estimate cascade runs once, not once per consumer. EAGER
+        # (r12): the two consumers materialize concurrently (the sh
+        # broadcast thread + the main pair join); a lazy checkpoint
+        # lets both race and re-run the whole cascade from scratch.
+        .localCheckpoint(eager=True)
     )
     # Cascade stage 3 — exact-Jaccard verify on survivors only, over
     # HASHED shingle sets (long compares, not 4-char strings); one
@@ -282,8 +288,10 @@ def minhash_lsh_pairs(
         .agg(F.collect_set(F.xxhash64("g")).alias("sh"))
         .withColumn("n", F.size("sh"))
         # two broadcast builds (a-side, b-side) consume this — compute
-        # the hashed shingle sets once.
-        .localCheckpoint(eager=False)
+        # the hashed shingle sets once. EAGER (r12): each F.broadcast
+        # build thread otherwise races to materialize the lazy
+        # checkpoint and recomputes the semi-join + collect_set twice.
+        .localCheckpoint(eager=True)
     )
     # Broadcast the per-doc shingle-set table (survivor docs only, a
     # few MB of hashed-long arrays) so the pair join stays map-side —

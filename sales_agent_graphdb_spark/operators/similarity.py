@@ -42,8 +42,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 def lit_vector(vec: Sequence[float]) -> Column:
     """A query vector as an array<double> literal (broadcast to every
-    task inside the serialized plan — no shuffle, no closure)."""
-    return F.array(*[F.lit(float(x)) for x in vec])
+    task inside the serialized plan — no shuffle, no closure). Built as
+    ONE parsed SQL expression: per-element F.lit() columns cost one
+    py4j round trip each (~100-200 ms of driver time per 64-dim vector,
+    measured r12); the 'D' suffix pins DoubleType and repr() is the
+    exact shortest round-trip double literal."""
+    return F.expr(
+        "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
+    )
 
 
 def knn(

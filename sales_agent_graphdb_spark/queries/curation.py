@@ -729,7 +729,11 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     arr = [0] * _BLOOM_WORDS
     for r in rows:
         arr[r["w"]] = r["bits"]
-    bloom = F.array(*[F.lit(x).cast("long") for x in arr])
+    # One parsed SQL literal instead of F.array(*[F.lit(x)...]): the
+    # 1024-element comprehension costs 2k+ py4j round trips (~7 s of
+    # pure driver time measured at r12); a single expr() string parses
+    # JVM-side in milliseconds. Same array<bigint> literal.
+    bloom = F.expr("array(" + ",".join(f"{x}L" for x in arr) + ")")
     survivors = train.filter(
         F.element_at(bloom, word + 1).bitwiseAND(mask) != 0
     )

@@ -767,10 +767,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the inverted-index self-join, and the per-doc sizes) —
     # without it the tokenize→explode→distinct pipeline re-runs per
     # consumer (same move as minhash_lsh_pairs' token checkpoint).
+    # EAGER (r12): the stop-shingle cap below broadcasts `big`, whose
+    # lineage roots in this checkpoint — a lazy checkpoint lets the
+    # broadcast-build thread and the main stages race the first
+    # materialization and re-run tokenize→explode→distinct per racer
+    # (the measured minhash_lsh pathology).
     sh = (
         toks.select("doc_id", F.explode(_word_ngrams(F.col("t"), 5)).alias("g"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     big = (
         sh.groupBy("g")
@@ -778,7 +783,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dfreq") > _CONTAIN_MAX_DF)
         .select("g")
     )
-    shf = sh.join(F.broadcast(big), "g", "left_anti").localCheckpoint(eager=False)
+    # EAGER: three consumers (sz + both sides of the inverted-index
+    # self-join) otherwise race the anti-join's first materialization.
+    shf = sh.join(F.broadcast(big), "g", "left_anti").localCheckpoint(eager=True)
     sz = shf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = shf.alias("a"), shf.alias("b")
     pairs = (
@@ -1095,35 +1102,47 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         "g",
         F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("seed"),
     )
-    minh = (
-        seeded.select(
-            "id", "seed", lsh._portable_hash(F.col("g"), F.col("seed")).alias("h")
-        )
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-        .localCheckpoint(eager=False)  # feeds banding AND the wide pivot
-    )
-    banded = (
-        minh.withColumn("band", F.expr("seed div 4"))
-        .groupBy("id", "band")
+    minh = seeded.select(
+        "id", "seed", lsh._portable_hash(F.col("g"), F.col("seed")).alias("h")
+    ).groupBy("id", "seed").agg(F.min("h").alias("mh"))
+    # r12 optimization (guide §2.4): the wide 16-column signature row is
+    # now the ONE checkpointed frame — banding derives from it map-side
+    # (concat_ws over the seed-ordered columns == the old
+    # collect_list→array_sort→array_join string byte-for-byte), which
+    # drops the old (id, band) ObjectHashAggregate shuffle and lets the
+    # estimate join reuse the same materialization.
+    minw = (
+        minh.groupBy("id")
         .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
+            *[
+                F.min(F.when(F.col("seed") == s, F.col("mh"))).alias(f"mh{s}")
+                for s in range(16)
+            ]
         )
+        .localCheckpoint(eager=False)  # feeds banding AND both join sides
     )
-    minw = minh.groupBy("id").agg(
-        *[
-            F.min(F.when(F.col("seed") == s, F.col("mh"))).alias(f"mh{s}")
-            for s in range(16)
-        ]
-    )
+    banded = minw.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{4 * b + r}").cast("string")
+                                    for r in range(4)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1168,33 +1187,61 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         % 8
         == 0
     )
+    # Eager: three consumers (cand_ids inside the sh build plus the
+    # final assembly) materialize this concurrently when lazy — with a
+    # lazy checkpoint each concurrent first-consumer re-computes the
+    # full banding cascade (measured 40 s vs 6 s at sf0.1, r12).
     verify = (
         cand.select(
             "id_a", "id_b", planted.alias("is_planted"), in_sample.alias("in_sample")
         )
         .filter(F.col("is_planted") | F.col("in_sample"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    ta = toks.select(F.col("id").alias("id_a"), "g")
-    tb = toks.select(F.col("id").alias("idb2"), F.col("g").alias("gb"))
-    inter = (
-        verify.join(ta, "id_a")
-        .join(tb, (F.col("id_b") == F.col("idb2")) & (F.col("g") == F.col("gb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("ninter"))
+    # r12 optimization (guide §2.3/§3): the exact-verify intersection was
+    # an inverted-index double join of the verify pairs against the FULL
+    # (id, g) token table — two sort-merge passes over ~1M rows per run.
+    # Replaced with the minhash_lsh stage-3 shape: semi-join the token
+    # table down to the ~1k docs the verify pairs touch, collect each
+    # survivor's hashed shingle set ONCE (xxhash64 longs — collision
+    # probability ~2^-64, the same hashed-verify convention
+    # minhash_lsh_pairs uses), broadcast the per-doc sets, and compute
+    # ninter as one array_intersect per pair. n comes from the same
+    # grouped count (toks is distinct per (id, g)), so est/jac are the
+    # identical integer ratios. Plan diff: 2 SortMergeJoin over the full
+    # token table -> 1 semi-join + 2 broadcast joins over candidate docs.
+    cand_ids = (
+        verify.select(F.col("id_a").alias("cid"))
+        .unionByName(verify.select(F.col("id_b").alias("cid")))
+        .distinct()
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    sh = (
+        toks.join(cand_ids, F.col("id") == F.col("cid"), "left_semi")
+        .groupBy("id")
+        .agg(
+            F.collect_set(F.xxhash64("g")).alias("sh"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        # Eager, and the pair joins below stay UNHINTED: an explicit
+        # F.broadcast() over a lazy checkpoint makes each broadcast
+        # thread race to build the whole upstream cascade from scratch;
+        # eager + AQE lets the runtime broadcast the materialized
+        # blocks (it does, at these sizes) or shuffle at corpus scale.
+        .localCheckpoint(eager=True)
+    )
+    sha = sh.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n").alias("na")
+    )
+    shb = sh.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n").alias("nb")
+    )
+    ninter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("bigint")
     est = F.col("n_agree") / 16.0
-    jac = F.coalesce(F.col("ninter"), F.lit(0)).cast("double") / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))
-    )
+    jac = ninter.cast("double") / (F.col("na") + F.col("nb") - ninter)
     j = (
         verify.join(agree, ["id_a", "id_b"])
-        .join(inter, ["id_a", "id_b"], "left")
-        .join(sa, "id_a")
-        .join(sb, "id_b")
+        .join(sha, "id_a")
+        .join(shb, "id_b")
         .select(
             "is_planted",
             "in_sample",

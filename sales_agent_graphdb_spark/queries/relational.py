@@ -781,6 +781,28 @@ SELECT node, CAST(MIN(depth) AS INT) AS min_depth,
 FROM walk GROUP BY node ORDER BY min_depth, node
 """
 
+# Engine-side statement (r12 optimization): the RECURSIVE walk +
+# aggregate only, over a pre-materialized symmetric edge view. Spark
+# has no MATERIALIZED hint for CTEs, and its recursive execution
+# re-evaluates every non-recursive CTE referenced from the recursive
+# step ON EACH ITERATION — measured at sf0.1, the lineitem self-join +
+# DISTINCT ran once per walk step (8.5 s warm); with the edge list
+# materialized once (localCheckpoint) the same walk is 3.8 s warm and
+# the recursion joins a frontier against cached blocks. DuckDB's
+# optimizer materializes multi-referenced CTEs itself, so the oracle
+# keeps the single-statement form (_SQL_RCTE) — both engines compute
+# the identical walk multiset (parity re-proven r12).
+_SQL_RCTE_WALK = """
+WITH RECURSIVE walk(node, depth) AS (
+  SELECT CAST(42 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT s.dst AS node, w.depth + 1 AS depth
+  FROM walk w JOIN {sym} s ON s.src = w.node WHERE w.depth < 2)
+SELECT node, CAST(MIN(depth) AS INT) AS min_depth,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM walk GROUP BY node ORDER BY min_depth, node
+"""
+
 
 @register(
     "sql_api_recursive_reachability",
@@ -791,23 +813,49 @@ def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     reachability over the part co-purchase graph from one seed,
     returning per-node minimum hop distance and ≤2-hop path counts —
     the transitive-traversal class (§2.10's graph walks) expressed in
-    pure portable SQL TEXT, where the DataFrame side needs an explicit
-    iteration loop (graph_k_core_fixpoint) or pointer doubling
-    (connected_components). The statement IS the DuckDB oracle
-    verbatim: both engines' WITH RECURSIVE executes the same
-    anchor + UNION ALL step semantics, and the depth bound guarantees
-    termination on the cyclic graph without relying on either
-    engine's cycle handling. Path counts are exact integers, so the
-    hash certifies the full multiset of walks, not just reachability.
+    SQL TEXT, where the DataFrame side needs an explicit iteration
+    loop (graph_k_core_fixpoint) or pointer doubling
+    (connected_components). Both engines' WITH RECURSIVE executes the
+    same anchor + UNION ALL step semantics, and the depth bound
+    guarantees termination on the cyclic graph without relying on
+    either engine's cycle handling. Path counts are exact integers, so
+    the hash certifies the full multiset of walks, not just
+    reachability.
+
+    r12 optimization (guide §2.4 — remove repeated work): the
+    co-purchase edge list is built once with the DataFrame API and
+    localCheckpointed behind a temp view; only the recursive walk runs
+    as SQL text. Spark's recursive-CTE execution re-evaluates
+    non-recursive CTEs referenced from the recursive step once PER
+    ITERATION (the DISTINCT self-join ran once per walk step — the
+    exact failure mode the betweenness oracle's MATERIALIZED hints
+    guard against on the DuckDB side). Measured at sf0.1: 8.5 s → 3.8 s
+    warm, identical output. The oracle stays the original
+    single-statement form (DuckDB materializes multi-referenced CTEs
+    itself).
 
     Scale: recursion depth is a CONSTANT (2) — each step is one
-    equi-join of the frontier against the edge list, the same
+    equi-join of the frontier against the MATERIALIZED edge list (at
+    100 TB: the edge build is paid once, not once per hop), the same
     per-round budget as the iterative graph operators; the final
     GROUP BY is map-side combinable."""
-    catalog.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
-        "sqlapi_lineitem"
+    li = catalog.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
     )
-    return spark.sql(_SQL_RCTE.format(li="sqlapi_lineitem"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi"))
+        .distinct()
+    )
+    sym = (
+        pairs.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(pairs.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    sym.createOrReplaceTempView("sqlapi_rcte_sym")
+    return spark.sql(_SQL_RCTE_WALK.format(sym="sqlapi_rcte_sym"))
 
 
 # NOT IN with a NULLABLE subquery column — the anti-join variant with

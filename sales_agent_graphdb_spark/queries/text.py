@@ -513,8 +513,11 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = catalog.load_table(spark, sf_dir, "documents")
     # Checkpoint the token arrays: THREE consumers (word stats, bigram
     # leg, trigram leg) — without it the split pipeline re-runs per leg.
+    # EAGER (r12): the consumer leaf stages run concurrently under AQE
+    # and race a lazy checkpoint's first materialization, re-running
+    # the tokenize per racer.
     toks = d.select("doc_id", _tokens(F.col("text")).alias("t")).localCheckpoint(
-        eager=False
+        eager=True
     )
     base = toks.select(
         "doc_id",
@@ -539,7 +542,7 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc = (
         grams.groupBy("doc_id", "n", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # two consumers below
+        .localCheckpoint(eager=True)  # two consumers below race if lazy (r12)
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("c"), F.desc(F.length("g")), F.asc("g")
