@@ -1407,7 +1407,13 @@ def _bfs_all_pairs(edges: DataFrame) -> DataFrame:
     with every oracle's recursive CTE). Shared by
     graph_harmonic_closeness (full projected edges) and
     graph_avg_path_length (weight-thresholded backbone)."""
-    reach = edges.withColumn("d", F.lit(1)).localCheckpoint(eager=True)
+    # r12: settled levels accumulate as a LIST of already-checkpointed
+    # frames unioned lazily — the old per-level `reach` re-checkpoint
+    # re-materialized ALL settled pairs every level (one extra job +
+    # one full rewrite of a growing frame per level); a union of
+    # checkpointed RDDs reads their blocks with zero recompute, so the
+    # anti-join sees identical data for one job less per level.
+    levels = [edges.withColumn("d", F.lit(1)).localCheckpoint(eager=True)]
     frontier = edges
     for depth in range(2, 9):
         step = edges.select(
@@ -1419,15 +1425,19 @@ def _bfs_all_pairs(edges: DataFrame) -> DataFrame:
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
+        settled = levels[0].select("src", "dst")
+        for lv in levels[1:]:
+            settled = settled.unionByName(lv.select("src", "dst"))
         nxt = cand.join(
-            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+            settled, ["src", "dst"], "left_anti"
         ).localCheckpoint(eager=True)
         if nxt.limit(1).count() == 0:
             break
-        reach = reach.unionByName(
-            nxt.withColumn("d", F.lit(depth))
-        ).localCheckpoint(eager=True)
+        levels.append(nxt.withColumn("d", F.lit(depth)))
         frontier = nxt
+    reach = levels[0]
+    for lv in levels[1:]:
+        reach = reach.unionByName(lv)
     return reach
 
 
@@ -1460,13 +1470,15 @@ def _bfs_sigma(edges: DataFrame) -> DataFrame:
     Returns (src, dst, d, sg) for every reachable ordered pair.
     Sibling of _bfs_all_pairs with per-level aggregation instead of
     distinct."""
-    reach = (
+    # r12: same lazily-unioned level list as _bfs_all_pairs — one job
+    # less per level (no re-checkpoint of the growing settled set).
+    levels = [
         edges.select("src", "dst")
         .withColumn("d", F.lit(1))
         .withColumn("sg", F.lit(1).cast("bigint"))
         .localCheckpoint(eager=True)
-    )
-    frontier = reach
+    ]
+    frontier = levels[0]
     for depth in range(2, 9):
         step = edges.select(
             F.col("src").alias("mid"), F.col("dst").alias("nxt")
@@ -1478,15 +1490,21 @@ def _bfs_sigma(edges: DataFrame) -> DataFrame:
             .groupBy("src", "dst")
             .agg(F.sum("sg").cast("bigint").alias("sg"))
         )
+        settled = levels[0].select("src", "dst")
+        for lv in levels[1:]:
+            settled = settled.unionByName(lv.select("src", "dst"))
         nxt = cand.join(
-            reach.select("src", "dst"), ["src", "dst"], "left_anti"
+            settled, ["src", "dst"], "left_anti"
         ).localCheckpoint(eager=True)
         if nxt.limit(1).count() == 0:
             break
-        reach = reach.unionByName(
+        levels.append(
             nxt.withColumn("d", F.lit(depth)).select("src", "dst", "d", "sg")
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
+    reach = levels[0]
+    for lv in levels[1:]:
+        reach = reach.unionByName(lv)
     return reach
 
 

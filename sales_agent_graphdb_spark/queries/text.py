@@ -694,7 +694,15 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles on both engines (and ln itself matched bit-exactly, as in
     the BM25 family)."""
     docs = catalog.load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", alnum_tokens(F.col("text")).alias("t"))
+    # r12: checkpoint the token arrays and the exploded bigram frame —
+    # the docstring's "tokenized exactly once" held only per PLAN, not
+    # per EXECUTION: with no checkpoint the three bigram consumers
+    # (c12, c1, scoring join) are separate leaf stages that each re-ran
+    # tokenize+explode from the scan (different group keys, so no
+    # exchange reuse), and |V| re-tokenized a fourth time.
+    toks = docs.select(
+        "doc_id", alnum_tokens(F.col("text")).alias("t")
+    ).localCheckpoint(eager=True)
     n = F.size("t")
     big = toks.select(
         "doc_id",
@@ -703,7 +711,9 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.slice("t", 1, n - 1).alias("w1"), F.slice("t", 2, n - 1).alias("w2")
             )
         ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    ).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).localCheckpoint(eager=True)
     c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = toks.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))

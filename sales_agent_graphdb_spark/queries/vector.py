@@ -657,17 +657,17 @@ def vec_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sign_word(v, 0, 32).alias("w0"),
         _sign_word(v, 32, 32).alias("w1"),
     )
-    q = (
-        emb.filter(F.col("vec_id") == 0)
-        .select(_sign_word(v, 0, 32).alias("w0"), _sign_word(v, 32, 32).alias("w1"))
-        .head()
-    )
+    # r12: the query row's sign words derive from qv (already collected
+    # above) with the same `> 0` comparison on the same doubles — one
+    # fewer driver action than the old second .head() over the scan.
+    qw0 = sum(1 << i for i in range(32) if qv[i] > 0)
+    qw1 = sum(1 << i for i in range(32) if qv[32 + i] > 0)
     ham = sigs.select(
         "vec_id",
         "embedding",
         (
-            F.bit_count(F.col("w0").bitwiseXOR(F.lit(q.w0)))
-            + F.bit_count(F.col("w1").bitwiseXOR(F.lit(q.w1)))
+            F.bit_count(F.col("w0").bitwiseXOR(F.lit(qw0)))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.lit(qw1)))
         ).alias("h"),
     )
     cands = ham.orderBy("h", "vec_id").limit(_HAM_CAND)
