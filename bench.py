@@ -328,9 +328,13 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     for name in names:
+        # Label jobs per query (guide §1.5) so the UI / event log maps
+        # stages back to bench lines; timing methodology unchanged.
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+    spark.sparkContext.setJobDescription(None)
 
     total = round(sum(timings.values()), 4)
     doc = {
