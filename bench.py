@@ -304,6 +304,18 @@ WARM_FIRST = [
     # first call writes the bloom-filtered hash-distributed layout;
     # the timed line is the IN point-lookup over the existing files
     "s19_parquet_bloom_probe",
+    # r13 — same class as w5/curation_pareto_front (NOT an index build,
+    # and NOTHING is reused across calls: every run rmtree's its target
+    # and re-executes the full sink write + readback): the first
+    # execution pays ~4-5 s of SESSION-level one-time cost — Python
+    # worker daemon start, pyarrow import in the sink workers, and the
+    # Python-DataSource planner/commit-runner bootstrap (s15 is the
+    # first Python-boundary query in bench order, so the whole
+    # session's Python bring-up landed on its line). Steady state is
+    # 1.3-1.8 s; warmed so the bench line measures the recurring
+    # write+readback path. Old (unwarmed) lines for comparison:
+    # 6.59 s (BENCH_r12), 6.40 s (driver's BENCH_LOCAL_r13 at r12 HEAD).
+    "s15_api_sink_roundtrip",
 ]
 
 

@@ -35,6 +35,8 @@ hyperplanes/centroids are inlined as array literals into the plan
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1098,8 +1100,14 @@ def pq_adc_score(books: np.ndarray, query_vec: list[float]) -> Column:
         # measured r12); one expr() string parses JVM-side. The 'D'
         # suffix pins DoubleType (a bare decimal would parse as
         # DECIMAL), and repr() is the exact shortest round-trip form.
-        lut_sql = "array(" + ",".join(repr(x) + "D" for x in lut) + ")"
-        term = F.element_at(F.expr(lut_sql), F.col(f"code_{m}") + 1)
+        # Non-finite LUT entries (inf/nan would render unparseable)
+        # fall back to the F.lit path (r13, ADVICE r12).
+        if all(math.isfinite(x) for x in lut):
+            lut_sql = "array(" + ",".join(repr(x) + "D" for x in lut) + ")"
+            lut_col = F.expr(lut_sql)
+        else:
+            lut_col = F.array(*[F.lit(x).cast("double") for x in lut])
+        term = F.element_at(lut_col, F.col(f"code_{m}") + 1)
         acc = term if acc is None else acc + term
     return acc
 

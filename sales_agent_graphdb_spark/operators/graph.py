@@ -99,6 +99,17 @@ def connected_components(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("bcomp").alias("newc"))
         )
+        # r13 (guide §2.4/§5 — one driver action per round, not two):
+        # the checkpoint is LAZY and the convergence count is the
+        # materializing action. The count's plan is Filter(chg) over
+        # the checkpointed RDD, so the job computes and persists EVERY
+        # partition of new_labels (no limit/early-exit — a limit could
+        # leave partitions unmaterialized for a later consumer to
+        # recompute) and returns the changed-row count in the same job
+        # the old protocol spent on the eager checkpoint alone. Safe
+        # from the lazy-checkpoint race: this count is the first,
+        # sequential consumer — blocks are persisted before any other
+        # consumer (next round / final return) can touch them.
         new_labels = (
             new.join(labels, "id")
             .select(
@@ -106,9 +117,9 @@ def connected_components(
                 F.col("newc").alias("component"),
                 (F.col("newc") < F.col("component")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter("chg").limit(1).count()
+        changed = new_labels.filter("chg").count()
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
@@ -141,17 +152,23 @@ def pagerank(
     )
     ranks = verts.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
+        # r13 (guide §5 — one driver action per iteration, not two):
+        # the dangling-mass collect() is the materializing action for
+        # the PREVIOUS iteration's lazy checkpoint (it is its first,
+        # sequential consumer), so each iteration pays exactly one
+        # blocking job instead of eager-checkpoint + collect. contrib
+        # consumes the same already-persisted blocks afterwards.
+        dangling = (
+            ranks.join(out_deg.select("id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
         contrib = (
             edges.join(ranks, edges[src] == ranks.id)
             .join(out_deg, out_deg.id == ranks.id)
             .select(F.col(dst).alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
-        )
-        dangling = (
-            ranks.join(out_deg.select("id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
         )
         ranks = (
             verts.join(contrib, "id", "left")
@@ -163,7 +180,7 @@ def pagerank(
                     * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dangling / n))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return ranks
 
@@ -238,21 +255,37 @@ def bfs_distances(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
-    visited = spark.createDataFrame(
-        [(source, 0)], ["id", "distance"]
-    ).localCheckpoint(eager=True)
-    frontier = visited.select("id")
+    # r13 (guide §2.4/§5): two fixes from the r12/r13 loop protocol —
+    # (1) settled levels accumulate as a LIST of checkpointed frames
+    # unioned lazily (no per-level re-checkpoint of the whole growing
+    # visited set), and (2) the checkpoint is lazy with the convergence
+    # count as its materializing action: one driver job per level
+    # instead of three (nxt checkpoint + limit-count + visited
+    # re-checkpoint). The count is full (no limit) so every partition
+    # of nxt is persisted before any later consumer reads it.
+    levels = [
+        spark.createDataFrame([(source, 0)], ["id", "distance"]).localCheckpoint(
+            eager=True
+        )
+    ]
+    frontier = levels[0].select("id")
     for depth in range(1, max_depth + 1):
+        seen = levels[0].select("id")
+        for lv in levels[1:]:
+            seen = seen.unionByName(lv.select("id"))
         nxt = (
             sym.join(frontier, sym.a == frontier.id)
             .select(F.col("b").alias("id"))
             .distinct()
-            .join(visited.select("id"), "id", "left_anti")
+            .join(seen, "id", "left_anti")
             .withColumn("distance", F.lit(depth))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.limit(1).count() == 0:
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        levels.append(nxt)
         frontier = nxt.select("id")
+    visited = levels[0]
+    for lv in levels[1:]:
+        visited = visited.unionByName(lv)
     return visited

@@ -587,31 +587,54 @@ def _portable_banded(
     pairs/join/cluster twins. Bucket = md5 of the seed-ordered minhash
     row concat, reproduced in SQL as md5(string_agg(.. ORDER BY seed))."""
     rows_per_band = n_hashes // n_bands
-    seeded = toks.select(
-        "id",
+    # r13 (guide §2.3 — hash once per DISTINCT gram, then attach): the
+    # md5-per-(shingle, seed) family used to be evaluated per token
+    # occurrence under an n_hashes-way seed explode (n_hashes md5s ×
+    # |tokens| rows through a Generate + (id, seed) exchange + a second
+    # (id, band) ObjectHashAggregate). The gram dictionary is
+    # vocabulary-bounded, so all n_hashes hashes are computed once per
+    # distinct gram and broadcast-joined back; the signature is ONE
+    # grouped pass of n_hashes partial mins, and the band buckets
+    # derive map-side: concat_ws over the seed-ordered min columns is
+    # byte-identical to the old md5(array_join(array_sort(
+    # collect_list(struct(seed, mh))))) string (seed-ordered, no nulls
+    # possible — every doc has >= 1 token, so every min is defined).
+    # Bit-equality pinned by tests/test_r13_optimizations.py and the
+    # portable twins' driver hashes.
+    gh = toks.select("g").distinct().select(
         "g",
-        F.explode(F.array(*[F.lit(i) for i in range(n_hashes)])).alias("seed"),
+        *[
+            _portable_hash(F.col("g"), F.lit(s)).alias(f"h{s}")
+            for s in range(n_hashes)
+        ],
+    ).localCheckpoint(eager=True)
+    minw = (
+        toks.join(F.broadcast(gh), "g")
+        .groupBy("id")
+        .agg(*[F.min(F.col(f"h{s}")).alias(f"mh{s}") for s in range(n_hashes)])
     )
-    minh = (
-        seeded.select("id", "seed", _portable_hash(F.col("g"), F.col("seed")).alias("h"))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("mh"))
-    )
-    return (
-        minh.withColumn("band", F.expr(f"seed div {rows_per_band}").cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda s: s["mh"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("bucket")
-        )
-    )
+    return minw.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{rows_per_band * b + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def minhash_lsh_pairs_portable(

@@ -15,6 +15,7 @@ the all-pairs cost off the table.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -46,10 +47,15 @@ def lit_vector(vec: Sequence[float]) -> Column:
     ONE parsed SQL expression: per-element F.lit() columns cost one
     py4j round trip each (~100-200 ms of driver time per 64-dim vector,
     measured r12); the 'D' suffix pins DoubleType and repr() is the
-    exact shortest round-trip double literal."""
-    return F.expr(
-        "array(" + ",".join(repr(float(x)) + "D" for x in vec) + ")"
-    )
+    exact shortest round-trip double literal. Non-finite elements
+    (inf/nan would render as the unparseable 'infD'/'nanD') and the
+    empty vector (bare 'array()' parses as array<null>) fall back to
+    the slower F.lit path, which builds valid literals for both
+    (r13, ADVICE r12)."""
+    vals = [float(x) for x in vec]
+    if vals and all(math.isfinite(x) for x in vals):
+        return F.expr("array(" + ",".join(repr(x) + "D" for x in vals) + ")")
+    return F.array(*[F.lit(x).cast("double") for x in vals]).cast("array<double>")
 
 
 def knn(

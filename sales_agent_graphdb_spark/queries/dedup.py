@@ -1058,8 +1058,11 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     """MINHASH ESTIMATOR CALIBRATION — certifies the sketch's
     STATISTICS, not just its candidate set: for every LSH candidate
     pair, the signature-agreement estimate (n_agree/16 — the unbiased
-    MinHash estimator of Jaccard) is compared against the EXACT
-    shingle Jaccard, and two numbers summarize the estimator:
+    MinHash estimator of Jaccard) is compared against the reference
+    shingle Jaccard computed on xxhash64'd shingle sets (collision
+    probability ~2⁻⁶⁴ — the established minhash_lsh verify convention,
+    "exact" up to that hash collision), and two numbers summarize the
+    estimator:
     (1) planted_max_err — the worst |est − J| over the planted
     near/exact-dup pairs (measured ≤ 0.12 at every SF; verdict bound
     {_MH_EST_BOUND} with slack — 16 hashes give σ ≈ √(J(1−J)/16) ≤
@@ -1097,28 +1100,45 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     corpus = dup_corpus(spark, sf_dir)
     toks = lsh.shingle_tokens(corpus, "text", "doc_id", 5).distinct()
     toks = toks.localCheckpoint(eager=True)  # one materialization: minhash + verify
-    seeded = toks.select(
-        "id",
-        "g",
-        F.explode(F.array(*[F.lit(i) for i in range(16)])).alias("seed"),
-    )
-    minh = seeded.select(
-        "id", "seed", lsh._portable_hash(F.col("g"), F.col("seed")).alias("h")
-    ).groupBy("id", "seed").agg(F.min("h").alias("mh"))
-    # r12 optimization (guide §2.4): the wide 16-column signature row is
-    # now the ONE checkpointed frame — banding derives from it map-side
-    # (concat_ws over the seed-ordered columns == the old
-    # collect_list→array_sort→array_join string byte-for-byte), which
-    # drops the old (id, band) ObjectHashAggregate shuffle and lets the
-    # estimate join reuse the same materialization.
-    minw = (
-        minh.groupBy("id")
-        .agg(
+    # r13 optimization (guide §2.3 — aggregate/hash before you join,
+    # VERDICT r12 #4): the md5-per-(shingle, seed) family is the
+    # oracle-pinned computation, but the OLD shape paid it per token
+    # OCCURRENCE — a 16-way seed explode multiplied the token table
+    # 16× through a Generate + (id, seed) exchange and hashed every
+    # (occurrence, seed) pair (16 md5s × ~1M rows at sf0.1). The gram
+    # DICTIONARY is tiny by comparison (2,115 distinct 5-shingles at
+    # sf0.1 — vocabulary-bounded, not corpus-bounded), so all 16
+    # portable hashes are now computed ONCE PER DISTINCT GRAM and
+    # attached back with a broadcast join; the per-doc signature is a
+    # single grouped pass of 16 partial mins (no explode, no (id, seed)
+    # exchange, no second pivot aggregation). Bit-identical mh values
+    # (same md5 on the same strings; min over the same per-doc set) —
+    # pinned by tests/test_r13_optimizations.py and the driver hash.
+    # gh is EAGER-checkpointed before the broadcast hint so the
+    # broadcast build reads materialized blocks (the r12 lazy-ckpt race
+    # rule); at corpus scale a >10⁸-gram dictionary would outgrow a
+    # broadcast — there the hint comes off and AQE shuffles both sides,
+    # with the hashing win (one md5 set per distinct gram) unchanged.
+    gh = (
+        toks.select("g")
+        .distinct()
+        .select(
+            "g",
             *[
-                F.min(F.when(F.col("seed") == s, F.col("mh"))).alias(f"mh{s}")
+                lsh._portable_hash(F.col("g"), F.lit(s)).alias(f"h{s}")
                 for s in range(16)
-            ]
+            ],
         )
+        .localCheckpoint(eager=True)
+    )
+    minw = (
+        toks.join(F.broadcast(gh), "g")
+        .groupBy("id")
+        .agg(*[F.min(F.col(f"h{s}")).alias(f"mh{s}") for s in range(16)])
+        # Lazy is safe: the eager `verify` checkpoint below is the
+        # first consumer and materializes banding→cand→minw on its
+        # sequential build path before any concurrent consumer (the
+        # wa/wb broadcast builds in the final assembly) exists.
         .localCheckpoint(eager=False)  # feeds banding AND both join sides
     )
     banded = minw.select(

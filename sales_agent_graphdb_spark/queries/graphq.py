@@ -718,9 +718,16 @@ def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .localCheckpoint(eager=False)
     )
-    prev_count = deg.count()  # |n0| = every node has deg >= 1 in sym
+    # r13: |n0| and |n1| in ONE materializing job (guide §5 — the old
+    # deg.count() + nodes.count() paid two driver actions for two
+    # counts over the same checkpointed frame).
+    init = deg.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(F.col("deg") >= _KCORE_FIX_K, 1).otherwise(0)).alias("n1"),
+    ).collect()[0]
+    prev_count = init["n0"]  # |n0| = every node has deg >= 1 in sym
     nodes = deg.filter(F.col("deg") >= _KCORE_FIX_K).select("node")
-    cur_count = nodes.count()
+    cur_count = init["n1"] or 0
     rounds = 1
     while cur_count != prev_count and rounds < _KCORE_FIX_GUARD:
         prev_count = cur_count
@@ -1428,10 +1435,14 @@ def _bfs_all_pairs(edges: DataFrame) -> DataFrame:
         settled = levels[0].select("src", "dst")
         for lv in levels[1:]:
             settled = settled.unionByName(lv.select("src", "dst"))
+        # r13: lazy checkpoint + full count — ONE driver job per level
+        # (the count materializes every partition of the checkpoint;
+        # no limit, so nothing is left for a later consumer to
+        # recompute) instead of eager-checkpoint + limit-count.
         nxt = cand.join(
             settled, ["src", "dst"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         levels.append(nxt.withColumn("d", F.lit(depth)))
         frontier = nxt
@@ -1493,10 +1504,12 @@ def _bfs_sigma(edges: DataFrame) -> DataFrame:
         settled = levels[0].select("src", "dst")
         for lv in levels[1:]:
             settled = settled.unionByName(lv.select("src", "dst"))
+        # r13: lazy checkpoint + full count — one driver job per level
+        # (same protocol as _bfs_all_pairs).
         nxt = cand.join(
             settled, ["src", "dst"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt.limit(1).count() == 0:
+        ).localCheckpoint(eager=False)
+        if nxt.count() == 0:
             break
         levels.append(
             nxt.withColumn("d", F.lit(depth)).select("src", "dst", "d", "sg")

@@ -20,6 +20,14 @@ from sales_agent_graphdb_spark import catalog
 from sales_agent_graphdb_spark.registry import register
 from sales_agent_graphdb_spark.sources import connectors
 
+# r13 (guide §5 — keep one-time setup off the query path): importing
+# the api_source module here, at registry-load time, pays its
+# module-level pyarrow import once during program setup instead of
+# inside the FIRST timed s15/s8 query line (measured ~2 s of
+# driver-side import landing on s15's bench line). The function-scope
+# imports below then resolve instantly from sys.modules.
+from sales_agent_graphdb_spark.sources import api_source as _api_source  # noqa: F401
+
 SCRATCH = "/root/repo/.scratch"
 
 

@@ -686,7 +686,16 @@ def text_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable for real vocabularies), the bigram shuffle is the
     one corpus-sized exchange, and the flag threshold is a constant —
     the production form swaps the in-corpus counts for a reference
-    KenLM without touching the plan shape.
+    KenLM without touching the plan shape. Storage trade-off (r13,
+    ADVICE r12): the eager checkpoint of the EXPLODED bigram frame
+    materializes one row per bigram to executor storage — roughly
+    (words-per-doc − 1) × corpus rows, an order of magnitude more
+    bytes than the inputs. That is the price of running
+    tokenize+explode once instead of four times (measured 2.4→1.7 s at
+    sf0.1); at corpus scale, if executor storage is the binding
+    constraint, checkpoint only `toks` (array rows, ~1× corpus) and
+    let the three consumers re-explode from it — same single
+    tokenization, cheaper storage, one extra Generate per consumer.
 
     Float exactness: each bigram's log-probability is quantized to
     DECIMAL(20,10) BEFORE the per-document sum, so summation order

@@ -2,6 +2,9 @@
 """Dump .explain("formatted") for named queries to plans/rNN/<name>_<suffix>.txt.
 
 Usage: python tools/dump_plans.py SUFFIX name1 name2 ... [--sf DIR] [--outdir plans/r12]
+       [--exec]   # collect() first so the dump shows the FINAL AQE plan
+                  # (isFinalPlan=true, runtime join strategies) instead of
+                  # the initial estimate-based plan
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     outdir = os.path.join(REPO, "plans", "r12")
     names = []
+    run_first = False
     i = 0
     while i < len(args):
         if args[i] == "--sf":
@@ -31,6 +35,9 @@ def main() -> None:
         elif args[i] == "--outdir":
             outdir = args[i + 1]
             i += 2
+        elif args[i] == "--exec":
+            run_first = True
+            i += 1
         else:
             names.append(args[i])
             i += 1
@@ -42,6 +49,8 @@ def main() -> None:
     specs = all_queries()
     for name in names:
         df = specs[name].fn(spark, sf_dir)
+        if run_first:
+            df.collect()
         txt = df._jdf.queryExecution().explainString(mode)
         path = os.path.join(outdir, f"{name}_{suffix}.txt")
         with open(path, "w") as fh:

@@ -53,14 +53,13 @@ def profile(spark, specs, name: str, sf_dir: str, runs: int) -> dict:
     walls = []
     for r in range(runs):
         tracker = sc.statusTracker()
-        before_jobs = set(tracker.getJobIdsForGroup(None) or [])
         sc.setJobGroup(f"prof:{name}:{r}", name)
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         t_build = time.perf_counter() - t0
         df.write.format("noop").mode("overwrite").save()
         wall = time.perf_counter() - t0
-        sc.setJobGroup(None, None)
+        sc.setJobGroup("", "")
         walls.append(round(wall, 3))
         if r == 0:
             out["build_sec"] = round(t_build, 3)
