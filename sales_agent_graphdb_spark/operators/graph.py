@@ -88,16 +88,32 @@ def connected_components(
         # versus three joins in the unfused form. The changed flag is
         # materialized with the labels, so convergence detection is a
         # cheap scan of the checkpointed partitions.
-        aug = sym.unionByName(
-            labels.select(F.col("id").alias("a"), F.col("component").alias("b"))
+        # r13 (guide §2.4 — remove a join per round): the old round
+        # ended with `new.join(labels, "id")` purely to fetch the OLD
+        # component for the changed flag — an O(V)⋈O(V) join every
+        # round. Instead a tagged SELF edge (a=id, b=id) rides the
+        # augmented edge list: after the target join its bcomp IS the
+        # old component(id), so one grouped pass yields both the new
+        # min and the old value. Adding component(id) to the min-set
+        # is a no-op (the pointer edge already contributes
+        # component(component(id)) <= component(id), and labels are
+        # monotone), so `component` is unchanged — proven by the
+        # union-find property test and the driver hash.
+        aug = (
+            sym.withColumn("self", F.lit(False))
+            .unionByName(
+                labels.select(
+                    F.col("id").alias("a"), F.col("component").alias("b")
+                ).withColumn("self", F.lit(False))
+            )
+            .unionByName(
+                labels.select(
+                    F.col("id").alias("a"), F.col("id").alias("b")
+                ).withColumn("self", F.lit(True))
+            )
         )
         target = labels.select(
             F.col("id").alias("bid"), F.col("component").alias("bcomp")
-        )
-        new = (
-            aug.join(target, F.col("b") == F.col("bid"))
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("bcomp").alias("newc"))
         )
         # r13 (guide §2.4/§5 — one driver action per round, not two):
         # the checkpoint is LAZY and the convergence count is the
@@ -111,11 +127,16 @@ def connected_components(
         # sequential consumer — blocks are persisted before any other
         # consumer (next round / final return) can touch them.
         new_labels = (
-            new.join(labels, "id")
+            aug.join(target, F.col("b") == F.col("bid"))
+            .groupBy(F.col("a").alias("id"))
+            .agg(
+                F.min("bcomp").alias("component"),
+                F.min(F.when(F.col("self"), F.col("bcomp"))).alias("oldc"),
+            )
             .select(
                 "id",
-                F.col("newc").alias("component"),
-                (F.col("newc") < F.col("component")).alias("chg"),
+                "component",
+                (F.col("component") < F.col("oldc")).alias("chg"),
             )
             .localCheckpoint(eager=False)
         )

@@ -498,17 +498,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = c.select(
         F.col("c_custkey").alias("node"), F.col("c_custkey").cast("bigint").alias("label")
     )
-    rk_w = W.partitionBy("node").orderBy(F.col("wt").desc(), F.col("label"))
     for _ in range(_LPA_ROUNDS):
         votes = (
             sym.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("wt"))
         )
+        # r13 (guide §2.3 — aggregate instead of window): the per-node
+        # argmax used to be a row_number() window (exchange on node +
+        # per-partition SORT of every vote row). min(struct(-wt,
+        # label)) picks the identical row — struct ordering compares
+        # -wt first (ascending = wt DESC) then label (ascending = the
+        # MIN-label tie-break) — as a map-side-combinable aggregate:
+        # same exchange, no sort, partial aggregation before it.
+        # wt >= 1 is a group count, so -wt cannot overflow.
         best = (
-            votes.withColumn("rk", F.row_number().over(rk_w))
-            .filter(F.col("rk") == 1)
-            .select("node", F.col("label").alias("new_label"))
+            votes.groupBy("node")
+            .agg(F.min(F.struct((-F.col("wt")).alias("nw"), F.col("label"))).alias("b"))
+            .select("node", F.col("b.label").alias("new_label"))
         )
         labels = (
             labels.join(best, "node", "left")
