@@ -31,6 +31,21 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # r13 heap sizing note (guide §5 — per-task execution memory, not
+    # total heap, is what sorts/joins see): in local mode one JVM heap
+    # is shared by every concurrent task, so 8g over 32 slots is
+    # ~150 MB of unified memory per task. At the synthetic decade
+    # (tools/core_scaling.py) that starves the data-sized heavies —
+    # dedup_containment ran 28 s on local[32]/8g vs 15 s on
+    # local[8]/8g (more memory per task) and 13-20 s on local[32]/24g
+    # (SPARK_GRAFT_DRIVER_MEM=24g). The default nevertheless STAYS 8g:
+    # at the driver's bench SF the data is tiny, and a measured
+    # same-box A/B (full 166-query bench, 24g vs 8g) read 232 vs
+    # 216 s — the 90 s periodic System.gc() (see periodicGC below)
+    # costs proportionally more on a bigger heap and the random 1-2
+    # queries in each 90 s window absorb the pause. Heavy-data runs
+    # size the heap to the workload via SPARK_GRAFT_DRIVER_MEM; on a
+    # real cluster this is the executor-memory : cores ratio.
 
     builder = (
         SparkSession.builder.appName(app_name)
