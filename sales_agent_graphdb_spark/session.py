@@ -75,4 +75,43 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _install_reliable_checkpoint(spark)
     return spark
+
+
+def _install_reliable_checkpoint(spark: SparkSession) -> None:
+    """SPARK_GRAFT_RELIABLE_CHECKPOINT=<dir> routes every
+    DataFrame.localCheckpoint() in the engine through RELIABLE
+    checkpointing into <dir> (r13, VERDICT r12 #6).
+
+    Why a switch exists: the hot paths cut lineage with
+    localCheckpoint(), which pins intermediate blocks to
+    executor-local storage — cheap (no replication, no remote write),
+    but on a real cluster a lost executor makes those blocks
+    irrecoverable and fails the job instead of recomputing. That is
+    the right default here (local mode cannot lose an executor, and
+    the driver's bench measures the local path), but a 100 TB
+    deployment that wants executor-loss recovery flips this env to a
+    shared checkpoint directory (HDFS/object store) and every loop
+    keeps its exact semantics — Dataset.checkpoint has the same
+    signature and materialization contract (eager/lazy) as
+    localCheckpoint, only the storage is durable. The expected cost is
+    one extra write+read of each checkpointed frame over the cluster
+    filesystem; nothing else in any query changes, which is the point
+    of switching at the session boundary instead of at 89 call sites.
+    Off by default; pinned by tests/test_r13_optimizations.py via a
+    subprocess session.
+    """
+    ckpt_dir = os.environ.get("SPARK_GRAFT_RELIABLE_CHECKPOINT")
+    if not ckpt_dir:
+        return
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        spark.sparkContext.setCheckpointDir(ckpt_dir)
+    # Patch the CONCRETE DataFrame class (pyspark.sql.DataFrame is an
+    # abstract front in Spark 4; instances are the classic subclass,
+    # whose own localCheckpoint would shadow a base-class patch).
+    cls = type(spark.range(1))
+    if not getattr(cls, "_graft_reliable_ckpt", False):
+        reliable = cls.checkpoint
+        cls._graft_reliable_ckpt = True
+        cls.localCheckpoint = lambda self, eager=True: reliable(self, eager=eager)
