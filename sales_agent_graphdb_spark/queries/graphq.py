@@ -702,13 +702,33 @@ def graph_k_core_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = catalog.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # r13 (guide §2.4 — one exchange where the self-join paid a sort):
+    # the co-purchase pairs used to come from a lineitem self-join on
+    # l_orderkey (SMJ: exchange + two sorts of the fact projection,
+    # then a 2.4M-row join output into the distinct). The basket form
+    # groups each order's DISTINCT sorted parts once and expands the
+    # lo<hi pairs map-side with array HOFs — same exchange count (one
+    # groupBy + the distinct) but no sort-merge pass and no pre-distinct
+    # join blowup. Identical pair set: collect_set dedups parts within
+    # an order, array_sort + strictly-later slice enumerates exactly
+    # the lo<hi combinations (interleaved A/B in both orders: 1.8 s vs
+    # 2.1-2.3 s warm, byte-identical 1,196,000 pairs at sf0.1). The
+    # per-order fanout stays items-per-order²-bounded — the same
+    # basket bound the old join had.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi")
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS lo, y AS hi))))"
+                )
+            ).alias("p")
         )
+        .select("p.lo", "p.hi")
         .distinct()
     )
     sym = (

@@ -842,11 +842,31 @@ def sql_api_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFram
     li = catalog.load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # r13 (guide §2.4, same move as graph_k_core_fixpoint): the edge
+    # build's lineitem self-join (SMJ + pre-distinct 2.4M-row blowup)
+    # is replaced by the basket form — per-order DISTINCT sorted parts
+    # expanded to lo<hi pairs map-side with array HOFs. The pair SET is
+    # identical to the oracle's `pairs` CTE (collect_set dedups within
+    # the order; sorted strictly-later slices enumerate exactly the
+    # lo<hi combinations — byte-identical 1,196,000 pairs at sf0.1),
+    # so the materialized `sym` view feeds the SQL walk the same edge
+    # multiset as before. The full single-statement _SQL_RCTE still
+    # runs through the engine in
+    # tests/test_r13_optimizations.py::test_full_rcte_statement_engine_coverage.
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi"))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS lo, y AS hi))))"
+                )
+            ).alias("p")
+        )
+        .select("p.lo", "p.hi")
         .distinct()
     )
     sym = (

@@ -241,3 +241,41 @@ print("RELIABLE_OK", len(walk))
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "RELIABLE_OK" in r.stdout
+
+
+def test_basket_pair_expansion_equals_self_join(spark):
+    """r13: the co-purchase edge build (k-core fixpoint, recursive
+    reachability) moved from a lineitem self-join + distinct to a
+    per-basket HOF expansion. Pin set equality on data with duplicate
+    (order, part) rows and singleton baskets."""
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (1, 30), (2, 5), (2, 7), (3, 9),
+         (4, 2), (4, 2)],
+        ["l_orderkey", "l_partkey"],
+    )
+    a, b = li.alias("a"), li.alias("b")
+    join_pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("lo"), F.col("b.l_partkey").alias("hi"))
+        .distinct()
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    hof_pairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "y -> struct(x AS lo, y AS hi))))"
+                )
+            ).alias("p")
+        )
+        .select("p.lo", "p.hi")
+        .distinct()
+    )
+    assert sorted(tuple(r) for r in join_pairs.collect()) == sorted(
+        tuple(r) for r in hof_pairs.collect()
+    ) == [(5, 7), (10, 20), (10, 30), (20, 30)]
